@@ -1,0 +1,52 @@
+"""Fixture table access.
+
+The reference uses a fixed, compile-time-checked schema everywhere
+(SURVEY §1.4 — sqlx offline macros); we mirror that discipline: no
+``inferSchema`` on any hot path. Parquet carries its schema, so readers
+here just centralize paths and keep column pruning / predicate pushdown
+intact by returning the raw scan (callers select/filter lazily).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one fixture table (pushdown-friendly).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch-nanos
+    long and is floor-divided to micros here — the same truncation
+    DuckDB applies when reading nanos into its micros TIMESTAMP.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown fixture table {name!r}")
+    if name == "events":
+        # Runtime-set so the conversion also works under a caller-provided
+        # SparkSession (e.g. the driver's), not just our session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
