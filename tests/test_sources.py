@@ -1,0 +1,60 @@
+"""Source-layer unit tests, mirroring the reference's own test
+strategy (SURVEY §5: the S3-URL table test, src/s3.rs:159-175) plus
+the edge cases the reference gets wrong on purpose."""
+
+from __future__ import annotations
+
+from file_scraper_spark.sources.dispatch import source_for_path
+from file_scraper_spark.sources.fs import list_files, scrape_fs
+from file_scraper_spark.sources.url import parse_s3_url, split_key
+
+
+def test_parse_s3_url_table():
+    # same three shapes as the reference unit test
+    loc = parse_s3_url("s3://my-bucket/some/path")
+    assert (loc.bucket, loc.path) == ("my-bucket", "some/path")
+    loc = parse_s3_url("s3://my-bucket")
+    assert (loc.bucket, loc.path) == ("my-bucket", "")
+    loc = parse_s3_url("s3://my-bucket/")
+    assert (loc.bucket, loc.path) == ("my-bucket", "")
+    # non-s3 paths fall through to fs (reference src/main.rs:72-81)
+    assert parse_s3_url("/plain/dir") is None
+    assert parse_s3_url("s3:/missing-slash") is None
+
+
+def test_split_key_no_slash_does_not_crash():
+    # the reference panics here (src/s3.rs:107-108); we yield dir=''
+    assert split_key("bare-key.txt") == ("", "bare-key.txt")
+    assert split_key("a/b/c.txt") == ("a/b", "c.txt")
+
+
+def test_dispatch():
+    assert source_for_path("s3://bucket/p").kind == "s3"
+    assert source_for_path("/tmp").kind == "fs"
+    assert source_for_path("s3://bucket/p").identifier == "s3://bucket/p"
+    assert ":" in source_for_path("/tmp").identifier  # host:path
+
+
+def test_fs_listing_never_reads_content(spark, sf_dir):
+    # metadata-only: the physical plan's ReadSchema must exclude
+    # `content` (parity with the reference never opening files)
+    plan = list_files(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+
+
+def test_scrape_fs_schema_and_rows(spark, sf_dir):
+    df = scrape_fs(spark, sf_dir, identifier="t")
+    assert [f.name for f in df.schema.fields] == [
+        "external_source",
+        "path",
+        "filename",
+        "mime_type",
+        "created",
+        "modified",
+        "size",
+    ]
+    rows = df.collect()
+    assert len(rows) == 10  # the ten fixture parquet files
+    assert all(r.mime_type == "application/vnd.apache.parquet" for r in rows)
+    assert all(r.size > 0 for r in rows)
+    assert all(r.created is None for r in rows)
