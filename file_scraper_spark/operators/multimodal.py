@@ -1,1 +1,147 @@
-"""Multimodal (binary column) operators. Placeholder."""
+"""Multimodal (binary) columns + the Pandas-UDF surface ([EXT]).
+
+Media handling at 100 TB: image/audio/video payloads travel as opaque
+``binary`` columns next to a typed metadata struct; decode / feature
+extraction runs in Arrow-batched Python (``mapInPandas`` — one
+serialization per batch, not per row) on executors, so the pipeline
+partitions by file and scales linearly.
+
+The actual codec step is STUBBED in this container (no image/audio
+libs): ``decode_media`` raises NotImplementedError unless
+``fake=True``, in which case it produces deterministic pseudo-features
+so the Spark-side plumbing — schema, batch shape, UDF signature — is
+real and oracle-testable. The fixture's binary payload is derived
+deterministically from documents.text (utf-8 bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("header_hex", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a multimodal table: payload binary + metadata
+    struct (the schema shape a real media lakehouse table would have)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/fake").alias("format"),
+            F.col("n_chars").alias("declared_size"),
+            F.col("lang").alias("tag"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, fake: bool = False) -> dict:
+    """Codec stub. Real decode (PIL/ffmpeg/soundfile) is unavailable in
+    this container; ``fake=True`` yields deterministic pseudo-features
+    (documented, reproducible) so plumbing stays testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "pass fake=True for deterministic pseudo-decode"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "header_hex": payload[:4].hex(),
+        "fake_width": (n % 640) + 1,
+        "fake_height": (n % 480) + 1,
+    }
+
+
+def extract_features(media: DataFrame, batch_hint: str = "fake") -> DataFrame:
+    """Arrow-batched feature extraction over the payload column."""
+    fake = batch_hint == "fake"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(p, fake=fake) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline end-to-end: encode -> mapInPandas
+    pseudo-decode -> typed features. (Fixture text is ASCII, so the
+    first 4 utf-8 bytes == first 4 chars for the oracle.)"""
+    return extract_features(media_table(spark, sf_dir))
+
+
+@query(
+    "udf_surface",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_chars * 2 + 1) AS BIGINT) AS scaled_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF surface: a vectorized scalar UDF feeding a grouped
+    aggregation — integer semantics, so even the UDF path is
+    oracle-exact. (Arrow batch transfer; never row-at-a-time Python.)"""
+
+    @F.pandas_udf(T.LongType())
+    def scale(s: pd.Series) -> pd.Series:
+        return s * 2 + 1
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", scale(F.col("n_chars")).alias("scaled"))
+        .groupBy("lang")
+        .agg(
+            F.sum("scaled").alias("scaled_sum"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@query("udf_grouped_agg", tags=("udf",))
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (UDAF surface): per-lang mean of
+    n_chars computed in pandas. Rows-only: float mean summation order
+    inside pandas is engine-specific."""
+
+    @F.pandas_udf(T.DoubleType())
+    def mean_chars(s: pd.Series) -> float:
+        return float(s.mean())
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(mean_chars(F.col("n_chars")).alias("mean_chars"))

@@ -1,1 +1,259 @@
-"""Embedding similarity search operators. Placeholder."""
+"""Embedding similarity search ([EXT], SURVEY §2.B).
+
+The embedding column is ``array<float>`` (dim 64). All dot products
+run as JVM higher-order functions (``zip_with`` + ``aggregate``) —
+per-row, no shuffle, whole-stage codegen — with addends cast to
+DECIMAL(38,12) so the fold is exact and order-independent, which makes
+exact-cosine results bit-identical to the DuckDB oracle (see
+registry.py determinism rules).
+
+Scale paths:
+- ``similarity_topk``: brute-force scan vs one query vector — the
+  correct baseline at any scale (embarrassingly parallel scan +
+  TakeOrderedAndProject top-k; no shuffle of the corpus).
+- ``similarity_pairs``: blocked pair generation (here: the label
+  column as the block key) + exact verify — the all-pairs analog.
+- ``similarity_ann_lsh``: random-hyperplane sign-LSH bucketing — the
+  sublinear candidate-generation path for 100 TB corpora; buckets
+  shuffle on a 16-bit key, candidates verified with exact cosine.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+DEC12 = "decimal(38,12)"
+DIM = 64
+N_PLANES = 16
+QUERY_VEC_ID = 0
+PAIR_THRESHOLD = 0.25  # ~p99 of within-label cosine in the fixture
+
+
+QUANT = 1_000_000_000  # 1e-9 quantization for exact integer vector math
+
+
+def _dec_fold(products: Column) -> Column:
+    """Exact sum of an array<double>, bit-identical across engines.
+
+    Each addend is quantized with ``floor(x * 1e9)`` — floor of a
+    double is exact (no rounding-mode ties, unlike double->decimal
+    casts where a float32 that happens to be an odd multiple of 2^-s
+    rounds HALF_UP in Spark but half-even in DuckDB) — and summed as
+    BIGINT (exact, associative, so Spark's partial-aggregation order
+    cannot perturb it). |addend| <= ~1e9 and arrays are short, so the
+    sum is far from overflow. The 1e-9 quantization defines the
+    operator's semantics; both engines compute the identical value.
+    """
+    return (
+        F.aggregate(
+            products,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x * F.lit(float(QUANT))),
+        ).cast("double")
+        / QUANT
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two float-array columns (double result)."""
+    return _dec_fold(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        _dec_fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> Column:
+    """The query vector as a literal array column (a scan parameter,
+    like a CLI argument — 64 floats, not a driver-side data loop)."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return F.array(*[F.lit(float(v)) for v in row[0]])
+
+
+# DuckDB twin of the quantized fold over unnested vector elements.
+def _oracle_dec_sum(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * {QUANT}) AS BIGINT)) AS DOUBLE)"
+        f" / {QUANT}"
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), qn AS (
+      SELECT sqrt({_oracle_dec_sum('CAST(x AS DOUBLE) * CAST(x AS DOUBLE)')}) AS qnorm
+      FROM (SELECT unnest(qe) AS x FROM q)
+    ), flat AS (
+      SELECT vec_id, unnest(embedding) AS ev, unnest(qe) AS qv
+      FROM embeddings, q
+    ), dots AS (
+      SELECT vec_id,
+             {_oracle_dec_sum('CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)')} AS dp,
+             sqrt({_oracle_dec_sum('CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)')}) AS nrm
+      FROM flat GROUP BY vec_id
+    )
+    SELECT vec_id, dp / (nrm * qn.qnorm) AS cosine
+    FROM dots, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+    Plan: one scan, per-row JVM fold, TakeOrderedAndProject(10) — no
+    shuffle of the corpus at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = query_vector(spark, sf_dir)
+    return (
+        emb.select("vec_id", cosine(F.col("embedding"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "similarity_pairs",
+    oracle=f"""
+    WITH flat AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ), dots AS (
+      SELECT vec_a, vec_b,
+             {_oracle_dec_sum('CAST(av AS DOUBLE) * CAST(bv AS DOUBLE)')} AS dp,
+             sqrt({_oracle_dec_sum('CAST(av AS DOUBLE) * CAST(av AS DOUBLE)')}) AS na,
+             sqrt({_oracle_dec_sum('CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE)')}) AS nb
+      FROM flat GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b, dp / (na * nb) AS cosine
+    FROM dots
+    WHERE dp / (na * nb) >= {PAIR_THRESHOLD}
+    """,
+)
+def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: blocked candidate generation (label as
+    block key — an equi-join, never a cross join) + exact cosine
+    verify above the threshold."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= PAIR_THRESHOLD)
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle=f"""
+    SELECT label, pos,
+           {_oracle_dec_sum('v')} / COUNT(*) AS centroid
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the
+    aggregation shape used for IVF coarse quantizers. posexplode +
+    groupBy: partial aggregation makes the shuffle labels x dims."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    return flat.groupBy("label", "pos").agg(
+        (
+            (F.sum(F.floor(F.col("v") * float(QUANT))).cast("double") / QUANT)
+            / F.count("v")
+        ).alias("centroid")
+    )
+
+
+def _plane(seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d is a
+    zlib.crc32-seeded value in [-1, 1) — stable across runs/machines
+    (no RNG state, no numpy version dependence)."""
+    out = []
+    for d in range(DIM):
+        h = zlib.crc32(struct.pack("<II", seed, d))
+        out.append((h / 2**31) - 1.0)
+    return out
+
+
+@query("similarity_ann_lsh", tags=("ann", "lsh"))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane sign-LSH (rows-only; the scale path).
+    16 sign bits -> 16-bit bucket; query probes its own bucket and all
+    Hamming<=1 neighbors; candidates re-ranked by exact cosine.
+    Recall vs the exact top-10 is asserted structurally in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = [_plane(p) for p in range(N_PLANES)]
+
+    def bucket_of(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(v) for v in planes[p]]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(N_PLANES)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    bucketed = emb.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
+    q_row = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    q_bucket = q_row["bucket"]
+    probe = [q_bucket] + [q_bucket ^ (1 << p) for p in range(N_PLANES)]
+    q = query_vector(spark, sf_dir)
+    return (
+        bucketed.filter(F.col("bucket").isin(probe))
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1,2 +1,222 @@
-"""Text analysis operators (wordcount, langid, quality, tokens,
-fingerprint). Placeholder."""
+"""Text-analysis operators for LLM-data pipelines ([EXT], SURVEY §2.B).
+
+All pure built-in / higher-order functions — tokenization, scoring and
+fingerprinting run JVM-side inside whole-stage codegen with zero
+Python in the hot path, so each operator is a single scan with no
+shuffle (except the wordcount groupBy). That is the 100 TB design:
+per-row text ops scale linearly and partition trivially.
+
+Determinism: all scores are integer counts or fixed-order double
+arithmetic on them — bit-identical across engines (see registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+# language marker words (tiny static stopword lists — public knowledge)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "que", "de", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+#: deterministic argmax priority on ties
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+STOPWORDS = LANG_MARKERS["en"]
+
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+FP_MOD = 10**15  # rolling-hash modulus; 31*mod fits in int64
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
+    """# tokens that are in the marker list (higher-order filter —
+    JVM-side, no UDF)."""
+    marker_arr = F.array(*[F.lit(w) for w in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+
+def _oracle_marker_count(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(string_split(text, ' '), x -> list_contains([{lst}], x)))"
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic tokenize + explode + count. At scale the groupBy gets a
+    map-side partial aggregate, so the shuffle carries one row per
+    (partition, word) — vocabulary-sized, not corpus-sized."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs / digit runs / single other-chars)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+            "n_re_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, n_words, stop_cnt,
+           CAST(word_chars AS DOUBLE) / n_words AS avg_word_len,
+           CAST(stop_cnt AS DOUBLE) / n_words AS stop_ratio,
+           0.5 * (CAST(stop_cnt AS DOUBLE) / n_words)
+             + 0.3 * least(CAST(n_words AS DOUBLE) / 50, CAST(1 AS DOUBLE))
+             + 0.2 * least(CAST(word_chars AS DOUBLE) / n_words / 10,
+                           CAST(1 AS DOUBLE)) AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             CAST({_oracle_marker_count(STOPWORDS)} AS INT) AS stop_cnt,
+             CAST(length(replace(text, ' ', '')) AS INT) AS word_chars
+      FROM documents
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from length / stopword-ratio /
+    word-shape signals (the usual pre-training corpus filters)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_words"),
+        _marker_count(_words(), STOPWORDS).alias("stop_cnt"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("word_chars"),
+    )
+    avg_word_len = base.word_chars.cast("double") / base.n_words
+    stop_ratio = base.stop_cnt.cast("double") / base.n_words
+    return base.select(
+        "doc_id",
+        "n_words",
+        "stop_cnt",
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            0.5 * stop_ratio
+            + 0.3 * F.least(base.n_words.cast("double") / 50, F.lit(1.0))
+            + 0.2 * F.least(avg_word_len / 10, F.lit(1.0))
+        ).alias("quality_score"),
+    )
+
+
+def _langid_case(score_cols: dict[str, Column]) -> Column:
+    """Deterministic argmax over language scores with fixed priority."""
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = [score_cols[l] for l in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]]
+        expr = F.when(score_cols[lang] >= F.greatest(*later) if len(later) > 1 else score_cols[lang] >= later[0], F.lit(lang)).otherwise(expr)
+    return expr
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+           CASE
+             WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted
+    FROM (
+      SELECT doc_id, lang,
+             CAST({_oracle_marker_count(LANG_MARKERS['en'])} AS INT) AS s_en,
+             CAST({_oracle_marker_count(LANG_MARKERS['de'])} AS INT) AS s_de,
+             CAST({_oracle_marker_count(LANG_MARKERS['es'])} AS INT) AS s_es,
+             CAST({_oracle_marker_count(LANG_MARKERS['fr'])} AS INT) AS s_fr,
+             CAST({_oracle_marker_count(LANG_MARKERS['zh'])} AS INT) AS s_zh
+      FROM documents
+    )
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family): per-language
+    integer scores + deterministic priority argmax. (The fixture text
+    is synthetic word-soup, so `predicted` won't match `lang` — the
+    operator contract is determinism, both engines agree exactly.)"""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    scores = {
+        lang: _marker_count(words, markers).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    base = docs.select("doc_id", "lang", *scores.values())
+    score_cols = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    return base.select(
+        "doc_id",
+        "lang",
+        "s_en",
+        "s_de",
+        "s_es",
+        "s_fr",
+        "s_zh",
+        _langid_case(score_cols).alias("predicted"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % {FP_MOD}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-style rolling hash over the character stream as a
+    compact document fingerprint — pure integer fold (higher-order
+    aggregate), identical in any engine."""
+    docs = load(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(FP_MOD),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,59 @@
+"""Structural checks for rows-only LLM-pipeline operators — the parts
+the DuckDB oracle can't see (xxhash64-based sketches, ANN recall)."""
+
+from __future__ import annotations
+
+import pytest
+
+from file_scraper_spark import registry
+
+registry._ensure_loaded()
+R = registry.REGISTRY
+
+
+def test_minhash_finds_planted_pairs(spark, sf_dir):
+    """Every perturbed copy (doc_id+100000) should pair with its
+    original via MinHash-LSH, and estimates should track exact Jaccard."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in R["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in R["dedup_minhash"].fn(spark, sf_dir).collect()
+    }
+    planted = {(a, b) for (a, b) in exact if b == a + 100000}
+    assert planted, "fixture derivation produced no planted pairs"
+    recall = len(planted & set(est)) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall} on planted pairs"
+    for pair in planted & set(est):
+        assert abs(est[pair] - exact[pair]) < 0.35
+
+
+def test_simhash_finds_planted_pairs(spark, sf_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in R["dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    planted = [h for (a, b), h in pairs.items() if b == a + 100000]
+    assert len(planted) > 0
+    assert all(h <= 4 for h in planted)
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    exact = [r.vec_id for r in R["similarity_topk"].fn(spark, sf_dir).collect()]
+    ann = [r.vec_id for r in R["similarity_ann_lsh"].fn(spark, sf_dir).collect()]
+    # the query vector itself must always be found (cosine 1.0)
+    assert exact[0] == 0 and ann[0] == 0
+    # sign-LSH with 1-bit probing: expect partial but nonzero overlap
+    assert len(set(exact) & set(ann)) >= 2
+
+
+def test_decode_stub_raises_without_fake():
+    from file_scraper_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG")
+    feats = decode_media(b"abcd1234", fake=True)
+    assert feats["n_bytes"] == 8
+    assert feats["header_hex"] == "61626364"
