@@ -137,6 +137,55 @@ def clamp_size(size: int | None) -> int | None:
     return size
 
 
+class ScrapeSession:
+    """One open scrape == one DB transaction (A15).
+
+    Batches of found files are merged incrementally (``add_rows`` per
+    micro-batch — the reference's per-batch record_files round-trip,
+    src/db.rs:67-136); ``finalize`` runs the soft-delete anti-join and
+    commits; any error (or ``abort``) rolls back the whole snapshot.
+    This is the contract Structured Streaming's foreachBatch needs:
+    many batches, still exactly one visible snapshot transition.
+    """
+
+    def __init__(self, con: Any, external_source: str, scrape_time):
+        self.con = con
+        self.external_source = external_source
+        self.scrape_time = scrape_time
+        con.execute("BEGIN")
+        con.execute(STAGING_DDL)
+        con.execute(SEEN_DDL)
+        con.execute("DELETE FROM staging_found")
+        con.execute("DELETE FROM seen_external_file")
+
+    def add_rows(self, rows: Iterable[tuple]) -> None:
+        batch = [(*r[:6], clamp_size(r[6])) for r in rows]
+        if not batch:
+            return
+        self.con.executemany(
+            "INSERT INTO staging_found VALUES (?, ?, ?, ?, ?, ?, ?)", batch
+        )
+        cur = self.con.execute(UPSERT_SQL)
+        changed_ids = [r[0] for r in cur.fetchall()]
+        if changed_ids:
+            self.con.executemany(
+                "INSERT INTO seen_external_file (file_id) VALUES (?) "
+                "ON CONFLICT DO NOTHING",
+                [(i,) for i in changed_ids],
+            )
+        self.con.execute(SEEN_NOOP_SQL)
+        self.con.execute("DELETE FROM staging_found")
+
+    def finalize(self) -> None:
+        self.con.execute(
+            SOFT_DELETE_SQL, (self.scrape_time, self.external_source)
+        )
+        self.con.commit()
+
+    def abort(self) -> None:
+        self.con.rollback()
+
+
 class MergeSink:
     """Dialect-neutral DB-API implementation of the snapshot merge.
 
@@ -158,28 +207,10 @@ class MergeSink:
         finally:
             con.close()
 
-    # -- internals ---------------------------------------------------------
-
-    def _stage_batch(self, con: Any, rows: list[tuple]) -> None:
-        con.executemany(
-            "INSERT INTO staging_found VALUES (?, ?, ?, ?, ?, ?, ?)",
-            [(*r[:6], clamp_size(r[6])) for r in rows],
-        )
-
-    def _merge_batch(self, con: Any) -> None:
-        """Upsert one staged batch and fold its rows into the seen-set,
-        then clear staging for the next batch (the reference's per-batch
-        record_files round-trip, src/db.rs:67-136)."""
-        cur = con.execute(UPSERT_SQL)
-        changed_ids = [r[0] for r in cur.fetchall()]
-        if changed_ids:
-            con.executemany(
-                "INSERT INTO seen_external_file (file_id) VALUES (?) "
-                "ON CONFLICT DO NOTHING",
-                [(i,) for i in changed_ids],
-            )
-        con.execute(SEEN_NOOP_SQL)
-        con.execute("DELETE FROM staging_found")
+    def open_scrape(self, external_source: str, scrape_time) -> ScrapeSession:
+        """Open an incremental scrape (caller owns finalize/abort and
+        the connection's lifetime)."""
+        return ScrapeSession(self._connect(), external_source, scrape_time)
 
     # -- public API --------------------------------------------------------
 
@@ -188,35 +219,24 @@ class MergeSink:
         rows: Iterable[tuple],
         external_source: str,
         scrape_time,
-        con: Any | None = None,
     ) -> None:
         """Merge an iterable of FILE_COLUMNS tuples as one snapshot."""
-        own = con is None
-        con = con or self._connect()
+        session = self.open_scrape(external_source, scrape_time)
         try:
-            con.execute("BEGIN")
-            con.execute(STAGING_DDL)
-            con.execute(SEEN_DDL)
-            con.execute("DELETE FROM staging_found")
-            con.execute("DELETE FROM seen_external_file")
             batch: list[tuple] = []
             for row in rows:
                 batch.append(row)
                 if len(batch) >= self.batch_size:
-                    self._stage_batch(con, batch)
-                    self._merge_batch(con)
+                    session.add_rows(batch)
                     batch = []
             if batch:
-                self._stage_batch(con, batch)
-                self._merge_batch(con)
-            con.execute(SOFT_DELETE_SQL, (scrape_time, external_source))
-            con.commit()
+                session.add_rows(batch)
+            session.finalize()
         except Exception:
-            con.rollback()
+            session.abort()
             raise
         finally:
-            if own:
-                con.close()
+            session.con.close()
 
     def sync_snapshot(
         self, found: DataFrame, external_source: str, scrape_time

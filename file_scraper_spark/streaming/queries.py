@@ -1,1 +1,138 @@
-"""Structured Streaming query surface. Placeholder."""
+"""Structured Streaming query surface ([EXT] SURVEY §2.B table D).
+
+The reference's only stream-like construct is its micro-batched walk
+(A5, chunks_timeout(200, 1s), src/fs.rs:100); these operators are its
+Spark-native generalization: event-time windows under watermarks,
+session windows, and late-data handling over a replayed event stream.
+
+Replay harness: the events fixture is re-read with ``readStream`` and
+driven to completion with an availableNow-style synchronous pass
+(processAllAvailable + memory sink). ``stream_watermark`` is
+oracle-checked: with watermark delay D, append mode emits exactly the
+windows whose end <= max(event_time) - D — a deterministic subset the
+oracle reproduces with a HAVING clause.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.functions.exact import dsum, oracle_dsum
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import table_path
+
+WATERMARK = "1 hour"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream (schema pinned; TIMESTAMP(NANOS)
+    scanned as epoch-nanos long then converted, as in tables.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file stream source needs a directory: stream the sf_dir with a
+    # glob pinned to the events table
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(result: DataFrame, mode: str = "append") -> DataFrame:
+    """Drive a streaming frame to completion synchronously; returns the
+    materialized result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = result.sparkSession
+    # materialize before the sink table is dropped from the registry
+    out = spark.table(name)
+    return out
+
+
+@query(
+    "stream_watermark",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT window_start, event_type, n_events, sum_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             {oracle_dsum('value')} AS sum_value
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+    )
+    WHERE window_start + INTERVAL 1 HOUR <= (SELECT m - INTERVAL 1 HOUR FROM mx)
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate over the replayed event
+    stream, append mode: only windows sealed by the final watermark
+    (max event time - 1h) are emitted — the oracle filters the batch
+    aggregate to exactly that set."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, mode="append")
+
+
+@query("stream_session_window", tags=("streaming",))
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) aggregation on the stream,
+    watermarked. Rows-only: emission depends on watermark sealing;
+    cross-checked against the batch lag/cumsum sessionize in tests."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, mode="append")
+
+
+@query("stream_late_data", tags=("streaming",))
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting: per-hour counts in update mode (every
+    window, including ones a 1h watermark would still hold open).
+    Rows-only; the difference vs stream_watermark's append output IS
+    the held-back tail, asserted in tests."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_to_memory(agg, mode="update")

@@ -1,0 +1,88 @@
+"""Incremental (streaming) scrape — the reference's micro-batched walk
+(A5) mapped onto Structured Streaming.
+
+``scrape_stream`` reads the directory tree as a file stream, projects
+FileInfo rows per micro-batch, and folds every batch into ONE open
+sink transaction via foreachBatch; after the stream drains, the
+soft-delete anti-join runs and the transaction commits — the same
+one-visible-snapshot guarantee as the batch path (A15), with batches
+flowing through incrementally like the reference's chunks_timeout
+pipeline (src/fs.rs:98-117).
+
+foreachBatch executes on the driver, so all batches share the sink
+connection; per-batch row extraction streams partition-at-a-time
+(toLocalIterator) to keep driver memory bounded.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.sinks.merge_sink import FILE_COLUMNS, MergeSink
+from file_scraper_spark.sources.mime import with_mime_type
+from file_scraper_spark.sources.url import default_fs_identifier
+
+
+def _project(listed: DataFrame, spark: SparkSession, identifier: str) -> DataFrame:
+    clean = F.regexp_replace("path", r"^file:", "")
+    projected = listed.select(
+        F.lit(identifier).alias("external_source"),
+        F.regexp_extract(clean, r"^(.*)/[^/]*$", 1).alias("path"),
+        F.substring_index(clean, "/", -1).alias("filename"),
+        F.lit(None).cast("timestamp").alias("created"),
+        F.col("modificationTime").alias("modified"),
+        F.col("length").cast("long").alias("size"),
+    )
+    return with_mime_type(projected, spark).select(*FILE_COLUMNS)
+
+
+def scrape_stream(
+    spark: SparkSession,
+    root: str,
+    sink: MergeSink,
+    identifier: str | None = None,
+    scrape_time: datetime | None = None,
+    max_files_per_trigger: int = 200,
+) -> str:
+    """One streaming scrape of ``root``; returns the identifier.
+
+    ``max_files_per_trigger`` plays the reference's batch-size knob
+    (200 entries, src/fs.rs:100).
+    """
+    identifier = identifier or default_fs_identifier(root)
+    scrape_time = scrape_time or datetime.now(timezone.utc).replace(tzinfo=None)
+    sink.ensure_target()
+
+    listed = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(root)
+        .select("path", "modificationTime", "length")  # content pruned
+    )
+    found = _project(listed, spark, identifier)
+
+    session = sink.open_scrape(identifier, scrape_time)
+
+    def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
+        session.add_rows(
+            tuple(r) for r in batch_df.select(*FILE_COLUMNS).toLocalIterator()
+        )
+
+    q = found.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+        session.finalize()
+    except Exception:
+        session.abort()
+        raise
+    finally:
+        session.con.close()
+    return identifier

@@ -1,0 +1,85 @@
+"""Streaming operator tests: watermark emission semantics, session
+windows vs the batch sessionizer, and the incremental scrape."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+
+from file_scraper_spark import registry
+from file_scraper_spark.sinks.merge_sink import MergeSink
+from file_scraper_spark.streaming.scrape_stream import scrape_stream
+
+registry._ensure_loaded()
+R = registry.REGISTRY
+
+
+def test_watermark_append_vs_update(spark, sf_dir):
+    """update mode sees every window; append mode withholds exactly the
+    tail not sealed by the final watermark."""
+    appended = R["stream_watermark"].fn(spark, sf_dir)
+    updated = R["stream_late_data"].fn(spark, sf_dir)
+    app_windows = {r.window_start for r in appended.collect()}
+    upd_windows = {r.window_start for r in updated.collect()}
+    assert app_windows < upd_windows  # strict subset: tail held back
+    held = upd_windows - app_windows
+    assert held, "watermark held back no windows"
+    assert max(app_windows) < min(held)  # held-back tail is the newest
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_dir):
+    """Total event mass in streamed session windows == batch events;
+    session count comparable to the lag/cumsum formulation (sessions
+    wholly sealed by the watermark are identical)."""
+    stream_sessions = R["stream_session_window"].fn(spark, sf_dir).collect()
+    batch_sessions = R["sessionize"].fn(spark, sf_dir).collect()
+    batch_by_user = {}
+    for r in batch_sessions:
+        batch_by_user.setdefault(r.user_id, []).append(r)
+    # every emitted stream session matches a batch session exactly
+    batch_keys = {
+        (r.user_id, r.session_start, r.n_events) for r in batch_sessions
+    }
+    matched = sum(
+        1
+        for r in stream_sessions
+        if (r.user_id, r.session_start, r.n_events) in batch_keys
+    )
+    assert matched == len(stream_sessions) > 0
+
+
+def test_scrape_stream_incremental(tmp_path, spark):
+    root = tmp_path / "tree"
+    root.mkdir()
+    for i in range(5):
+        (root / f"f{i}.txt").write_text("x" * (i + 1))
+    db = str(tmp_path / "s.duckdb")
+    sink = MergeSink(lambda: duckdb.connect(db))
+
+    # micro-batches of 2 files -> 3 batches, one transaction
+    scrape_stream(
+        spark, str(root), sink, identifier="st", scrape_time=datetime(2024, 1, 1),
+        max_files_per_trigger=2,
+    )
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM external_file").fetchone()[0] == 5
+    con.close()
+
+    # mutate and re-scrape: update + soft delete still work
+    (root / "f0.txt").unlink()
+    (root / "f1.txt").write_text("grown content")
+    scrape_stream(
+        spark, str(root), sink, identifier="st", scrape_time=datetime(2024, 1, 2),
+        max_files_per_trigger=2,
+    )
+    con = duckdb.connect(db)
+    rows = dict(
+        con.execute("SELECT filename, deleted FROM external_file").fetchall()
+    )
+    sizes = dict(
+        con.execute("SELECT filename, size FROM external_file").fetchall()
+    )
+    con.close()
+    assert rows["f0.txt"] is not None  # soft-deleted
+    assert rows["f1.txt"] is None and sizes["f1.txt"] == 13  # updated
