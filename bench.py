@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink (full JVM execution,
+no driver collect, no Python serialization in the measurement path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from file_scraper_spark import registry
+from file_scraper_spark.session import get_spark
+
+# Representative operator families (SURVEY §2): scan+agg, joins,
+# windows, sessionization, range join, text, dedup sketches, vector
+# search, scrape-merge semantics.
+HEADLINE = [
+    "agg_groupby",
+    "filter_predicate",
+    "join_family",
+    "rollup_cube",
+    "window_rank",
+    "window_lag_frame",
+    "topk_sort_limit",
+    "microbatch_window",
+    "sessionize",
+    "range_join",
+    "scalar_datetime_math_json",
+    "agg_distinct",
+    "text_wordcount",
+    "text_quality",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "merge_upsert",
+    "union_seen",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = registry.all_queries()
+
+    # warm the JVM + parquet footers with the cheapest query once
+    materialize(queries["topk_sort_limit"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,14 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.00
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    s = get_spark(
+        "pytest",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            # full PushedFilters/ReadSchema in plan strings (test_plans)
+            "spark.sql.maxMetadataStringLength": "10000",
+        },
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the scale contract (SURVEY §4).
+
+These tests pin the properties that make the engine viable at 100 TB:
+filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, top-k never globally sorts, and no Python
+row-UDFs sneak into hot paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+from file_scraper_spark import registry
+
+registry._ensure_loaded()
+R = registry.REGISTRY
+
+
+def plan_of(name, spark, sf_dir) -> str:
+    df = R[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown(spark, sf_dir):
+    plan = plan_of("filter_predicate", spark, sf_dir)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no pushed filters section in scan"
+    pushed = m.group(1)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    plan = plan_of("scan_project", spark, sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in scan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice",
+                    "l_discount", "l_returnflag"}
+
+
+def test_fs_source_prunes_content(spark, sf_dir):
+    plan = plan_of("scrape_fs", spark, sf_dir)
+    assert "content" not in plan  # file bodies never read (reference parity)
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert "BroadcastHashJoin" in plan_of("mime_lookup", spark, sf_dir)
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of("topk_sort_limit", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # per-partition heap + merge of K, not a global Exchange+Sort
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The interval self-join must plan as a hash/sort-merge equi-join
+    on the bucket key — a nested-loop join would be O(n^2) at scale."""
+    plan = plan_of("range_join", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
+    """Core relational queries stay entirely JVM-side (BatchEvalPython
+    appears only in the explicitly-Pandas multimodal/udf queries)."""
+    for name in (
+        "agg_groupby",
+        "join_family",
+        "window_rank",
+        "sessionize",
+        "text_quality",
+        "similarity_topk",
+        "dedup_minhash",
+    ):
+        plan = plan_of(name, spark, sf_dir)
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = R["agg_groupby"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' is the whole-stage-codegen marker in the tree string
+    assert "*(" in plan
