@@ -103,6 +103,37 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard >= threshold) near-dup edge list — shared
+    by dedup_ngram_jaccard and the connected-components clusterer."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(near_dup_corpus(docs))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        inter.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=_CORPUS_SQL
@@ -130,26 +161,90 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join:
     candidate pairs come from shared shingles (equi-join, scales), the
     Jaccard is computed from exact distinct-shingle counts."""
+    return jaccard_pairs(spark, sf_dir)
+
+
+@query(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _CORPUS_SQL.replace("WITH base", "base", 1)
+    + f"""
+    , counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM shingled GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common)
+            >= {JACCARD_THRESHOLD}
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), lp(node, label) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT s.a, l.label
+      FROM sym s JOIN lp l ON s.b = l.node
+      WHERE l.label < s.a
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+    FROM lp GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    near-dup edge list by iterative min-label propagation — the step
+    that turns pairwise near-dup hits into keep-one-per-cluster
+    decisions in a dedup pipeline.
+
+    Each iteration is one distributed equi-join + groupBy (label flows
+    along edges); iterations are bounded by component diameter (tiny
+    for dup clusters — pairs, not webs). The driver loop only checks
+    convergence counts; data never leaves executors. Oracle: the same
+    fixpoint via a DuckDB recursive CTE.
+    """
+    edges = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    sym = sym.cache()
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(near_dup_corpus(docs)).cache()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = F.col("common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("common")
-    )
-    return (
-        inter.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    nodes = near_dup_corpus(docs).select("doc_id")
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
+    for _ in range(20):  # diameter cap; converges much earlier
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()  # truncate lineage across iterations
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:

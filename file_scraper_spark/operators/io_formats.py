@@ -1,0 +1,113 @@
+"""Source/sink format coverage: CSV, JSON, partitioned parquet.
+
+Each query round-trips fixture data through a format into a unique
+temp directory and reads it back with an explicit schema (never
+inferSchema — SURVEY §1.4), then aggregates; the oracle runs the same
+aggregate on the original table, so the round-trip itself is what's
+being verified. Only integer/string columns cross text formats
+(float text round-trips are not bit-stable by design).
+
+The partitioned-parquet query demonstrates partition pruning: the
+read-back filter on the partition column must reach PartitionFilters
+(asserted in tests/test_plans.py), which at 100 TB is the difference
+between scanning one partition and scanning the lake.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.functions.exact import dsum, oracle_dsum
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+
+def _tmpdir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> CSV -> explicit-schema read -> aggregate."""
+    out = _tmpdir("fss_csv_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .option("header", "true")
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON lines -> explicit-schema read -> aggregate."""
+    out = _tmpdir("fss_json_")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("uid_sum"),
+    )
+
+
+@query(
+    "partitioned_write_read",
+    oracle=f"""
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def partitioned_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> parquet partitioned by l_returnflag -> read back
+    filtered to one partition (pruned scan) -> aggregate."""
+    out = _tmpdir("fss_part_")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+def partition_pruned_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Physical plan of the pruned read-back (for plan tests)."""
+    out = _tmpdir("fss_prune_")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,382 @@
+"""Extended relational surface: multi-join analytics pipelines (SQL
+API), as-of joins, pivot/unpivot, exact dispersion stats, and the
+salted-aggregation skew pattern.
+
+These widen SURVEY §2.B beyond the minimum checklist with the query
+shapes real warehouse workloads are made of, each still oracle-exact
+(quantized arithmetic, deterministic tiebreakers — see registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from file_scraper_spark.functions.exact import QUANT, dsum, oracle_dsum
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "tpch_q3_shape",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape: selective dim filter -> broadcast join
+    -> fact join -> agg -> top-k. customer is broadcast (no fact
+    shuffle for the filter); orders<->lineitem co-partition on the
+    order key."""
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(customer).join(
+                orders, customer.c_custkey == orders.o_custkey
+            ).select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .select("l_orderkey", "revenue", "o_orderdate", "n_lines")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_shape",
+    oracle=f"""
+    SELECT n.n_name,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table local-supplier-volume shape, written through the SQL
+    API (spark.sql) to exercise the Catalyst parser path — the
+    DataFrame and SQL routes produce identical plans (SURVEY §3.4).
+    All dims broadcast; lineitem is the only shuffled table."""
+    for t in ("region", "nation", "customer", "orders", "lineitem", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        f"""
+        SELECT n.n_name,
+               CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount))
+                    * {QUANT}) AS BIGINT)) AS DOUBLE) / {QUANT} AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_purchase_ts
+    FROM events
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event paired with the user's most recent
+    *prior* purchase): expressed as a conditional running MAX over an
+    ordered window — one shuffle on user_id, no self-join at all.
+    Spark lacks a native as-of join (guide: common OLAP patterns);
+    this is the formulation that scales — the merge_asof alternative
+    (applyInPandas per group) serializes every group through Python."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w).alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "pivot_agg",
+    oracle=f"""
+    SELECT user_id,
+           {oracle_dsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+           {oracle_dsum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+           {oracle_dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+           {oracle_dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+           {oracle_dsum("CASE WHEN event_type = 'view' THEN value END")} AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user value sums spread across event-type columns.
+    An explicit pivot value list keeps the plan a single pass (no
+    distinct-values pre-query); oracle is the equivalent conditional
+    aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum("value"))
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle=f"""
+    SELECT user_id, event_type, {oracle_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) of the pivoted frame back to long form; NULL
+    cells (user never produced that event type) drop out, so the
+    round-trip equals the direct groupBy — which is the oracle."""
+    wide = pivot_agg(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) as (event_type, sum_value)".format(
+        n=len(EVENT_TYPES),
+        args=", ".join(f"'{t}', `{t}`" for t in EVENT_TYPES),
+    )
+    return (
+        wide.select("user_id", F.expr(stack_expr))
+        .filter(F.col("sum_value").isNotNull())
+    )
+
+
+@query(
+    "stddev_var",
+    oracle=f"""
+    SELECT event_type, n,
+           (s2 - s1 * s1 / n) / (n - 1) AS variance,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+    FROM (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {oracle_dsum('value')} AS s1,
+             {oracle_dsum('value * value')} AS s2
+      FROM events GROUP BY event_type
+    )
+    """,
+)
+def stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact quantized moments — the
+    sum-of-squares formulation keeps it a single aggregation pass and,
+    unlike built-in stddev(double), bit-reproducible across engines
+    and partitionings."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    variance = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return base.select(
+        "event_type", "n", variance.alias("variance"),
+        F.sqrt(variance).alias("stddev"),
+    )
+
+
+@query(
+    "percentile_quantile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def percentile_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the same
+    ``a + (b-a)*frac`` rule over sorted values — verified bit-exact).
+    At 100 TB use approx_percentile (t-digest sketch, single pass, no
+    per-group sort) — see agg_approx_distinct for the same tradeoff."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(source) AS INT) AS src_len,
+           upper(source) AS src_upper,
+           reverse(source) AS src_rev,
+           lpad(source, 8, '0') AS src_pad,
+           CAST(levenshtein(source, 'src10') AS INT) AS lev,
+           translate(source, 'rs', 'xy') AS src_tr,
+           substring(source, 2, 3) AS src_mid
+    FROM documents
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (incl. Levenshtein — both
+    engines implement the classic DP distance identically)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("source").alias("src_len"),
+        F.upper("source").alias("src_upper"),
+        F.reverse("source").alias("src_rev"),
+        F.lpad("source", 8, "0").alias("src_pad"),
+        F.levenshtein("source", F.lit("src10")).alias("lev"),
+        F.translate("source", "rs", "xy").alias("src_tr"),
+        F.substring("source", 2, 3).alias("src_mid"),
+    )
+
+
+@query(
+    "subquery_family",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey <= 2)
+    """,
+)
+def subquery_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + EXISTS + IN, through the SQL API —
+    Catalyst decorrelates all three into joins (scalar-subquery ->
+    aggregate + left join, EXISTS -> left semi, IN -> left semi), so
+    nothing here is per-row at execution time."""
+    for t in ("customer", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey <= 2)
+        """
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: dense_rank / ntile / percent_rank
+    / cume_dist (percent_rank and cume_dist are ratios of identical
+    integers -> identical doubles)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "salted_agg",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: phase 1 groups on
+    (user_id, salt) so a hot user spreads over 8 reducers; phase 2
+    re-aggregates the *integer* partials (BIGINT sums re-sum exactly —
+    this is why the quantized representation matters: double partials
+    would re-introduce order dependence). Result is identical to the
+    direct groupBy, which is the oracle."""
+    ev = load(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.col("event_id") % 8)
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.floor(F.col("value") * float(QUANT))).alias("psum"),
+        )
+    )
+    return phase1.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        (F.sum("psum").cast("double") / QUANT).alias("sum_value"),
+    )

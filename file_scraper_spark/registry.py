@@ -81,8 +81,10 @@ def _ensure_loaded() -> None:
     # Imports deferred so `import file_scraper_spark` stays cheap.
     from file_scraper_spark.operators import (  # noqa: F401
         dedup,
+        io_formats,
         multimodal,
         relational,
+        relational_ext,
         scrape,
         similarity,
         text,

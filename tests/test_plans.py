@@ -81,6 +81,14 @@ def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
         assert "PythonUDF" not in plan, name
 
 
+def test_partition_pruning(spark, sf_dir):
+    from file_scraper_spark.operators.io_formats import partition_pruned_plan
+
+    plan = partition_pruned_plan(spark, sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1)
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = R["agg_groupby"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes the plan only after execution
