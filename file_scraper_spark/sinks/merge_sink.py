@@ -81,15 +81,25 @@ CREATE TEMPORARY TABLE IF NOT EXISTS staging_found (
 );
 """
 
+# No PRIMARY KEY on the seen-set scratch table: DuckDB's ART index has
+# a documented same-transaction delete-then-reinsert false-positive
+# ("duplicate key") — dedup is done logically in SEEN_SQL instead.
 SEEN_DDL = """
 CREATE TEMPORARY TABLE IF NOT EXISTS seen_external_file (
-    file_id BIGINT PRIMARY KEY
+    file_id BIGINT
 );
 """
 
-# A8 upsert. RETURNING yields inserted + actually-updated rows only; the
-# WHERE uses row-comparison `<>` (three-valued with NULLs) exactly like
-# the reference (src/db.rs:112-117).
+# A8 upsert. The WHERE uses row-comparison `<>` (three-valued with
+# NULLs) exactly like the reference (src/db.rs:112-117). Deliberately
+# NO RETURNING: the reference pipes RETURNING into its seen-set
+# (src/db.rs:118), but DuckDB's upsert RETURNING emits a phantom row
+# (with a freshly-drawn, never-stored sequence id) even when the
+# conflict-update predicate is false — so the seen-set here is instead
+# built by SEEN_SQL's key join, which covers inserted, updated AND
+# no-op rows in one statement (semantically identical; the reference's
+# two-branch construction is preserved as the oracle-checked
+# `union_seen` query for parity).
 UPSERT_SQL = """
 INSERT INTO external_file
     (external_source, path, filename, mime_type, created, modified, size)
@@ -100,15 +110,23 @@ SET mime_type = EXCLUDED.mime_type,
     created   = EXCLUDED.created,
     modified  = EXCLUDED.modified,
     size      = EXCLUDED.size
-WHERE (external_file.created, external_file.modified, external_file.size)
-      <> (EXCLUDED.created, EXCLUDED.modified, EXCLUDED.size)
-RETURNING file_id
+WHERE (external_file.created  <> EXCLUDED.created)
+   OR (external_file.modified <> EXCLUDED.modified)
+   OR (external_file.size     <> EXCLUDED.size)
 """
+# ^ The reference writes this as a row comparison
+#   `(created, modified, size) <> (EXCLUDED...)` (src/db.rs:112-117);
+#   in Postgres that row `<>` expands to exactly the pairwise ORs
+#   above (three-valued: a NULL pair contributes UNKNOWN, so e.g.
+#   size 1 -> NULL with the rest equal does NOT fire the update).
+#   DuckDB's row comparison instead treats NULLs as comparable, which
+#   WOULD fire it — spelling the ORs out keeps the reference's
+#   semantics identical across both dialects (caught by the
+#   hypothesis model test, tests/test_merge_model.py).
 
-# A9 no-op branch: rows RETURNING missed (conflict predicate false),
-# recovered by the reference's join on source/filename/path/size
-# (src/db.rs:101-104 — note: size, not the full change tuple).
-SEEN_NOOP_SQL = """
+# A9 seen-set: every staged key now exists in the target; record its id
+# once (NOT IN replaces the PK the scratch table no longer carries).
+SEEN_SQL = """
 INSERT INTO seen_external_file (file_id)
 SELECT t.file_id
 FROM external_file t
@@ -116,7 +134,6 @@ JOIN staging_found s
   ON t.external_source = s.external_source
  AND t.filename = s.filename
  AND t.path = s.path
- AND t.size = s.size
 WHERE t.file_id NOT IN (SELECT file_id FROM seen_external_file)
 """
 
@@ -165,15 +182,8 @@ class ScrapeSession:
         self.con.executemany(
             "INSERT INTO staging_found VALUES (?, ?, ?, ?, ?, ?, ?)", batch
         )
-        cur = self.con.execute(UPSERT_SQL)
-        changed_ids = [r[0] for r in cur.fetchall()]
-        if changed_ids:
-            self.con.executemany(
-                "INSERT INTO seen_external_file (file_id) VALUES (?) "
-                "ON CONFLICT DO NOTHING",
-                [(i,) for i in changed_ids],
-            )
-        self.con.execute(SEEN_NOOP_SQL)
+        self.con.execute(UPSERT_SQL)
+        self.con.execute(SEEN_SQL)
         self.con.execute("DELETE FROM staging_found")
 
     def finalize(self) -> None:
