@@ -228,6 +228,56 @@ def stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_agg_funcs",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types_csv
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: collect_set sorted into a canonical
+    array (collect_set order is nondeterministic — sort_array makes
+    the result comparable), plus size and a join-to-string."""
+    ev = load(spark, sf_dir, "events")
+    types = F.sort_array(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(types).alias("n_types"),
+        F.array_join(types, ",").alias("types_csv"),
+    )
+
+
+@query(
+    "conditional_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
+           bool_or(event_type = 'error') AS had_error,
+           bool_and(value > 0) AS all_positive
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: FILTER-style counts (count_if)
+    and bool_and/bool_or — single-pass, map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("value") > 100).alias("n_high"),
+        F.bool_or(F.col("event_type") == "error").alias("had_error"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+    )
+
+
+@query(
     "percentile_quantile",
     oracle="""
     SELECT event_type,

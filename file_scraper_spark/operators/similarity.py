@@ -215,6 +215,63 @@ def _plane(seed: int) -> list[float]:
     return out
 
 
+@query("similarity_ann_ivf", tags=("ann", "ivf"))
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: the per-label
+    centroids act as the coarse codebook; every vector is assigned to
+    its nearest centroid cell; the query probes its 3 nearest cells and
+    re-ranks candidates with exact cosine. Rows-only (recall vs the
+    exact top-k asserted in tests).
+
+    Scale shape: centroid table is tiny (cells x dims) and broadcast;
+    assignment is one scan; a probe touches nprobe/ncells of the
+    corpus — the standard sublinear trade."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = embedding_centroids(spark, sf_dir).collect()  # tiny codebook
+    by_label: dict[int, list[float]] = {}
+    for r in cents:
+        by_label.setdefault(r["label"], [0.0] * DIM)[r["pos"]] = r["centroid"]
+    labels = sorted(by_label)
+
+    def cell_of(vec: Column) -> Column:
+        # nearest centroid by dot-product distance argmax (centroids
+        # are near-normalized here; ties broken by lowest label)
+        dots = [
+            dot(vec, F.array(*[F.lit(v) for v in by_label[lab]]))
+            for lab in labels
+        ]
+        best = F.greatest(*dots)
+        out = F.lit(labels[-1])
+        for lab, d in zip(reversed(labels), reversed(dots)):
+            out = F.when(d >= best, F.lit(lab)).otherwise(out)
+        return out
+
+    assigned = emb.select("vec_id", "embedding", cell_of(F.col("embedding")).alias("cell"))
+    q_vec = query_vector(spark, sf_dir)
+    # query's 3 nearest cells, computed driver-side over the tiny codebook
+    qrow = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    qv = [float(x) for x in qrow[0]]
+    import math
+
+    def pydot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    probe = sorted(
+        labels, key=lambda lab: -pydot(qv, by_label[lab])
+    )[:3]
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select("vec_id", cosine(F.col("embedding"), q_vec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @query("similarity_ann_lsh", tags=("ann", "lsh"))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane sign-LSH (rows-only; the scale path).

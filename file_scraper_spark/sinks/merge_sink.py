@@ -255,8 +255,7 @@ class MergeSink:
 
         ``toLocalIterator`` streams one partition at a time to the
         driver — bounded memory, no full collect. For huge snapshots
-        stage via executor-parallel JDBC append instead and run
-        ``finalize_from_staging`` (see module docstring).
+        use :meth:`sync_snapshot_parallel`.
         """
 
         def _rows() -> Iterator[tuple]:
@@ -264,3 +263,59 @@ class MergeSink:
                 yield tuple(r)
 
         self.sync_rows(_rows(), external_source, scrape_time)
+
+    def sync_snapshot_parallel(
+        self,
+        found: DataFrame,
+        external_source: str,
+        scrape_time,
+        staging_dir: str | None = None,
+    ) -> None:
+        """Executor-parallel staging path (the 100 TB shape).
+
+        Stage 1 — outside the transaction: every executor writes its
+        partitions of the snapshot to a staging location in parallel
+        (parquet here; for a Postgres target this is the JDBC append
+        into an UNLOGGED staging table). A partial stage is harmless:
+        it is replaced wholesale on retry and invisible to readers.
+
+        Stage 2 — ONE server-side transaction ingests the staged
+        snapshot (DuckDB reads the parquet directly; Postgres would
+        COPY) and runs the same upsert/seen/soft-delete statements —
+        so the visible table still moves atomically between snapshots
+        (A15) while the heavy row shipping is fully parallel, unlike
+        the reference's 2-connection sink (src/db.rs:28).
+        """
+        import shutil
+        import tempfile
+
+        own_dir = staging_dir is None
+        staging_dir = staging_dir or tempfile.mkdtemp(prefix="fss_stage_")
+        try:
+            (
+                found.select(*FILE_COLUMNS)
+                .write.mode("overwrite")
+                .parquet(staging_dir)
+            )
+            session = self.open_scrape(external_source, scrape_time)
+            try:
+                session.con.execute(
+                    "INSERT INTO staging_found "
+                    "SELECT external_source, path, filename, mime_type, "
+                    "       created, modified, "
+                    "       CASE WHEN size > 9223372036854775807 THEN NULL "
+                    "            ELSE CAST(size AS BIGINT) END "
+                    f"FROM read_parquet('{staging_dir}/*.parquet')"
+                )
+                session.con.execute(UPSERT_SQL)
+                session.con.execute(SEEN_SQL)
+                session.con.execute("DELETE FROM staging_found")
+                session.finalize()
+            except Exception:
+                session.abort()
+                raise
+            finally:
+                session.con.close()
+        finally:
+            if own_dir:
+                shutil.rmtree(staging_dir, ignore_errors=True)

@@ -101,11 +101,41 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="append")
 
 
-@query("stream_session_window", tags=("streaming",))
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             {oracle_dsum('value')} AS sum_value
+      FROM numbered GROUP BY user_id, sid
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT session_start, session_end, user_id, n_events, sum_value
+    FROM sessions, mx
+    WHERE session_end <= m - INTERVAL 1 HOUR
+    """,
+    tags=("streaming",),
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) aggregation on the stream,
-    watermarked. Rows-only: emission depends on watermark sealing;
-    cross-checked against the batch lag/cumsum sessionize in tests."""
+    watermarked, append mode. Oracle-checked: a session window's end is
+    last-event-ts + gap, and append emits exactly the sessions whose
+    end <= final watermark (max ts - 1h) — reproduced in SQL with the
+    lag/cumsum sessionizer plus a seal filter."""
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", WATERMARK)

@@ -49,6 +49,14 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert len(set(exact) & set(ann)) >= 2
 
 
+def test_ann_ivf_recall(spark, sf_dir):
+    exact = [r.vec_id for r in R["similarity_topk"].fn(spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in R["similarity_ann_ivf"].fn(spark, sf_dir).collect()]
+    assert ivf[0] == 0  # query vector always found in its own cell
+    # probing 3/10 cells: expect meaningful overlap with the exact top-10
+    assert len(set(exact) & set(ivf)) >= 3
+
+
 def test_decode_stub_raises_without_fake():
     from file_scraper_spark.operators.multimodal import decode_media
 

@@ -147,6 +147,24 @@ def test_transaction_rollback_on_failure(db):
     assert rows[0][7] is None  # a.txt not soft-deleted by the failed scrape
 
 
+def test_parallel_staging_path(db, spark, sf_dir):
+    # executor-parallel staging (parquet) -> single merge transaction;
+    # must be state-identical to the driver-batched path
+    from file_scraper_spark.sources.fs import scrape_fs
+
+    sink, connect = db
+    found = scrape_fs(spark, sf_dir, identifier="t")
+    sink.sync_snapshot_parallel(found, "t", T1)
+    rows1 = fetch(connect)
+    assert len(rows1) == 10 and all(r[7] is None for r in rows1)
+    # second parallel scrape of the same tree: all no-ops
+    sink.sync_snapshot_parallel(found, "t", T2)
+    assert fetch(connect) == rows1
+    # and it interoperates with the driver-batched path
+    sink.sync_snapshot(found, "t", T2)
+    assert fetch(connect) == rows1
+
+
 def test_spark_dataframe_end_to_end(db, spark, sf_dir):
     # scrape the fixture dir with the real fs source -> sink -> DB
     from file_scraper_spark.sources.fs import scrape_fs
