@@ -228,6 +228,127 @@ def stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "date_arith",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE) + 7 AS plus_week,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(weekofyear(ts) AS INT) AS woy,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS INT)
+             AS days_since_start
+    FROM events
+    """,
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic battery. Cross-engine gotcha baked into the
+    oracle: DuckDB's dayofweek is 0=Sunday while Spark's is 1=Sunday."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_add(F.col("ts").cast("date"), 7).alias("plus_week"),
+        F.last_day(F.col("ts")).alias("month_end"),
+        F.trunc(F.col("ts").cast("date"), "MM").alias("month_start"),
+        F.dayofweek("ts").alias("dow"),
+        F.weekofyear("ts").alias("woy"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_start"
+        ),
+    )
+
+
+@query(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: from_json into a typed struct (the
+    scale path — parsed once, columnar after) vs per-field
+    get_json_object; missing fields yield NULL."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k INT, missing STRING").alias("j"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        (F.col("j.k") % 10).alias("k_mod"),
+        F.col("j.missing").alias("missing"),
+    )
+
+
+@query(
+    "regex_family",
+    oracle="""
+    SELECT doc_id, source,
+           regexp_matches(source, '^src1[0-9]$') AS is_teens,
+           regexp_replace(source, '[0-9]+', '#') AS masked,
+           CAST(len(regexp_extract_all(text, 'the')) AS INT) AS n_the
+    FROM documents
+    """,
+)
+def regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: rlike predicate, regexp_replace, match counting."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("source").rlike(r"^src1[0-9]$").alias("is_teens"),
+        F.regexp_replace("source", r"[0-9]+", "#").alias("masked"),
+        F.size(F.regexp_extract_all("text", F.lit("the"), F.lit(0))).alias("n_the"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT e.event_id,
+           COALESCE(j.k, -1) AS k_or_default,
+           NULLIF(e.event_type, 'view') AS type_not_view,
+           CASE WHEN j.k IS NULL THEN 'absent' ELSE 'present' END AS k_state,
+           e.value IS NOT DISTINCT FROM NULL AS value_is_null
+    FROM (SELECT event_id, event_type, value,
+                 CASE WHEN event_id % 3 = 0
+                      THEN NULL
+                      ELSE CAST(json_extract_string(props, '$.k') AS INT)
+                 END AS k
+          FROM events) j
+    JOIN events e ON e.event_id = j.event_id
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars: coalesce / nullif / CASE IS NULL /
+    null-safe equality, over a derived column that is NULL for every
+    third event."""
+    ev = load(spark, sf_dir, "events")
+    j = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_id") % 3 == 0, F.lit(None)
+        ).otherwise(F.get_json_object("props", "$.k").cast("int")).alias("k"),
+    )
+    return j.select(
+        "event_id",
+        F.coalesce(F.col("k"), F.lit(-1)).alias("k_or_default"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("type_not_view"),
+        F.when(F.col("k").isNull(), "absent").otherwise("present").alias("k_state"),
+        F.col("value").eqNullSafe(F.lit(None)).alias("value_is_null"),
+    )
+
+
+@query(
     "array_agg_funcs",
     oracle="""
     SELECT user_id,

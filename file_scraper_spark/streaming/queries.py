@@ -152,6 +152,72 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="append")
 
 
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running counter (events seen, distinct event types)
+    carried in explicit GroupState across micro-batches. The final
+    update per user equals the batch groupBy — which is the oracle.
+
+    This is the extension shape for operators Spark's built-ins can't
+    express (custom session logic, CEP-ish patterns): state is a
+    per-key dict, batches arrive as Arrow frames, emission is under
+    our control."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        total, types = state.get if state.exists else (0, [])
+        types = set(types)
+        for pdf in pdfs:
+            total += len(pdf)
+            types.update(pdf["event_type"])
+        state.update((total, sorted(types)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_events": [total],
+                "distinct_types": [len(types)],
+            }
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, total_events long, "
+            "distinct_types long",
+            stateStructType="total long, types array<string>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    result = run_to_memory(out, mode="update")
+    # update mode re-emits a row per (user, batch); with availableNow the
+    # whole replay is one batch, but keep the reduction general: the
+    # final (max) counter per user is the converged state
+    return result.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.max("distinct_types").alias("distinct_types"),
+    )
+
+
 @query("stream_late_data", tags=("streaming",))
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data accounting: per-hour counts in update mode (every
