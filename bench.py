@@ -45,6 +45,11 @@ HEADLINE = [
     "similarity_topk",
     "merge_upsert",
     "union_seen",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "asof_join",
+    "pivot_agg",
+    "conditional_agg",
 ]
 
 
