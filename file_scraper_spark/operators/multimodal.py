@@ -133,6 +133,44 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(n_chars - min_c AS BIGINT) AS chars_above_min,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             MIN(n_chars) OVER (PARTITION BY lang) AS min_c,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rnk
+      FROM documents
+    )
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-language frame in,
+    transformed frame out — integer rank/offset semantics, so even
+    this Python path is oracle-exact against a window formulation."""
+
+    def per_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "chars_above_min": pdf["n_chars"] - pdf["n_chars"].min(),
+                "rnk": pdf.index + 1,
+            }
+        )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        per_lang,
+        schema="doc_id long, lang string, chars_above_min long, rnk long",
+    )
+
+
 @query("udf_grouped_agg", tags=("udf",))
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate Pandas UDF (UDAF surface): per-lang mean of

@@ -104,11 +104,20 @@ def scrape_s3(
         from file_scraper_spark.sources.fs import list_files  # noqa: PLC0415
 
         s3a_root = f"s3a://{loc.bucket}/{loc.path}".rstrip("/")
-        listed = list_files(spark, s3a_root).select(
-            F.regexp_replace("path", r"^s3a://[^/]+/", "").alias("key"),
-            F.col("modificationTime").alias("modified"),
-            F.col("length").cast("long").alias("size"),
-        )
+        try:
+            listed = list_files(spark, s3a_root).select(
+                F.regexp_replace("path", r"^s3a://[^/]+/", "").alias("key"),
+                F.col("modificationTime").alias("modified"),
+                F.col("length").cast("long").alias("size"),
+            )
+        except Exception as e:
+            if "org.apache.hadoop.fs.s3a" in str(e) or "ClassNotFound" in str(e):
+                raise NotImplementedError(
+                    "s3a:// filesystem not on the classpath (hadoop-aws + "
+                    "aws-sdk jars required); alternatively install boto3 "
+                    "and call scrape_s3(..., use_s3a=False)"
+                ) from e
+            raise
     else:
         listed = list_objects_boto3(spark, loc)
     return project_objects(spark, listed, identifier)
