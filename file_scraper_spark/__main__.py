@@ -21,7 +21,8 @@ import sys
 from datetime import datetime, timezone
 
 
-def make_connect(database: str):
+def make_connect(database: str) -> tuple:
+    """(connection factory, DB-API paramstyle) for the sink."""
     if database.startswith(("postgres://", "postgresql://")):
         try:
             import psycopg  # noqa: PLC0415
@@ -30,10 +31,10 @@ def make_connect(database: str):
                 "postgresql:// sink requires psycopg, which is not "
                 "installed in this environment; use a .duckdb path"
             ) from e
-        return lambda: psycopg.connect(database)
+        return (lambda: psycopg.connect(database)), "format"
     import duckdb  # noqa: PLC0415
 
-    return lambda: duckdb.connect(database)
+    return (lambda: duckdb.connect(database)), "qmark"
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -70,17 +71,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("file_scraper_spark", master=args.master)
     if args.verbose:
         spark.sparkContext.setLogLevel("INFO")
-    sink = MergeSink(make_connect(args.database))
+    connect, paramstyle = make_connect(args.database)
+    sink = MergeSink(connect, paramstyle=paramstyle)
     scrape_time = datetime.now(timezone.utc).replace(tzinfo=None)
 
     try:
         if args.streaming:
+            from file_scraper_spark.sources.url import parse_s3_url
             from file_scraper_spark.streaming.scrape_stream import scrape_stream
 
             for path in args.paths:
+                # same scheme dispatch as batch mode (A14): s3 URLs
+                # stream through the s3a filesystem with the s3-style
+                # default identifier
+                loc = parse_s3_url(path)
+                if loc is not None:
+                    root = f"s3a://{loc.bucket}/{loc.path}".rstrip("/")
+                    ident_default = loc.url
+                else:
+                    root, ident_default = path, None
                 ident = scrape_stream(
-                    spark, path, sink,
-                    identifier=args.identifier,
+                    spark, root, sink,
+                    identifier=args.identifier or ident_default,
                     scrape_time=scrape_time,
                     max_files_per_trigger=args.batch_size,
                 )

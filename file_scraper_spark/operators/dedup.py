@@ -40,7 +40,7 @@ _CORPUS_SQL = """
     ), corpus AS (
       SELECT doc_id, words FROM base
       UNION ALL
-      SELECT doc_id + 100000,
+      SELECT -(doc_id + 1),
              list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
       FROM base WHERE doc_id % 5 = 0
     ), shingled AS (
@@ -77,10 +77,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_corpus(docs: DataFrame) -> DataFrame:
-    """(doc_id, words) corpus with deterministic perturbed copies."""
+    """(doc_id, words) corpus with deterministic perturbed copies.
+
+    Perturbed ids are the negative mirror ``-(doc_id + 1)`` — collision
+    -free against any non-negative real id at any corpus size (a fixed
+    additive offset would collide once doc_id exceeds it)."""
     base = docs.select("doc_id", F.split("text", " ").alias("words"))
     perturbed = base.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.slice(
             F.col("words"), 1, F.floor(F.size("words") * 0.8).cast("int")
         ).alias("words"),
@@ -89,15 +93,20 @@ def near_dup_corpus(docs: DataFrame) -> DataFrame:
 
 
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (doc_id, shingle)."""
+    """Distinct word n-gram shingles per doc (doc_id, shingle).
+
+    Docs with fewer than n tokens yield zero shingles (F.sequence with
+    start > stop produces a *descending* range, so the upper bound must
+    be guarded — otherwise element_at indexes out of bounds)."""
     words = F.col("words")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
+    grams = F.when(F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return corpus.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
@@ -216,35 +225,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionAll(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     sym = sym.cache()
-    docs = load(spark, sf_dir, "documents")
-    nodes = near_dup_corpus(docs).select("doc_id")
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
-    for _ in range(20):  # diameter cap; converges much earlier
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("cluster").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-                ).alias("cluster"),
+    try:
+        docs = load(spark, sf_dir, "documents")
+        nodes = near_dup_corpus(docs).select("doc_id")
+        labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
+        for _ in range(20):  # diameter cap; converges much earlier
+            neighbor_min = (
+                sym.join(labels, sym.b == labels.doc_id)
+                .groupBy("a")
+                .agg(F.min("cluster").alias("nbr_min"))
             )
-            .localCheckpoint()  # truncate lineage across iterations
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+            new_labels = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster")),
+                    ).alias("cluster"),
+                )
+                .localCheckpoint()  # truncate lineage across iterations
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster") != F.col("o.cluster"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels  # checkpointed: safe to unpersist sym
+    finally:
+        sym.unpersist()
 
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:

@@ -26,8 +26,13 @@ from file_scraper_spark.registry import query
 from file_scraper_spark.tables import load
 
 
-def _tmpdir(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=prefix)
+def _tmpdir(name: str) -> str:
+    """Stable per-query scratch dir: overwrite-mode writes replace the
+    contents, so repeated runs reuse the same space instead of leaking
+    a fresh mkdtemp copy of the table per invocation."""
+    d = os.path.join(tempfile.gettempdir(), "fss_io", name)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 @query(

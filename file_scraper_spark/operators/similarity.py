@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from file_scraper_spark.registry import query
 from file_scraper_spark.tables import load
 
-DEC12 = "decimal(38,12)"
 DIM = 64
 N_PLANES = 16
 QUERY_VEC_ID = 0
@@ -247,16 +246,13 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     assigned = emb.select("vec_id", "embedding", cell_of(F.col("embedding")).alias("cell"))
-    q_vec = query_vector(spark, sf_dir)
-    # query's 3 nearest cells, computed driver-side over the tiny codebook
+    # one driver-side fetch serves both the literal query column and
+    # the codebook probe selection
     qrow = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .head()
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     )
     qv = [float(x) for x in qrow[0]]
-    import math
+    q_vec = F.array(*[F.lit(v) for v in qv])
 
     def pydot(a, b):
         return sum(x * y for x, y in zip(a, b))

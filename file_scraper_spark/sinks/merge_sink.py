@@ -163,24 +163,43 @@ class ScrapeSession:
     commits; any error (or ``abort``) rolls back the whole snapshot.
     This is the contract Structured Streaming's foreachBatch needs:
     many batches, still exactly one visible snapshot transition.
+
+    ``paramstyle``: SQL here is written qmark-style; "format" rewrites
+    placeholders to %s for psycopg. executemany goes through a cursor
+    when the connection object lacks it (psycopg Connection does).
     """
 
-    def __init__(self, con: Any, external_source: str, scrape_time):
+    def __init__(
+        self, con: Any, external_source: str, scrape_time,
+        paramstyle: str = "qmark",
+    ):
         self.con = con
         self.external_source = external_source
         self.scrape_time = scrape_time
+        self._ph = "?" if paramstyle == "qmark" else "%s"
         con.execute("BEGIN")
         con.execute(STAGING_DDL)
         con.execute(SEEN_DDL)
         con.execute("DELETE FROM staging_found")
         con.execute("DELETE FROM seen_external_file")
 
+    def _sql(self, sql: str) -> str:
+        return sql if self._ph == "?" else sql.replace("?", "%s")
+
+    def _executemany(self, sql: str, rows: list[tuple]) -> None:
+        if hasattr(self.con, "executemany"):
+            self.con.executemany(sql, rows)
+        else:  # psycopg: executemany lives on the cursor
+            with self.con.cursor() as cur:
+                cur.executemany(sql, rows)
+
     def add_rows(self, rows: Iterable[tuple]) -> None:
         batch = [(*r[:6], clamp_size(r[6])) for r in rows]
         if not batch:
             return
-        self.con.executemany(
-            "INSERT INTO staging_found VALUES (?, ?, ?, ?, ?, ?, ?)", batch
+        self._executemany(
+            self._sql("INSERT INTO staging_found VALUES (?, ?, ?, ?, ?, ?, ?)"),
+            batch,
         )
         self.con.execute(UPSERT_SQL)
         self.con.execute(SEEN_SQL)
@@ -188,7 +207,8 @@ class ScrapeSession:
 
     def finalize(self) -> None:
         self.con.execute(
-            SOFT_DELETE_SQL, (self.scrape_time, self.external_source)
+            self._sql(SOFT_DELETE_SQL),
+            (self.scrape_time, self.external_source),
         )
         self.con.commit()
 
@@ -203,9 +223,15 @@ class MergeSink:
     One scrape == one ``sync_snapshot`` call == one transaction.
     """
 
-    def __init__(self, connect: Callable[[], Any], batch_size: int = 1000):
+    def __init__(
+        self,
+        connect: Callable[[], Any],
+        batch_size: int = 1000,
+        paramstyle: str = "qmark",
+    ):
         self._connect = connect
         self.batch_size = batch_size
+        self.paramstyle = paramstyle
 
     def ensure_target(self) -> None:
         con = self._connect()
@@ -220,7 +246,10 @@ class MergeSink:
     def open_scrape(self, external_source: str, scrape_time) -> ScrapeSession:
         """Open an incremental scrape (caller owns finalize/abort and
         the connection's lifetime)."""
-        return ScrapeSession(self._connect(), external_source, scrape_time)
+        return ScrapeSession(
+            self._connect(), external_source, scrape_time,
+            paramstyle=self.paramstyle,
+        )
 
     # -- public API --------------------------------------------------------
 
@@ -305,7 +334,9 @@ class MergeSink:
                     "       created, modified, "
                     "       CASE WHEN size > 9223372036854775807 THEN NULL "
                     "            ELSE CAST(size AS BIGINT) END "
-                    f"FROM read_parquet('{staging_dir}/*.parquet')"
+                    "FROM read_parquet('{}/*.parquet')".format(
+                        staging_dir.replace("'", "''")
+                    )
                 )
                 session.con.execute(UPSERT_SQL)
                 session.con.execute(SEEN_SQL)

@@ -37,16 +37,12 @@ def list_files(spark: SparkSession, root: str) -> DataFrame:
     return raw
 
 
-def scrape_fs(
-    spark: SparkSession, root: str, identifier: str | None = None
+def project_listing(
+    listed: DataFrame, spark: SparkSession, identifier: str
 ) -> DataFrame:
-    """Full fs scrape dataflow: list -> project FileInfo -> mime join.
-
-    Equivalent of the reference walk pipeline minus the sink
-    (src/fs.rs:98-117); feed the result to sinks.merge_sink.
-    """
-    identifier = identifier or default_fs_identifier(root)
-    listed = list_files(spark, root)
+    """(path, modificationTime, length) listing -> FileInfo rows
+    (shared by the batch and streaming scrape paths so the projection
+    semantics can never drift between them)."""
     # strip the scheme Spark prepends (file:/...) to match os paths
     clean = F.regexp_replace("path", r"^file:", "")
     projected = listed.select(
@@ -66,3 +62,15 @@ def scrape_fs(
         "modified",
         "size",
     )
+
+
+def scrape_fs(
+    spark: SparkSession, root: str, identifier: str | None = None
+) -> DataFrame:
+    """Full fs scrape dataflow: list -> project FileInfo -> mime join.
+
+    Equivalent of the reference walk pipeline minus the sink
+    (src/fs.rs:98-117); feed the result to sinks.merge_sink.
+    """
+    identifier = identifier or default_fs_identifier(root)
+    return project_listing(list_files(spark, root), spark, identifier)

@@ -25,7 +25,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from file_scraper_spark.sources.mime import with_mime_type
-from file_scraper_spark.sources.url import S3Location, split_key
+from file_scraper_spark.sources.url import S3Location
+
+def translate_s3a_error(e: Exception) -> Exception:
+    """Missing-s3a-jar failures get an actionable message; everything
+    else (credentials, permissions) passes through unchanged."""
+    msg = str(e)
+    if "org.apache.hadoop.fs.s3a" in msg or "ClassNotFound" in msg or (
+        "No FileSystem for scheme" in msg and "s3" in msg
+    ):
+        return NotImplementedError(
+            "s3a:// filesystem not on the classpath (hadoop-aws + "
+            "aws-sdk jars required); alternatively install boto3 "
+            "and call scrape_s3(..., use_s3a=False)"
+        )
+    return e
+
 
 _LIST_SCHEMA = T.StructType(
     [
@@ -111,13 +126,7 @@ def scrape_s3(
                 F.col("length").cast("long").alias("size"),
             )
         except Exception as e:
-            if "org.apache.hadoop.fs.s3a" in str(e) or "ClassNotFound" in str(e):
-                raise NotImplementedError(
-                    "s3a:// filesystem not on the classpath (hadoop-aws + "
-                    "aws-sdk jars required); alternatively install boto3 "
-                    "and call scrape_s3(..., use_s3a=False)"
-                ) from e
-            raise
+            raise translate_s3a_error(e) from e
     else:
         listed = list_objects_boto3(spark, loc)
     return project_objects(spark, listed, identifier)

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from file_scraper_spark.functions.exact import dsum, oracle_dsum
 from file_scraper_spark.registry import query
-from file_scraper_spark.tables import table_path
 
 WATERMARK = "1 hour"
 

@@ -22,21 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_scraper_spark.sinks.merge_sink import FILE_COLUMNS, MergeSink
-from file_scraper_spark.sources.mime import with_mime_type
+from file_scraper_spark.sources.fs import project_listing
 from file_scraper_spark.sources.url import default_fs_identifier
-
-
-def _project(listed: DataFrame, spark: SparkSession, identifier: str) -> DataFrame:
-    clean = F.regexp_replace("path", r"^file:", "")
-    projected = listed.select(
-        F.lit(identifier).alias("external_source"),
-        F.regexp_extract(clean, r"^(.*)/[^/]*$", 1).alias("path"),
-        F.substring_index(clean, "/", -1).alias("filename"),
-        F.lit(None).cast("timestamp").alias("created"),
-        F.col("modificationTime").alias("modified"),
-        F.col("length").cast("long").alias("size"),
-    )
-    return with_mime_type(projected, spark).select(*FILE_COLUMNS)
 
 
 def scrape_stream(
@@ -56,18 +43,23 @@ def scrape_stream(
     scrape_time = scrape_time or datetime.now(timezone.utc).replace(tzinfo=None)
     sink.ensure_target()
 
-    listed = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path string, modificationTime timestamp, "
-            "length long, content binary"
+    try:
+        listed = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load(root)
+            .select("path", "modificationTime", "length")  # content pruned
         )
-        .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(root)
-        .select("path", "modificationTime", "length")  # content pruned
-    )
-    found = _project(listed, spark, identifier)
+    except Exception as e:
+        from file_scraper_spark.sources.s3 import translate_s3a_error  # noqa: PLC0415
+
+        raise translate_s3a_error(e) from e
+    found = project_listing(listed, spark, identifier)
 
     session = sink.open_scrape(identifier, scrape_time)
 

@@ -22,7 +22,8 @@ def test_minhash_finds_planted_pairs(spark, sf_dir):
         (r.doc_a, r.doc_b): r.est_jaccard
         for r in R["dedup_minhash"].fn(spark, sf_dir).collect()
     }
-    planted = {(a, b) for (a, b) in exact if b == a + 100000}
+    # perturbed copies carry the negative-mirror id -(d+1)
+    planted = {(a, b) for (a, b) in exact if a == -(b + 1)}
     assert planted, "fixture derivation produced no planted pairs"
     recall = len(planted & set(est)) / len(planted)
     assert recall >= 0.9, f"minhash recall {recall} on planted pairs"
@@ -35,7 +36,7 @@ def test_simhash_finds_planted_pairs(spark, sf_dir):
         (r.doc_a, r.doc_b): r.hamming
         for r in R["dedup_simhash"].fn(spark, sf_dir).collect()
     }
-    planted = [h for (a, b), h in pairs.items() if b == a + 100000]
+    planted = [h for (a, b), h in pairs.items() if a == -(b + 1)]
     assert len(planted) > 0
     assert all(h <= 4 for h in planted)
 

@@ -80,7 +80,6 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("check_correctness")
-    specs = registry.REGISTRY
     registry._ensure_loaded()
     failures = []
     for name, spec in sorted(registry.REGISTRY.items()):
