@@ -1,0 +1,164 @@
+"""Training-data pipeline operators ([EXT]): deterministic sampling,
+train/test splitting, corpus mixing, sequence packing.
+
+The common primitive is a *hash bucket*: ``int(md5(key)[:8], 16) %
+100``. Unlike RNG-based sampling, hash bucketing is reproducible
+across runs, engines, partitionings and cluster sizes — the property a
+100 TB pipeline actually needs (re-running a failed stage must keep
+the same split membership). md5 is bit-identical in Spark and DuckDB,
+so all four operators are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+#: per-language keep rates for corpus mixing (out of 100)
+MIX_RATES = {"en": 100, "de": 50, "es": 50, "fr": 25, "zh": 10}
+PACK_BUDGET = 256  # tokens per packed sequence bin
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic 0..99 bucket from the md5 of a key column."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def _oracle_bucket(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % 100"
+    )
+
+
+@query(
+    "sample_hash",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST({_oracle_bucket('event_id')} AS BIGINT) AS bucket
+    FROM events
+    WHERE {_oracle_bucket('event_id')} < 10
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: membership depends only on the key,
+    so it is stable under re-runs and re-partitioning (RNG-based
+    df.sample is not) and pushes down as a cheap per-row predicate."""
+    ev = load(spark, sf_dir, "events")
+    b = hash_bucket(F.col("event_id"))
+    return (
+        ev.select("event_id", "event_type", b.alias("bucket"))
+        .filter(F.col("bucket") < 10)
+    )
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars, {_oracle_bucket('doc_id')} AS b FROM documents)
+    GROUP BY split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by key hash — document membership never moves
+    between splits when the corpus grows (append-only stability), the
+    property random splits lack."""
+    docs = load(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "corpus_mixture",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE b < CASE lang
+                {' '.join(f"WHEN '{lang}' THEN {rate}" for lang, rate in MIX_RATES.items())}
+                ELSE 0 END) AS BIGINT) AS n_kept
+    FROM (SELECT lang, {_oracle_bucket('doc_id')} AS b FROM documents)
+    GROUP BY lang
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: per-language keep rates applied via the
+    hash bucket (en 100%, de/es 50%, fr 25%, zh 10%) — the standard
+    up/down-sampling step when composing a training mixture, as a pure
+    scan-side predicate."""
+    docs = load(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    rate = F.lit(0)
+    for lang, r in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.select("lang", b.alias("b"), rate.alias("rate")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("b") < F.col("rate")).alias("n_kept"),
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER
+                 (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in deterministic key order) to
+    fixed token-budget bins via a running token count — the
+    concat-short-docs-to-context-length step of LLM pre-processing.
+    Partitioned by lang (the shard key): each shard packs
+    independently, so the window never needs a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

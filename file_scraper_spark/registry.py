@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         dedup,
         io_formats,
         multimodal,
+        pipeline_ops,
         relational,
         relational_ext,
         scrape,
