@@ -42,6 +42,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}")
+    # UTC-pin the session so date-boundary functions (year, date_trunc,
+    # casts to date) agree with the DuckDB oracle's naive timestamps
+    # even under a caller session configured with a different timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Runtime-set so the conversion also works under a caller-provided
         # SparkSession (e.g. the driver's), not just our session factory.
