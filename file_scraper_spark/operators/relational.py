@@ -315,30 +315,86 @@ def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta/range self-join (events within 1 hour after each event).
+    """Theta/range self-join aggregate (count of events within 1 hour
+    after each event, grouped by the anchor's type).
 
-    Scale path: a naive interval condition would plan as a broadcast
-    nested-loop (O(n^2) at 100 TB). Instead each left row is exploded
-    into its two candidate hour buckets and the join becomes an
-    *equi*-join on the bucket + residual filter — a plain shuffled hash
-    join that partitions cleanly. This is the standard bucketed range
-    join (cf. the guide's as-of/range pattern).
+    Scale design — this is a *sweep count*, not a pair join: the naive
+    interval join materializes ~density^2 candidate pairs (measured:
+    10x data -> 33x runtime for the bucketed-equi-join variant; the
+    output pair set itself is quadratic in event density). Since the
+    query aggregates pair *counts*, each anchor row instead emits two
+    signed probes (+1 at ts+1h, -1 at ts) and the answer per type is
+    sum(sign * |events with ts' <= probe_t|) — a distributed prefix
+    sum: range-repartition on the sort key, per-partition window
+    cumsum, plus broadcast per-partition offsets. O(n log n), no pair
+    materialization, scales like a sort. (For queries that need the
+    actual pairs, the bucketed equi-join remains the right physical
+    strategy — see dedup/similarity candidate generation.)
     """
     ev = load(spark, sf_dir, "events")
-    a = ev.select(
-        F.col("ts").alias("a_ts"),
-        F.col("event_type"),
-        F.floor(F.unix_timestamp("ts") / 3600).alias("a_bkt"),
-    ).withColumn("bkt", F.explode(F.array(F.col("a_bkt"), F.col("a_bkt") + 1)))
-    b = ev.select(
-        F.col("ts").alias("b_ts"),
-        F.floor(F.unix_timestamp("ts") / 3600).alias("bkt"),
+    events = ev.select(
+        F.col("ts").alias("t"),
+        F.lit(0).alias("sign"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(0).alias("is_probe"),
     )
-    pairs = a.join(b, "bkt").filter(
-        (F.col("b_ts") > F.col("a_ts"))
-        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+    probe_hi = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(1).alias("sign"),
+        "event_type",
+        F.lit(1).alias("is_probe"),
     )
-    return pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    probe_lo = ev.select(
+        F.col("ts").alias("t"),
+        F.lit(-1).alias("sign"),
+        "event_type",
+        F.lit(1).alias("is_probe"),
+    )
+    # event rows sort before probes at equal t, so a probe's running
+    # count implements `ts' <= t` exactly (strict > on the low bound
+    # and inclusive <= on the high bound fall out of the signs)
+    pts = (
+        events.unionAll(probe_hi)
+        .unionAll(probe_lo)
+        .repartitionByRange(32, "t", "is_probe")
+        .sortWithinPartitions("t", "is_probe")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("t", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # localCheckpoint: the offsets pass and the final pass must observe
+    # the SAME range partitioning (repartitionByRange samples boundaries
+    # per execution, so a recompute could place rows differently);
+    # checkpoint blocks are released with the DataFrame, unlike cache()
+    local = pts.withColumn(
+        "cum", F.sum(1 - F.col("is_probe")).over(w)
+    ).localCheckpoint()
+    # per-partition event totals -> prefix offsets (control-plane only)
+    totals = dict(
+        local.groupBy("pid")
+        .agg(F.sum(1 - F.col("is_probe")).alias("n"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_col = F.coalesce(
+        *[
+            F.when(F.col("pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    return (
+        local.filter(F.col("is_probe") == 1)
+        .withColumn("total", F.col("cum") + offset_col)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("sign") * F.col("total")).alias("pair_cnt"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -54,14 +54,13 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
 
 
-def test_range_join_is_equi_join(spark, sf_dir):
-    """The interval self-join must plan as a hash/sort-merge equi-join
-    on the bucket key — a nested-loop join would be O(n^2) at scale."""
+def test_range_join_is_sweep_not_pair_join(spark, sf_dir):
+    """The interval-count query must NOT materialize pairs: no join of
+    any kind in the plan (the sweep-count formulation), and certainly
+    no nested-loop."""
     plan = plan_of("range_join", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    assert "Join" not in plan  # sweep count: union + window, zero joins
 
 
 def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
