@@ -228,6 +228,111 @@ def stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_order,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value (full-frame for last/nth —
+    the default growing frame would just echo the current row)."""
+    orders = load(spark, sf_dir, "orders")
+    wg = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(wg).alias("cheapest_order"),
+        F.last("o_orderkey").over(wf).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest"),
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand total in one pass, via the SQL API."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * {QUANT}) AS BIGINT))
+                    AS DOUBLE) / {QUANT} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "setops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, suppkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity < 10
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
+    ) GROUP BY suppkey
+    UNION ALL
+    SELECT 'except_all', suppkey, CAST(COUNT(*) AS BIGINT)
+    FROM (
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity < 10
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
+    ) GROUP BY suppkey
+    """,
+)
+def setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL (bag semantics: min / diff
+    of per-key multiplicities), aggregated to per-key counts so the
+    result is order-free."""
+    li = load(spark, sf_dir, "lineitem")
+    low = li.filter(F.col("l_quantity") < 10).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    high = li.filter(F.col("l_quantity") > 40).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    inter = (
+        low.intersectAll(high)
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "suppkey", "n")
+    )
+    exc = (
+        low.exceptAll(high)
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "suppkey", "n")
+    )
+    return inter.unionAll(exc)
+
+
+@query(
     "date_arith",
     oracle="""
     SELECT event_id,
