@@ -203,6 +203,47 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), stats AS (
+      SELECT vec_id, MIN(v) AS lo, MAX(v) AS hi FROM flat GROUP BY vec_id
+    ), codes AS (
+      SELECT f.vec_id,
+             CAST(floor((f.v - s.lo) / (s.hi - s.lo) * 255) AS BIGINT)
+               AS code
+      FROM flat f JOIN stats s ON f.vec_id = s.vec_id
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(MIN(code) AS BIGINT) AS code_min,
+           CAST(MAX(code) AS BIGINT) AS code_max
+    FROM codes GROUP BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-vector min/max) uint8 quantization — the 4x storage
+    compression step before ANN indexing at corpus scale. Codes are
+    floor((v-lo)/(hi-lo)*255): pure per-row double arithmetic + floor,
+    so engine-identical; summarized per vector for a compact oracle
+    result. All higher-order functions, no explode, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    lo, hi = F.array_min(v), F.array_max(v)
+    codes = F.transform(v, lambda x: F.floor((x - lo) / (hi - lo) * 255))
+    return emb.select(
+        "vec_id",
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+    )
+
+
 def _plane(seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d is a
     zlib.crc32-seeded value in [-1, 1) — stable across runs/machines
