@@ -27,11 +27,25 @@ WATERMARK = "1 hour"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file stream (schema pinned; TIMESTAMP(NANOS)
-    scanned as epoch-nanos long then converted, as in tables.load)."""
+    """events.parquet as a file stream.
+
+    The physical ts encoding varies by producer (the driver fixture is
+    TIMESTAMP(NANOS); a DuckDB- or Spark-written events table is
+    MICROS), so the stream schema adapts: a cheap batch peek at the
+    footer decides whether ts arrives as epoch-nanos long (convert) or
+    as a native timestamp (pass through). Hardcoding the nanos path
+    silently time-shifts micros data 1000x into 1970 — every window
+    looks 'sealed' and append mode emits nothing.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os  # noqa: PLC0415
+
+    peek = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_nanos_long = dict(peek.dtypes).get("ts") == "bigint"
+    ts_type = "long" if ts_is_nanos_long else "timestamp"
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
         "value double, props string"
     )
     # the file stream source needs a directory: stream the sf_dir with a
@@ -42,7 +56,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_to_memory(result: DataFrame, mode: str = "append") -> DataFrame:
