@@ -233,12 +233,23 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_late_data", tags=("streaming",))
+@query(
+    "stream_late_data",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("streaming",),
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-data accounting: per-hour counts in update mode (every
-    window, including ones a 1h watermark would still hold open).
-    Rows-only; the difference vs stream_watermark's append output IS
-    the held-back tail, asserted in tests."""
+    """Late-data accounting: per-hour counts in update mode — every
+    window is emitted including ones a 1h watermark still holds open
+    (the difference vs stream_watermark's append output IS the
+    held-back tail, asserted in tests). Oracle-exact: the replay is
+    one data batch, so update mode emits each window exactly once with
+    its final count — the full batch aggregate."""
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", WATERMARK)
