@@ -504,6 +504,69 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corr_covar",
+    oracle=f"""
+    SELECT event_type, n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           ((sxy - sx * sy / n) / (n - 1))
+             / (sqrt((sxx - sx * sx / n) / (n - 1))
+                * sqrt((syy - sy * sy / n) / (n - 1))) AS corr
+    FROM (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {oracle_dsum('value')} AS sx,
+             {oracle_dsum('value * value')} AS sxx,
+             {oracle_dsum("date_diff('day', TIMESTAMP '2024-01-01', ts)")} AS sy,
+             {oracle_dsum("date_diff('day', TIMESTAMP '2024-01-01', ts) * date_diff('day', TIMESTAMP '2024-01-01', ts)")} AS syy,
+             {oracle_dsum("value * date_diff('day', TIMESTAMP '2024-01-01', ts)")} AS sxy
+      FROM events GROUP BY event_type
+    )
+    """,
+)
+def corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation of (value, day index)
+    from exact quantized moments — single-pass, bit-reproducible,
+    unlike built-in corr/covar_samp over doubles."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("double")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+        dsum(day).alias("sy"),
+        dsum(day * day).alias("syy"),
+        dsum(F.col("value") * day).alias("sxy"),
+    )
+    n = F.col("n")
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    return base.select(
+        "event_type",
+        "n",
+        covar.alias("covar_samp"),
+        (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr"),
+    )
+
+
+@query("approx_quantile", tags=("approx",))
+def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (the 100 TB path: single pass, bounded
+    state, no per-group sort — exact interpolation requires one; see
+    percentile_quantile). Rows-only: sketch internals are
+    engine-specific."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").alias(
+            "approx_p"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "percentile_quantile",
     oracle="""
     SELECT event_type,
