@@ -353,10 +353,11 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event rows sort before probes at equal t, so a probe's running
     # count implements `ts' <= t` exactly (strict > on the low bound
     # and inclusive <= on the high bound fall out of the signs)
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
     pts = (
         events.unionAll(probe_hi)
         .unionAll(probe_lo)
-        .repartitionByRange(32, "t", "is_probe")
+        .repartitionByRange(n_parts, "t", "is_probe")
         .sortWithinPartitions("t", "is_probe")
         .withColumn("pid", F.spark_partition_id())
     )

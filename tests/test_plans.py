@@ -88,6 +88,50 @@ def test_partition_pruning(spark, sf_dir):
     assert m and "l_returnflag" in m.group(1)
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate joins: after bucketBy on the join key,
+    a sort-merge join needs NO Exchange on either side — the shuffle
+    moved to write time, paid once and reused by every later join (the
+    100 TB pattern for repeated fact-fact joins)."""
+    from file_scraper_spark.tables import load
+    from pyspark.sql import functions as F
+
+    # spark.sql.warehouse.dir is static; tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    for df, name in ((orders, "b_orders"), (li, "b_lineitem")):
+        key = "o_orderkey" if name == "b_orders" else "l_orderkey"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    joined = (
+        spark.table("b_lineitem")
+        .join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    try:
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # no Exchange between the scan and the join on either side
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = R["agg_groupby"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes the plan only after execution
