@@ -22,16 +22,28 @@ from datetime import datetime, timezone
 
 
 def make_connect(database: str) -> tuple:
-    """(connection factory, DB-API paramstyle) for the sink."""
+    """(connection factory, DB-API paramstyle) for the sink.
+
+    postgresql:// prefers psycopg; falls back to the driverless psql
+    pipe shim (sinks/psql_shim.py) when only client binaries exist.
+    """
     if database.startswith(("postgres://", "postgresql://")):
         try:
             import psycopg  # noqa: PLC0415
-        except ImportError as e:
+
+            return (lambda: psycopg.connect(database)), "format"
+        except ImportError:
+            from file_scraper_spark.sinks.psql_shim import (  # noqa: PLC0415
+                PsqlConnection,
+                psql_available,
+            )
+
+            if psql_available():
+                return (lambda: PsqlConnection(database)), "format"
             raise SystemExit(
-                "postgresql:// sink requires psycopg, which is not "
-                "installed in this environment; use a .duckdb path"
-            ) from e
-        return (lambda: psycopg.connect(database)), "format"
+                "postgresql:// sink requires psycopg or the psql client, "
+                "neither of which is available; use a .duckdb path"
+            ) from None
     import duckdb  # noqa: PLC0415
 
     return (lambda: duckdb.connect(database)), "qmark"

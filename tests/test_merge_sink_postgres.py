@@ -44,8 +44,8 @@ def cluster():
 
 @pytest.fixture()
 def db(cluster):
-    sink = MergeSink(lambda: PsqlConnection(cluster), paramstyle="format")
-    admin = PsqlConnection(cluster)
+    sink = MergeSink(cluster.connect, paramstyle="format")
+    admin = cluster.connect()
     admin.execute("DROP TABLE IF EXISTS external_file")
     admin.execute("DROP SEQUENCE IF EXISTS external_file_seq")
     admin.commit()
@@ -55,7 +55,7 @@ def db(cluster):
 
 
 def fetch(cluster):
-    con = PsqlConnection(cluster)
+    con = cluster.connect()
     try:
         con.execute(
             "SELECT path, filename, mime_type, size::text, "
@@ -83,7 +83,7 @@ def test_insert_update_noop_delete_pg(db):
 def test_noop_preserves_manual_mime_pg(db):
     sink, cluster = db
     sink.sync_rows([row(mime="application/octet-stream")], SRC, T1)
-    con = PsqlConnection(cluster)
+    con = cluster.connect()
     con.execute("UPDATE external_file SET mime_type = 'text/x-corrected'")
     con.commit()
     con.close()
@@ -114,6 +114,39 @@ def test_deleted_restamped_pg(db):
     sink.sync_rows([], SRC, T2)
     second = fetch(cluster)[0][4]
     assert first is not None and second is not None and first != second
+
+
+def test_cli_scrape_into_postgres(db, tmp_path):
+    """Full reference parity: the CLI scrapes a filesystem tree into a
+    real Postgres database addressed by a postgresql:// URL (psycopg
+    absent -> the driverless psql fallback engages)."""
+    import subprocess
+    import sys
+
+    sink, cluster = db
+    tree = tmp_path / "t"
+    tree.mkdir()
+    (tree / "a.csv").write_text("1,2\n")
+    (tree / "b.bin").write_text("x")
+    r = subprocess.run(
+        [sys.executable, "-m", "file_scraper_spark", str(tree),
+         "--database", cluster.dsn],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    rows = {x[1]: x for x in fetch(cluster)}
+    assert rows["a.csv"][2] == "text/csv"
+    assert rows["b.bin"][2] is None  # unknown extension -> NULL mime
+    # delete a file, re-scrape through the CLI -> soft delete lands
+    (tree / "b.bin").unlink()
+    r = subprocess.run(
+        [sys.executable, "-m", "file_scraper_spark", str(tree),
+         "--database", cluster.dsn],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    rows = {x[1]: x for x in fetch(cluster)}
+    assert rows["b.bin"][4] is not None and rows["a.csv"][4] is None
 
 
 def test_rollback_on_failure_pg(db):
