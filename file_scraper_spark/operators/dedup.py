@@ -274,6 +274,74 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), shingled AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS shingle
+        FROM base
+      )
+    ), eval_sh AS (
+      SELECT doc_id AS eval_id, shingle FROM shingled WHERE doc_id < 10
+    ), train_sh AS (
+      SELECT doc_id AS train_id, shingle FROM shingled WHERE doc_id >= 10
+    ), counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM shingled GROUP BY doc_id
+    ), overlap AS (
+      SELECT e.eval_id, t.train_id, CAST(COUNT(*) AS BIGINT) AS common
+      FROM eval_sh e JOIN train_sh t ON e.shingle = t.shingle
+      GROUP BY e.eval_id, t.train_id
+    )
+    SELECT eval_id,
+           CAST(MAX(CAST(common AS DOUBLE) / ce.n) AS DOUBLE)
+             AS max_overlap,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM overlap JOIN counts ce ON ce.doc_id = eval_id
+    GROUP BY eval_id, ce.n
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for each held-out eval document
+    (here: doc_id < 10 as the stand-in eval set), the max fraction of
+    its 3-gram shingles found in any single training document, plus
+    the number of training docs sharing >= 1 shingle. Same
+    inverted-index equi-join shape as near-dup detection — the
+    standard decontamination pass before training. Fractions are exact
+    ratios of identical integers (engine-identical)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs.select("doc_id", F.split("text", " ").alias("words")))
+    eval_sh = sh.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    train_sh = sh.filter(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    overlap = (
+        eval_sh.join(train_sh, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        overlap.join(counts.select(F.col("doc_id").alias("eval_id"), "n"), "eval_id")
+        .groupBy("eval_id", "n")
+        .agg(
+            F.max(F.col("common").cast("double") / F.col("n")).alias(
+                "max_overlap"
+            ),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select("eval_id", "max_overlap", "n_hits")
+    )
+
+
 @query("dedup_minhash", tags=("near-dup", "lsh"))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection (rows-only: xxhash64

@@ -198,6 +198,47 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               'contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or +1-555-010' || CAST(doc_id % 10 AS VARCHAR)
+                 || ' re: ' || text,
+               '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-]{6,}', '<PHONE>', 'g') AS redacted,
+           CAST(length(text) AS BIGINT) AS orig_len
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone-like numbers) — the scrubbing
+    step of a training-data pipeline, as pure regexp_replace (one scan,
+    codegen'd). The fixture has no PII, so deterministic synthetic PII
+    is prepended in-query; the oracle applies identical rules."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-010"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\+?[0-9][0-9()\-]{6,}",
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.length("text").cast("long").alias("orig_len"),
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
