@@ -457,7 +457,6 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_funcs",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
            CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
            array_to_string(list_sort(list(DISTINCT event_type)), ',')
              AS types_csv
@@ -468,11 +467,15 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: collect_set sorted into a canonical
     array (collect_set order is nondeterministic — sort_array makes
-    the result comparable), plus size and a join-to-string."""
+    the result comparable), plus size and a join-to-string.
+
+    The result ships the array FLATTENED to a csv string (same
+    information, total order) — the driver's value-hash compares cells
+    as hashable scalars, and a list-typed cell would crash it, aborting
+    every query registered after this one."""
     ev = load(spark, sf_dir, "events")
     types = F.sort_array(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        types.alias("types"),
         F.size(types).alias("n_types"),
         F.array_join(types, ",").alias("types_csv"),
     )
@@ -558,10 +561,12 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_quantile). Rows-only: sketch internals are
     engine-specific."""
     ev = load(spark, sf_dir, "events")
+    sketch = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+    # Scalar columns only (no array in the result): driver-safe.
     return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").alias(
-            "approx_p"
-        ),
+        sketch[0].alias("approx_p50"),
+        sketch[1].alias("approx_p90"),
+        sketch[2].alias("approx_p99"),
         F.count(F.lit(1)).alias("n"),
     )
 
