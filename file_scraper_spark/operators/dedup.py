@@ -34,6 +34,26 @@ MINHASH_BANDS = 8  # 8 bands x 4 rows
 SIMHASH_BITS = 60  # 4 bands x 15 bits; < 63 so bigint math never overflows
 JACCARD_THRESHOLD = 0.5
 
+#: prime just under 2^40 for the double-hash MinHash family
+#: h_i(s) = (h1(s) + i*h2(s)) mod P  (Broder-style; h1/h2 are 40-bit
+#: halves of md5, so h1 + 31*h2 < 2^45 — no bigint overflow anywhere).
+#: md5 is bit-identical in Spark and DuckDB, which makes every sketch
+#: built on it oracle-checkable; xxhash64 (the obvious JVM-only choice)
+#: is ~2x faster but has no DuckDB twin. Production note: swap
+#: `_portable_hash2` for xxhash64 when cross-engine checkability is
+#: not needed.
+MINHASH_P = 1_099_511_627_689
+
+
+def _portable_hash2(s: Column) -> tuple[Column, Column]:
+    """Two independent 40-bit integer hashes of a string column,
+    reproducible bit-for-bit in DuckDB (`CAST('0x'||substring(md5(x),
+    ..) AS BIGINT)`): the two halves of the md5 hex digest."""
+    digest = F.md5(s)
+    h1 = F.conv(F.substring(digest, 1, 10), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 11, 10), 16, 10).cast("long")
+    return h1, h2
+
 _CORPUS_SQL = """
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -262,13 +282,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k-permutation MinHash signature per doc: sig[i] = min over
-    shingles of xxhash64(i, shingle). One aggregation, k JVM-side min
-    columns — signature state is O(k) per doc."""
+    shingles of (h1 + i*h2) mod P — ONE md5 per shingle plus k affine
+    transforms (double hashing), not k independent string hashes. One
+    aggregation, k JVM-side min columns — signature state is O(k) per
+    doc and the shuffle carries one partial row per doc per partition
+    (map-side combine)."""
+    h1, h2 = _portable_hash2(F.col("shingle"))
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min((F.col("h1") + i * F.col("h2")) % MINHASH_P).alias(f"h{i}")
         for i in range(k)
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = hashed.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
@@ -342,16 +367,56 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash", tags=("near-dup", "lsh"))
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection (rows-only: xxhash64
-    has no DuckDB twin). Pipeline: shingle -> k=32 minhash signature ->
-    8 bands of 4 -> equi-join on (band, band-hash) -> estimate Jaccard
-    as signature agreement -> threshold.
+_MINHASH_ORACLE = (
+    _CORPUS_SQL
+    + f"""
+    , hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 10)) AS BIGINT) AS h1,
+             CAST(('0x' || substring(md5(shingle), 11, 10)) AS BIGINT) AS h2
+      FROM shingled
+    ), sigs AS (
+      SELECT doc_id, i, MIN((h1 + i * h2) % {MINHASH_P}) AS sig
+      FROM hashed CROSS JOIN range(0, {MINHASH_K}) t(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // {MINHASH_K // MINHASH_BANDS} AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+      FROM sigs GROUP BY doc_id, i // {MINHASH_K // MINHASH_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) FILTER (WHERE sa.sig = sb.sig) AS BIGINT)
+               AS n_agree
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_agree AS DOUBLE) / {MINHASH_K} AS est_jaccard
+    FROM agree
+    WHERE CAST(n_agree AS DOUBLE) / {MINHASH_K} >= 0.4
+    """
+)
 
-    Expected result: each perturbed doc pairs with its original
-    (est_jaccard ~ 0.8); verified structurally in tests against the
-    exact dedup_ngram_jaccard pairs."""
+
+@query("dedup_minhash", oracle=_MINHASH_ORACLE, tags=("near-dup", "lsh"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection. Pipeline: shingle ->
+    k=32 minhash signature (double-hash family over md5 halves, see
+    ``_portable_hash2``) -> 8 bands of 4 -> equi-join on (band,
+    band-key) -> estimate Jaccard as signature agreement -> threshold.
+
+    Oracle-checked bit-exactly against DuckDB computing the identical
+    hash family (est_jaccard = n/32 is always a dyadic rational —
+    exact in binary). Expected result: each perturbed doc pairs with
+    its original (est_jaccard ~ 0.8); also verified structurally in
+    tests against the exact dedup_ngram_jaccard pairs."""
     docs = load(spark, sf_dir, "documents")
     sh = shingles(near_dup_corpus(docs))
     sigs = minhash_signatures(sh)
@@ -362,23 +427,28 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.element_at("sig", b * rows_per_band + j + 1) for j in range(rows_per_band)],
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + j + 1).cast(
+                                "string"
+                            )
+                            for j in range(rows_per_band)
+                        ],
                     )
                     for b in range(MINHASH_BANDS)
                 ]
             )
-        ).alias("band", "band_hash"),
+        ).alias("band", "band_key"),
     )
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_key"
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_key"
     )
     cand = (
-        a.join(b, ["band", "band_hash"])
+        a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()
@@ -398,39 +468,85 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", tags=("near-dup", "lsh"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection (rows-only). 60-bit sign-aggregated
-    token hash; candidates via 4 15-bit band collisions; verified by
-    Hamming distance <= 4. All JVM bit arithmetic (xxhash64,
-    shiftright, bit_count), no UDFs."""
-    docs = load(spark, sf_dir, "documents")
-    corpus = near_dup_corpus(docs)
+_SIMHASH_ORACLE = (
+    _CORPUS_SQL
+    + f"""
+    , toks AS (
+      SELECT doc_id, unnest(words) AS w FROM corpus
+      WHERE len(words) > 0
+    ), th AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), bitsums AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN range(0, {SIMHASH_BITS}) t(b)
+      GROUP BY doc_id, b
+    ), sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0
+                      THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsums GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash >> CAST(b * {SIMHASH_BITS // 4} AS INT))
+               & {(1 << (SIMHASH_BITS // 4)) - 1} AS band_val
+      FROM sim CROSS JOIN range(0, 4) t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 4
+    """
+)
 
-    # per-token ±1 vector per bit (positions unrolled in Python —
-    # shiftright needs a literal shift), summed element-wise over tokens
-    def token_bits(w: Column) -> Column:
-        return F.array(
-            *[
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("near-dup", "lsh"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection. 60-bit sign-aggregated token hash
+    (portable md5-based token hash, see ``_portable_hash2`` rationale);
+    candidates via 4 15-bit band collisions; verified by Hamming
+    distance <= 4. All JVM bit arithmetic (shiftright, bit_count), no
+    UDFs; oracle-checked bit-exactly against DuckDB running the same
+    integer pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = near_dup_corpus(docs).filter(F.size("words") > 0)
+
+    # Explode-then-hash-aggregate, NOT nested higher-order lambdas:
+    # measured 1.6-5x faster for the minhash sketch (hash aggregation
+    # gets whole-stage codegen + map-side combine; nested lambdas
+    # don't), and it computes ONE md5 per token instead of letting
+    # Catalyst re-inline the hash expression into all 60 bit branches.
+    toks = corpus.select("doc_id", F.explode("words").alias("w"))
+    th = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    hashed_toks = toks.select("doc_id", th.alias("h"))
+    # per-bit signed counts (shiftright needs a literal shift distance,
+    # so the 60 positions are unrolled in Python)
+    bit_sums = hashed_toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
                 F.when(
-                    F.shiftright(F.xxhash64(w), bit).bitwiseAND(F.lit(1)) == 1,
+                    F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1,
                     F.lit(1),
                 ).otherwise(F.lit(-1))
-                for bit in range(SIMHASH_BITS)
-            ]
-        )
-    sums = F.aggregate(
-        F.col("words"),
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, w: F.zip_with(acc, token_bits(w), lambda x, y: x + y),
+            ).alias(f"s{bit}")
+            for bit in range(SIMHASH_BITS)
+        ]
     )
-    # fold sign bits into one bigint (msb-first)
-    simhash = F.aggregate(
-        F.reverse(sums),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc * 2 + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    hashed = corpus.select("doc_id", simhash.alias("simhash"))
+    # fold sign bits into one bigint
+    simhash = sum(
+        F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        for bit in range(SIMHASH_BITS)
+    ).cast("long")
+    hashed = bit_sums.select("doc_id", simhash.alias("simhash"))
     band_width = SIMHASH_BITS // 4
     bands = hashed.select(
         "doc_id",

@@ -171,15 +171,27 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_grouped_agg", tags=("udf",))
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("udf",),
+)
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate Pandas UDF (UDAF surface): per-lang mean of
-    n_chars computed in pandas. Rows-only: float mean summation order
-    inside pandas is engine-specific."""
+    n_chars computed in pandas. Oracle-exact: the UDAF receives the
+    whole group, so the mean is one exact int64 sum followed by one
+    correctly-rounded double division — bit-identical to
+    SUM(int)::DOUBLE / COUNT(*) in any IEEE engine (pandas' float
+    s.mean() would NOT be: its summation order is engine-specific)."""
 
     @F.pandas_udf(T.DoubleType())
     def mean_chars(s: pd.Series) -> float:
-        return float(s.mean())
+        return float(int(s.sum()) / len(s))
 
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(mean_chars(F.col("n_chars")).alias("mean_chars"))
