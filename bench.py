@@ -42,7 +42,9 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding",
     "similarity_topk",
+    "timeseries_rollup",
     "merge_upsert",
     "union_seen",
     "tpch_q3_shape",

@@ -195,3 +195,62 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(mean_chars(F.col("n_chars")).alias("mean_chars"))
+
+
+FRAME_SIZE = 32  # bytes per pseudo-frame
+FRAME_STRIDE = 4  # sample every 4th frame
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_head", T.StringType()),
+    ]
+)
+
+
+@query(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(LEAST({FRAME_SIZE}, nb - k * {FRAME_SIZE}) AS BIGINT)
+             AS frame_len,
+           substring(text, CAST(k * {FRAME_SIZE} + 1 AS BIGINT), 4)
+             AS frame_head
+    FROM m CROSS JOIN range(0, 65536, {FRAME_STRIDE}) t(k)
+    WHERE k * {FRAME_SIZE} < nb
+    """,
+    tags=("multimodal",),
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary media column: treat each payload as
+    a fixed-frame-size 'video' (32-byte frames) and emit every 4th
+    frame with typed metadata — the plumbing a real video pipeline
+    needs (frame extraction via ffmpeg is stubbed; the slicing, Arrow
+    batch shape, and exploded one-row-per-frame output are real).
+
+    Scale shape: mapInPandas explodes rows executor-side with no
+    shuffle at all; output partitioning inherits the scan. The oracle
+    re-derives the same frames with substring arithmetic (fixture
+    payloads are ASCII, so byte offsets == char offsets)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_head": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for k in range(0, (n + FRAME_SIZE - 1) // FRAME_SIZE, FRAME_STRIDE):
+                    off = k * FRAME_SIZE
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_len"].append(min(FRAME_SIZE, n - off))
+                    out["frame_head"].append(payload[off : off + 4].decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)

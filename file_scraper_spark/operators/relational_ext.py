@@ -724,3 +724,84 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         (F.sum("psum").cast("double") / QUANT).alias("sum_value"),
     )
+
+
+@query(
+    "timeseries_rollup",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket_hour, bucket_day,
+           CAST(GROUPING(event_type, bucket_hour, bucket_day) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dsum('value')} AS sum_value
+    FROM t
+    GROUP BY GROUPING SETS ((event_type, bucket_hour, bucket_day),
+                            (event_type, bucket_day),
+                            (event_type))
+    """,
+)
+def timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over the
+    event stream produces hourly, daily, and all-time aggregates per
+    type via GROUPING SETS — the materialization shape time-series
+    stores call a rollup/continuous aggregate. Partial aggregation
+    means the shuffle carries one row per (type, bucket) per partition,
+    and the coarser granularities re-aggregate the same shuffle, not
+    the base table."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_tr")
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT event_type,
+                 date_trunc('hour', ts) AS bucket_hour,
+                 date_trunc('day', ts) AS bucket_day,
+                 value
+          FROM events_tr
+        )
+        SELECT event_type, bucket_hour, bucket_day,
+               CAST(grouping_id(event_type, bucket_hour, bucket_day)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * {QUANT}) AS BIGINT))
+                    AS DOUBLE) / {QUANT} AS sum_value
+        FROM t
+        GROUP BY GROUPING SETS ((event_type, bucket_hour, bucket_day),
+                                (event_type, bucket_day),
+                                (event_type))
+        """
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates: the value of one
+    column at the extremum of another, single-pass and map-side
+    combinable — vs the window row_number()=1 formulation, no sort and
+    no per-partition state beyond the running extremum. The ordering
+    key (event_id) is unique, so the result is deterministic (min_by
+    on a column with ties is engine-dependent)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )

@@ -20,6 +20,7 @@ Scale paths:
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
@@ -33,6 +34,8 @@ DIM = 64
 N_PLANES = 16
 QUERY_VEC_ID = 0
 PAIR_THRESHOLD = 0.25  # ~p99 of within-label cosine in the fixture
+DEDUP_PLANES = 8  # 8-bit LSH blocks for dedup_embedding
+DEDUP_COS = 0.9  # near-dup cosine threshold
 
 
 QUANT = 1_000_000_000  # 1e-9 quantization for exact integer vector math
@@ -241,6 +244,135 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_sum"),
         F.array_min(codes).alias("code_min"),
         F.array_max(codes).alias("code_max"),
+    )
+
+
+def _dedup_plane(p: int) -> list[float]:
+    """Hyperplane for the dedup LSH blocks: component d is 40 bits of
+    md5(f"{p}:{d}") mapped into [-1, 1). Unlike ``_plane`` (crc32),
+    this derivation exists so the SAME double constants can be inlined
+    into the DuckDB oracle — the planes are query parameters, embedded
+    as literals on both sides."""
+    out = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:10], 16)
+        out.append(h / 2.0**39 - 1.0)
+    return out
+
+
+_DEDUP_PLANE_VALUES = ",\n      ".join(
+    f"({p}, {d}, {w!r})"
+    for p in range(DEDUP_PLANES)
+    for d, w in enumerate(_dedup_plane(p))
+)
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH planes(p, pos, w) AS (VALUES
+      {_DEDUP_PLANE_VALUES}
+    ), base AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), corpus AS (
+      SELECT vec_id, pos, v FROM base
+      UNION ALL
+      SELECT -(vec_id + 1), pos,
+             CASE WHEN pos < {DIM - 4} THEN v ELSE 0.0 END
+      FROM base WHERE vec_id % 20 = 0
+    ), proj AS (
+      SELECT c.vec_id, pl.p,
+             {_oracle_dec_sum('c.v * pl.w')} AS s
+      FROM corpus c JOIN planes pl ON pl.pos = c.pos
+      GROUP BY c.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ), cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), flat AS (
+      SELECT c.vec_a, c.vec_b, ca.v AS av, cb.v AS bv
+      FROM cand c
+      JOIN corpus ca ON ca.vec_id = c.vec_a
+      JOIN corpus cb ON cb.vec_id = c.vec_b AND cb.pos = ca.pos
+    ), dots AS (
+      SELECT vec_a, vec_b,
+             {_oracle_dec_sum('av * bv')} AS dp,
+             sqrt({_oracle_dec_sum('av * av')}) AS na,
+             sqrt({_oracle_dec_sum('bv * bv')}) AS nb
+      FROM flat GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b, dp / (na * nb) AS cosine
+    FROM dots WHERE dp / (na * nb) >= {DEDUP_COS}
+    """,
+    tags=("near-dup", "embedding"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection — the vector-space member
+    of the dedup family. Blocking key is an 8-bit sign-LSH bucket
+    (md5-derived hyperplanes, quantized projections), NOT the
+    ground-truth label: candidates are bucket collisions only, then
+    exact cosine >= 0.9 verifies. The fixture has no near-identical
+    vectors, so the corpus plants deterministic near-dups (every 20th
+    vector re-appears as the negative-mirror id with its last 4 dims
+    zeroed — direction almost preserved, cosine ~0.97).
+
+    Scale shape: bucketing is one scan (8 JVM folds per row); the
+    candidate join shuffles on the bucket key; verification touches
+    only collisions. Fully oracle-checked — projections, buckets and
+    cosines are all quantized integer arithmetic, bit-identical in
+    DuckDB."""
+    emb = load(spark, sf_dir, "embeddings")
+    vals = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", vals.alias("v"))
+    pert = base.filter(F.col("vec_id") % 20 == 0).select(
+        (-(F.col("vec_id") + 1)).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: F.when(i < DIM - 4, x).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(pert)
+
+    def bucket_of(vec: Column) -> Column:
+        bits = [
+            F.when(
+                _dec_fold(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(w) for w in _dedup_plane(p)]),
+                        lambda x, w: x * w,
+                    )
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(DEDUP_PLANES)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    bucketed = corpus.select("vec_id", "v", bucket_of(F.col("v")).alias("bucket"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= DEDUP_COS)
     )
 
 
