@@ -116,3 +116,29 @@ def partition_pruned_plan(spark: SparkSession, sf_dir: str) -> str:
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
     return back._jdf.queryExecution().executedPlan().toString()
+
+
+@query(
+    "orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC -> read back -> aggregate. ORC is the second
+    columnar format Spark ships natively (vectorized reader, predicate
+    pushdown via min/max stripes like parquet); unlike the text
+    formats, doubles round-trip bit-exactly, so the aggregate runs on
+    the read-back values."""
+    out = _tmpdir("fss_orc_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price")
+    )

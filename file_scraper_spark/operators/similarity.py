@@ -326,9 +326,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bucketing is one scan (8 JVM folds per row); the
     candidate join shuffles on the bucket key; verification touches
-    only collisions. Fully oracle-checked — projections, buckets and
-    cosines are all quantized integer arithmetic, bit-identical in
-    DuckDB."""
+    only collisions, at ONE dot fold per pair (norms precomputed per
+    vector). The bucket space must grow with the corpus — with fixed
+    planes, density and therefore pair count grow quadratically; size
+    DEDUP_PLANES ~ log2(n) + c at production scale (8 bits fits the
+    fixture; ~40 bits fits 100 TB). Fully oracle-checked —
+    projections, buckets and cosines are all quantized integer
+    arithmetic, bit-identical in DuckDB."""
     emb = load(spark, sf_dir, "embeddings")
     vals = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", vals.alias("v"))
@@ -361,17 +365,38 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + b
         return out.cast("long")
 
-    bucketed = corpus.select("vec_id", "v", bucket_of(F.col("v")).alias("bucket"))
+    # Norms are precomputed per VECTOR (n folds), not per PAIR: bucket
+    # density makes candidate pairs superlinear in corpus size, so the
+    # per-pair work must be the single dot fold. Same quantized values
+    # as the oracle's per-pair norms — the fold inputs are identical.
+    bucketed = corpus.select(
+        "vec_id",
+        "v",
+        bucket_of(F.col("v")).alias("bucket"),
+        norm(F.col("v")).alias("nrm"),
+    )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= DEDUP_COS)
     )
 

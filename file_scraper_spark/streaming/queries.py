@@ -258,3 +258,29 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return run_to_memory(agg, mode="update")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicates over the replayed
+    stream keeps the first arrival per (user_id, event_type) in the
+    state store and suppresses the rest — the incremental analog of
+    the batch dedup_exact operator (an at-most-once emission per key
+    across ALL micro-batches, not per batch). The result projects the
+    KEY ONLY, which makes it deterministic and oracle-exact (which
+    physical row survives depends on arrival order; the key set does
+    not). Production note: pair with withWatermark +
+    dropDuplicatesWithinWatermark to bound state on unbounded key
+    domains."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(deduped, mode="append")
