@@ -254,3 +254,49 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+@query(
+    "udtf_surface",
+    oracle="""
+    SELECT doc_id, CAST(pos AS INT) AS pos, word
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                  AS INT) AS pos
+      FROM documents WHERE doc_id < 50
+    )
+    WHERE len(word) >= 6
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function) — the third member of
+    the UDF family next to the scalar/grouped pandas UDFs: one input
+    row expands to N output rows (here: long words with positions),
+    applied per row via SQL LATERAL. Deterministic integer/string
+    semantics, so even this Python path is oracle-exact against the
+    unnest formulation.
+
+    Scale shape: a UDTF runs inside the scan stage (no shuffle); the
+    lateral expansion never materializes on the driver."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="pos int, word string")
+    class ExpandWords:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate((text or "").split(" ")):
+                if len(w) >= 6:
+                    yield i, w
+
+    spark.udtf.register("expand_words", ExpandWords)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM docs_udtf d, LATERAL expand_words(d.text) t
+        """
+    )

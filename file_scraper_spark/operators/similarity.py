@@ -34,7 +34,9 @@ DIM = 64
 N_PLANES = 16
 QUERY_VEC_ID = 0
 PAIR_THRESHOLD = 0.25  # ~p99 of within-label cosine in the fixture
-DEDUP_PLANES = 8  # 8-bit LSH blocks for dedup_embedding
+DEDUP_BANDS = 4  # LSH bands for dedup_embedding
+DEDUP_BAND_BITS = 8  # sign bits per band
+DEDUP_PLANES = DEDUP_BANDS * DEDUP_BAND_BITS
 DEDUP_COS = 0.9  # near-dup cosine threshold
 
 
@@ -248,11 +250,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_plane(p: int) -> list[float]:
-    """Hyperplane for the dedup LSH blocks: component d is 40 bits of
+    """Hyperplane for the dedup LSH bands: component d is 40 bits of
     md5(f"{p}:{d}") mapped into [-1, 1). Unlike ``_plane`` (crc32),
-    this derivation exists so the SAME double constants can be inlined
-    into the DuckDB oracle — the planes are query parameters, embedded
-    as literals on both sides."""
+    this derivation exists because DuckDB computes the identical md5 —
+    the oracle re-derives the very same planes in SQL instead of
+    receiving thousands of inlined literals."""
     out = []
     for d in range(DIM):
         h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:10], 16)
@@ -260,18 +262,15 @@ def _dedup_plane(p: int) -> list[float]:
     return out
 
 
-_DEDUP_PLANE_VALUES = ",\n      ".join(
-    f"({p}, {d}, {w!r})"
-    for p in range(DEDUP_PLANES)
-    for d, w in enumerate(_dedup_plane(p))
-)
-
-
 @query(
     "dedup_embedding",
     oracle=f"""
-    WITH planes(p, pos, w) AS (VALUES
-      {_DEDUP_PLANE_VALUES}
+    WITH planes AS (
+      SELECT CAST(p AS INT) AS p, CAST(d AS INT) AS pos,
+             CAST(('0x' || substring(
+                 md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                 1, 10)) AS BIGINT) / {float(2.0**39)!r} - 1.0 AS w
+      FROM range(0, {DEDUP_PLANES}) t(p), range(0, {DIM}) u(d)
     ), base AS (
       SELECT vec_id,
              CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
@@ -289,14 +288,16 @@ _DEDUP_PLANE_VALUES = ",\n      ".join(
       FROM corpus c JOIN planes pl ON pl.pos = c.pos
       GROUP BY c.vec_id, pl.p
     ), buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM proj GROUP BY vec_id
+      SELECT vec_id, p // {DEDUP_BAND_BITS} AS band,
+             CAST(SUM(CASE WHEN s > 0
+                      THEN (1 << (p % {DEDUP_BAND_BITS}))
+                      ELSE 0 END) AS BIGINT) AS band_val
+      FROM proj GROUP BY vec_id, p // {DEDUP_BAND_BITS}
     ), cand AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM buckets a JOIN buckets b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
     ), flat AS (
       SELECT c.vec_a, c.vec_b, ca.v AS av, cb.v AS bv
       FROM cand c
@@ -324,15 +325,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector re-appears as the negative-mirror id with its last 4 dims
     zeroed — direction almost preserved, cosine ~0.97).
 
-    Scale shape: bucketing is one scan (8 JVM folds per row); the
-    candidate join shuffles on the bucket key; verification touches
-    only collisions, at ONE dot fold per pair (norms precomputed per
-    vector). The bucket space must grow with the corpus — with fixed
-    planes, density and therefore pair count grow quadratically; size
-    DEDUP_PLANES ~ log2(n) + c at production scale (8 bits fits the
-    fixture; ~40 bits fits 100 TB). Fully oracle-checked —
-    projections, buckets and cosines are all quantized integer
-    arithmetic, bit-identical in DuckDB."""
+    Scale shape: banded LSH — 4 bands of 8 sign bits; a pair is a
+    candidate if ANY band fully agrees, which lifts planted-pair
+    recall from ~0.5 (one 8-bit block: each ~14-degree pair has a
+    ~8% chance per plane of splitting) to ~0.95. Bucketing is one
+    scan (32 JVM folds per row); the candidate join shuffles on
+    (band, band_val); pairs are DISTINCT'ed as bare ids before
+    verification, which re-joins vectors and norms and spends ONE dot
+    fold per pair (norms precomputed per vector). Per-band bucket
+    space must still grow with the corpus — size DEDUP_BAND_BITS ~
+    log2(n) + c at production scale. Fully oracle-checked —
+    projections, band buckets and cosines are all quantized integer
+    arithmetic, and even the hyperplanes are re-derived inside DuckDB
+    from the same md5."""
     emb = load(spark, sf_dir, "embeddings")
     vals = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", vals.alias("v"))
@@ -345,8 +350,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(pert)
 
-    def bucket_of(vec: Column) -> Column:
-        bits = [
+    def band_vals(vec: Column) -> Column:
+        """array of DEDUP_BANDS band values (8 sign bits each)."""
+        signs = [
             F.when(
                 _dec_fold(
                     F.zip_with(
@@ -356,40 +362,54 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 > 0,
-                F.lit(1 << p),
+                F.lit(1 << (p % DEDUP_BAND_BITS)),
             ).otherwise(F.lit(0))
             for p in range(DEDUP_PLANES)
         ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("long")
+        bands = []
+        for b in range(DEDUP_BANDS):
+            v = signs[b * DEDUP_BAND_BITS]
+            for s in signs[b * DEDUP_BAND_BITS + 1 : (b + 1) * DEDUP_BAND_BITS]:
+                v = v + s
+            bands.append(v.cast("long"))
+        return F.array(*bands)
 
-    # Norms are precomputed per VECTOR (n folds), not per PAIR: bucket
-    # density makes candidate pairs superlinear in corpus size, so the
-    # per-pair work must be the single dot fold. Same quantized values
-    # as the oracle's per-pair norms — the fold inputs are identical.
-    bucketed = corpus.select(
+    # cache(): the self-join would otherwise evaluate the 32
+    # projection folds TWICE per vector (once per side), and the
+    # banded frame is tiny (4 rows of 3 ints per vector).
+    banded = corpus.select(
         "vec_id",
-        "v",
-        bucket_of(F.col("v")).alias("bucket"),
-        norm(F.col("v")).alias("nrm"),
+        F.posexplode(band_vals(F.col("v"))).alias("band", "band_val"),
+    ).cache()
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
     )
-    a = bucketed.select(
+    # Norms are precomputed per VECTOR, not per PAIR: bucket density
+    # makes candidate pairs superlinear in corpus size, so the
+    # per-pair work must be the single dot fold. Same quantized
+    # values as the oracle's per-pair norms — identical fold inputs.
+    withnorm = corpus.select(
+        "vec_id", "v", norm(F.col("v")).alias("nrm")
+    ).cache()
+    a = withnorm.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
-        "bucket",
     )
-    b = bucketed.select(
+    b = withnorm.select(
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
-        "bucket",
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",

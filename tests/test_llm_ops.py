@@ -66,3 +66,24 @@ def test_decode_stub_raises_without_fake():
     feats = decode_media(b"abcd1234", fake=True)
     assert feats["n_bytes"] == 8
     assert feats["header_hex"] == "61626364"
+
+
+def test_embedding_dedup_finds_planted_pairs(spark, sf_dir):
+    """Planted near-identical vectors (negative-mirror ids, last 4
+    dims zeroed) should surface as bucket-colliding cosine>=0.9 pairs;
+    8 sign bits can split some planted pairs (a projection near zero
+    flips), so require recall >= 0.7 and verify every emitted pair is
+    actually above threshold."""
+    rows = R["dedup_embedding"].fn(spark, sf_dir).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in rows}
+    assert all(c >= 0.9 for c in pairs.values())
+    planted_found = [1 for (a, b) in pairs if a == -(b + 1)]
+    n_vecs = R["dedup_exact"]  # noqa: F841  (registry warm)
+    assert sum(planted_found) >= 1
+    # planted population: vec_id % 20 == 0 in the base corpus
+    from file_scraper_spark.tables import load
+
+    n_planted = load(spark, sf_dir, "embeddings").filter(
+        "vec_id % 20 = 0"
+    ).count()
+    assert sum(planted_found) / n_planted >= 0.7
