@@ -1,0 +1,207 @@
+"""Analytics surface extensions ([EXT]): median/mode, bitwise and
+boolean aggregates, histogram binning, and map-typed scalar functions.
+
+None of these exist in the reference (SURVEY §2.A has no aggregation
+at all); they round out the aggregate-function family next to
+`agg_groupby` / `stddev_var` / `percentile_quantile` / `corr_covar`.
+All oracle-checked with integer-exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from file_scraper_spark.functions.exact import QUANT
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+HIST_WIDTH = 25_000.0  # o_totalprice bin width
+HIST_BINS = 20
+
+
+@query(
+    "agg_median_mode",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * {QUANT}) AS BIGINT) AS qty_q
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag, median(qty_q) / {QUANT} AS median_qty
+      FROM q GROUP BY l_returnflag
+    ), cnt AS (
+      SELECT l_returnflag, qty_q, COUNT(*) AS n,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, qty_q
+             ) AS rn
+      FROM q GROUP BY l_returnflag, qty_q
+    )
+    SELECT m.l_returnflag, m.median_qty,
+           c.qty_q / {QUANT}.0 AS mode_qty,
+           CAST(c.n AS BIGINT) AS mode_n
+    FROM med m JOIN cnt c
+      ON c.l_returnflag = m.l_returnflag AND c.rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and mode per group. Median uses the built-in exact
+    `median` over 1e-6-quantized BIGINTs: midpoint interpolation of
+    integers is exact in double, so Spark's and DuckDB's differing
+    interpolation formulas (`lo + (hi-lo)*f` vs `(lo+hi)/2`) cannot
+    diverge. Mode is NOT the built-in `mode()` — both engines break
+    frequency ties arbitrarily — but the deterministic formulation:
+    highest count, then smallest value (count + row_number).
+
+    Scale shape: exact median requires a sort of each group (Spark
+    runs `percentile` as a single-pass aggregation buffering the
+    group's values); for 100 TB groups the `approx_quantile`
+    t-digest query is the scale path. Mode's two hash aggregations
+    shuffle once on (flag, value) then once on flag — both map-side
+    combined."""
+    q = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * QUANT).alias("qty_q"),
+    )
+    med = q.groupBy("l_returnflag").agg(
+        (F.median("qty_q") / QUANT).alias("median_qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("qty_q")
+    )
+    cnt = (
+        q.groupBy("l_returnflag", "qty_q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return med.join(cnt, "l_returnflag").select(
+        "l_returnflag",
+        "median_qty",
+        (F.col("qty_q") / F.lit(float(QUANT))).alias("mode_qty"),
+        F.col("n").alias("mode_n"),
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT user_id,
+           CAST(bit_and(event_id) AS BIGINT) AS band,
+           CAST(bit_or(event_id) AS BIGINT) AS bor,
+           CAST(bit_xor(event_id) AS BIGINT) AS bxor,
+           CAST(bool_and(value > 100.0) AS INT) AS all_gt,
+           CAST(bool_or(value > 100.0) AS INT) AS any_gt
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (AND/OR/XOR) and boolean (every/any) aggregates per
+    user. All four are associative-commutative, so partial aggregation
+    is exact under any combine order; booleans are surfaced as INT so
+    the cross-engine hash sees identical scalars.
+
+    Scale shape: single map-side-combined hash aggregation — the
+    shuffle carries one 5-field row per (user, partition)."""
+    gt = (F.col("value") > 100.0).cast("boolean")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.bit_and("event_id").alias("band"),
+            F.bit_or("event_id").alias("bor"),
+            F.bit_xor("event_id").alias("bxor"),
+            F.bool_and(gt).cast("int").alias("all_gt"),
+            F.bool_or(gt).cast("int").alias("any_gt"),
+        )
+    )
+
+
+@query(
+    "histogram_bucket",
+    oracle=f"""
+    SELECT CAST(least({HIST_BINS - 1},
+                      floor(o_totalprice / {HIST_WIDTH!r})) AS INT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * {QUANT}) AS BIGINT))
+                AS DOUBLE) / {QUANT} AS sum_price
+    FROM orders
+    GROUP BY bin
+    """,
+    tags=("agg",),
+)
+def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: `width_bucket`-style
+    binning expressed as `least(floor(x / width), n-1)` — float
+    division plus floor is deterministic IEEE arithmetic in both
+    engines, unlike the engines' own `width_bucket` boundary
+    conventions.
+
+    Scale shape: the canonical map-side-combine aggregation — 20
+    output rows regardless of input size, so the shuffle after
+    partial aggregation is 20 rows per partition. This is the
+    building block for distribution profiling of any numeric feature
+    at 100 TB."""
+    bin_col = F.least(
+        F.lit(HIST_BINS - 1), F.floor(F.col("o_totalprice") / HIST_WIDTH)
+    ).cast("int")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * QUANT)).cast("double")
+                / QUANT
+            ).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(event_id AS BIGINT) AS eid_val,
+           CAST((CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+                AS INT) AS n_big
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("scalar", "map"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: `from_json` into `map<string,bigint>`,
+    then `element_at`, `map_keys`/`size`, `map_concat` with a
+    constructed `create_map`, and `map_filter` — the full map function
+    family, exercised JVM-side (no Python UDF). The driver comparator
+    hashes scalars only, so the query emits lookups and cardinalities
+    rather than raw maps.
+
+    Scale shape: pure narrow projection — no shuffle, whole-stage
+    codegen over the JSON parse and map ops."""
+    m = F.from_json("props", "map<string,bigint>")
+    withm = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", m.alias("m"))
+    )
+    big = F.map_filter(F.col("m"), lambda _, v: v > 50)
+    return withm.select(
+        "event_id",
+        F.element_at("m", F.lit("k")).alias("k_val"),
+        F.size(F.map_keys("m")).alias("n_keys"),
+        F.element_at(
+            F.map_concat(
+                "m", F.create_map(F.lit("eid"), F.col("event_id"))
+            ),
+            F.lit("eid"),
+        ).alias("eid_val"),
+        F.size(big).alias("n_big"),
+    )

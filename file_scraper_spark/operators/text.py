@@ -261,3 +261,101 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % F.lit(FP_MOD),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def _bigrams(words: Column) -> Column:
+    """1-based bigram array: words[i] + ' ' + words[i+1]."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+
+
+_ORACLE_BIGRAMS = (
+    "list_transform(range(1, len(string_split(text, ' '))),"
+    " i -> string_split(text, ' ')[i] || ' '"
+    " || string_split(text, ' ')[i+1])"
+)
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, {_ORACLE_BIGRAMS} AS bigrams
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+           CAST(floor(1000000.0 * (1.0 -
+             CAST(len(list_distinct(bigrams)) AS DOUBLE)
+             / len(bigrams))) AS BIGINT) AS rep_q
+    FROM bg
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram ratio — the duplicate-n-gram quality signal of
+    C4/Gopher-style corpus filters (a high ratio flags boilerplate
+    and degenerate repetition). Pure higher-order array functions:
+    bigram construction, `array_distinct`, and a quantized ratio, all
+    JVM-side in one scan with no shuffle — the per-document shape
+    that scales linearly to 100 TB."""
+    words = _words()
+    bg = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(words) >= 2)
+        .select("doc_id", _bigrams(words).alias("bigrams"))
+    )
+    n = F.size("bigrams").cast("long")
+    d = F.size(F.array_distinct("bigrams")).cast("long")
+    rep = F.floor(
+        1_000_000.0 * (1.0 - d.cast("double") / n.cast("double"))
+    ).cast("long")
+    return bg.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        d.alias("n_distinct"),
+        rep.alias("rep_q"),
+    )
+
+
+@query(
+    "text_topn_ngrams",
+    oracle=f"""
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest({_ORACLE_BIGRAMS}) AS bigram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text",),
+)
+def text_topn_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams — the collocation profile used for
+    boilerplate discovery (over-represented n-grams across documents
+    betray templated text). Explode + count + ordered limit; ties
+    broken by the bigram string for a total order.
+
+    Scale shape: the explode multiplies rows ~L-fold but map-side
+    combine collapses them to distinct bigrams per partition before
+    the shuffle; the top-k is a TakeOrderedAndProject (per-partition
+    heaps, no global sort materialization)."""
+    words = _words()
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(words) >= 2)
+        .select(F.explode(_bigrams(words)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -1,0 +1,213 @@
+"""Time-series operators ([EXT]): gap filling, interpolation, and
+time-range window frames over the events stream table.
+
+The reference has no time-series surface at all (SURVEY §2.A: its only
+temporal construct is the 1-second micro-batch flush, src/fs.rs:100);
+these are the hypertable-style operations a telemetry/training
+pipeline layer needs next to `timeseries_rollup`:
+
+- ``timeseries_gapfill``   — dense hourly spine, zero-filled buckets
+- ``timeseries_locf``      — last-observation-carried-forward fill
+- ``window_time_range``    — trailing-interval RANGE window frames
+
+All three are oracle-checked: spines are integer sequences of hour
+buckets, fills are quantized-BIGINT sums, and RANGE frame membership
+is microsecond-exact in both engines (events.ts is micro-aligned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from file_scraper_spark.functions.exact import QUANT, dsum, oracle_dsum
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+#: bound the LOCF output: spine users 0..LOCF_USERS-1
+LOCF_USERS = 20
+
+
+@query(
+    "timeseries_gapfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             event_type, value
+      FROM events
+    ), b AS (
+      SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM b
+    ), grid AS (
+      SELECT s.bucket, t.event_type
+      FROM spine s, (SELECT DISTINCT event_type FROM ev) t
+    ), hourly AS (
+      SELECT bucket, event_type,
+             COUNT(*) AS n, {oracle_dsum('value')} AS sv
+      FROM ev GROUP BY bucket, event_type
+    )
+    SELECT g.bucket, g.event_type,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           COALESCE(h.sv, 0.0) AS sum_value
+    FROM grid g LEFT JOIN hourly h
+      ON h.bucket = g.bucket AND h.event_type = g.event_type
+    """,
+    tags=("timeseries",),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series gap filling: every (hour, event_type) cell of
+    the full [min, max] range appears in the output, absent buckets
+    zero-filled — the `time_bucket_gapfill` operation of hypertable
+    stores, built from `sequence()` + explode + a broadcast left join.
+
+    Scale shape: the only full-data pass is the hourly pre-aggregation
+    (map-side combined shuffle on (bucket, type)). The spine is
+    O(hours x types) regardless of row count — at 100 TB it is still
+    a few thousand rows — and both the spine build (a 1-row bounds agg)
+    and the final left join against the aggregated hourly frame are
+    broadcast-sized."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type", "value"
+    )
+    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sv")
+    )
+    return grid.join(
+        F.broadcast(hourly), ["bucket", "event_type"], "left"
+    ).select(
+        "bucket",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "timeseries_locf",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             value
+      FROM events
+      WHERE event_type = 'purchase' AND user_id < {LOCF_USERS}
+    ), b AS (
+      SELECT min(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS lo,
+             max(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM b
+    ), grid AS (
+      SELECT u.user_id, s.bucket
+      FROM spine s, (SELECT DISTINCT user_id FROM ev) u
+    ), hourly AS (
+      SELECT user_id, bucket, {oracle_dsum('value')} AS sv
+      FROM ev GROUP BY user_id, bucket
+    )
+    SELECT g.user_id, g.bucket,
+           CAST((h.sv IS NOT NULL) AS INT) AS observed,
+           last_value(h.sv IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.bucket = g.bucket
+    """,
+    tags=("timeseries",),
+)
+def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward interpolation: per-user hourly
+    spine, observed hours carry their (exact-sum) purchase value,
+    gaps repeat the latest earlier observation; leading gaps stay
+    NULL. `locf()` of hypertable stores = `last(col, ignorenulls)`
+    over an unbounded-preceding running frame.
+
+    Scale shape: one aggregated pass builds the sparse observations;
+    the dense grid is spine x users. The running `last` needs each
+    user's full timeline in one partition (shuffle on user_id) — at
+    production scale that is exactly the partitioning the surrounding
+    pipeline (sessionization, feature windows) already uses, so the
+    exchange is reused, and state per key is O(1)."""
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < LOCF_USERS)
+    ).select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket"), "value"
+    )
+    bounds = ev.select(F.date_trunc("hour", "ts").alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    grid = spine.crossJoin(purch.select("user_id").distinct())
+    hourly = purch.groupBy("user_id", "bucket").agg(dsum("value").alias("sv"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(hourly), ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.col("sv").isNotNull().cast("int").alias("observed"),
+            F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+@query(
+    "window_time_range",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(floor(value * {QUANT}) AS BIGINT)) OVER w
+                AS DOUBLE) / {QUANT} AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("timeseries", "window"),
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-interval window frame: for every event, the count and
+    exact sum of the same user's events in the preceding hour
+    (inclusive of the boundary and of same-timestamp peers — RANGE
+    frame semantics, identical in both engines). This is the
+    value-based frame the §2.B `window_lag_frame` row-based frame
+    cannot express: the frame width varies per row with event density.
+
+    Spark has no interval RANGE frames over timestamps, so the order
+    key is `unix_micros(ts)` with a [-3.6e9, 0] micros range — exact,
+    since events.ts is microsecond-aligned. Scale shape: one shuffle
+    on user_id, then a per-partition ordered scan with a sliding
+    two-pointer frame; no state beyond the 1-hour tail."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (
+            F.sum(F.floor(F.col("value") * QUANT)).over(w).cast("double")
+            / QUANT
+        ).alias("sum_1h"),
+    )

@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         return
     # Imports deferred so `import file_scraper_spark` stays cheap.
     from file_scraper_spark.operators import (  # noqa: F401
+        analytics_ext,
         dedup,
         io_formats,
         multimodal,
@@ -89,6 +90,7 @@ def _ensure_loaded() -> None:
         scrape,
         similarity,
         text,
+        timeseries,
     )
     from file_scraper_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -284,3 +284,63 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return run_to_memory(deduped, mode="append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           date_diff('microsecond', c.ts, p.ts) AS gap_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: every purchase within one
+    hour after a click by the same user, paired incrementally as both
+    sides arrive. The time-range predicate plus the two watermarks
+    bound the join state — each side retains only the trailing hour
+    (+ delay) per user, which is what makes the operator viable on an
+    unbounded 100 TB/day stream (an unconstrained stream join would
+    buffer forever). Inner-join emission is exactly-once per matched
+    pair irrespective of micro-batch boundaries, so the materialized
+    result is deterministic and oracle-equal to the batch self-join."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            p_user = user_id AND
+            p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour
+            """
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return run_to_memory(joined, mode="append")
