@@ -162,3 +162,51 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+#: per-event-type keep rates (out of 100) for stratified sampling
+STRATA_RATES = {"click": 5, "view": 2, "purchase": 50, "signup": 100}
+STRATA_DEFAULT = 20
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE b < rate) AS BIGINT) AS n_sampled
+    FROM (
+      SELECT event_type, {_oracle_bucket('event_id')} AS b,
+             CASE event_type
+               {' '.join(f"WHEN '{k}' THEN {v}"
+                         for k, v in STRATA_RATES.items())}
+               ELSE {STRATA_DEFAULT} END AS rate
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (df.sampleBy, made
+    deterministic): each event type keeps a different fraction, with
+    membership decided by the md5 bucket of the key — so the sample is
+    reproducible across runs, engines, and repartitionings, unlike
+    RNG-based sampleBy whose draw depends on partition layout.
+
+    Scale shape: the sampling predicate is a per-row expression (no
+    shuffle); only the per-stratum accounting aggregates, map-side
+    combined to one row per (partition, type). This is the
+    class-rebalancing primitive of corpus construction — downsample
+    over-represented strata at scan speed."""
+    rate = F.lit(STRATA_DEFAULT)
+    for k, v in reversed(STRATA_RATES.items()):
+        rate = F.when(F.col("event_type") == k, v).otherwise(rate)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        hash_bucket(F.col("event_id")).alias("b"),
+        rate.alias("rate"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("b") < F.col("rate"), 1)).alias("n_sampled"),
+    )

@@ -1,0 +1,283 @@
+"""Relational surface extensions, batch 2 ([EXT]): null-aware anti
+join semantics, SCD2 history construction, TPC-H Q18 shape, and
+Z-order layout keys.
+
+None of these exist in the reference (SURVEY §2.A: its join coverage
+is one equi inner join, src/db.rs:101-104, and one NOT EXISTS
+anti-join, src/db.rs:52-64 — both delegated to Postgres). These round
+out the join/layout families a warehouse engine needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.functions.exact import QUANT
+from file_scraper_spark.operators.scrape import _FIXTURE_CTES, snapshot_pair
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+#: SCD2 snapshot epoch stamps (constant, not now(), for hash stability)
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-02-01 00:00:00"
+
+Q18_MIN_QTY = 250  # HAVING threshold (~p99 of per-order quantity sums)
+
+ZBITS = 8  # bits per dimension in the Morton code
+
+
+@query(
+    "null_aware_antijoin",
+    oracle="""
+    SELECT 'not_exists' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'not_in_clean', CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'not_in_null_poisoned', CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE c.c_custkey NOT IN (
+      SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END
+      FROM orders)
+    """,
+    tags=("join", "semantics"),
+)
+def null_aware_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three faces of "customers with no orders": NOT EXISTS
+    (two-valued anti join), NOT IN over a null-free subquery
+    (equivalent), and NOT IN over a subquery containing a NULL —
+    where SQL's three-valued logic makes the predicate never true, so
+    the count is exactly 0. Spark plans the nullable variant as a
+    NullAwareAntiJoin (broadcast-only physical operator); both engines
+    agree because the semantics are ANSI, not an implementation choice.
+
+    Scale shape: the NOT EXISTS variant is the production form — a
+    left-anti hash join, broadcastable when the probe-key set is
+    small; null-aware NOT IN forces a broadcast of the whole subquery
+    result and is the form to REWRITE AWAY in a 100 TB pipeline
+    (exactly why this query exists as a semantics pin)."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT 'not_exists' AS variant, COUNT(*) AS n
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'not_in_clean', COUNT(*)
+        FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'not_in_null_poisoned', COUNT(*)
+        FROM customer c
+        WHERE c.c_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                      ELSE o_custkey END
+          FROM orders)
+        """
+    )
+
+
+@query(
+    "scd2_history",
+    oracle=_FIXTURE_CTES
+    + f"""
+    , j AS (
+      SELECT COALESCE(e.event_id, f.event_id) AS event_id,
+             e.value AS e_value, e.ts AS e_ts,
+             f.value AS f_value, f.ts AS f_ts,
+             e.event_id IS NOT NULL AS in_e,
+             f.event_id IS NOT NULL AS in_f
+      FROM existing e FULL JOIN found f ON e.event_id = f.event_id
+    )
+    SELECT event_id, e_value AS value,
+           TIMESTAMP '{T0}' AS valid_from,
+           TIMESTAMP '{T1}' AS valid_to,
+           0 AS is_current
+    FROM j
+    WHERE in_e AND (NOT in_f OR e_value <> f_value OR e_ts <> f_ts)
+    UNION ALL
+    SELECT event_id, f_value,
+           CASE WHEN in_e AND e_value = f_value AND e_ts = f_ts
+                THEN TIMESTAMP '{T0}' ELSE TIMESTAMP '{T1}' END,
+           CAST(NULL AS TIMESTAMP),
+           1
+    FROM j
+    WHERE in_f
+    """,
+    tags=("pipeline", "merge"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn the reference's
+    in-place upsert (src/db.rs:92-124 overwrites matched rows) into a
+    versioned history — every key carries [valid_from, valid_to)
+    intervals and an is_current flag. Changed or vanished rows close
+    their old version at the new snapshot's epoch; new or changed
+    rows open a current version. This is the lakehouse-standard
+    alternative to the reference's destructive update.
+
+    Scale shape: one full outer join on the key (single shuffle,
+    co-located when both snapshots are bucketed by key — the same
+    layout the merge sink stages), then two narrow projections
+    unioned; no second shuffle."""
+    existing, found = snapshot_pair(spark, sf_dir)
+    e = existing.select(
+        "event_id",
+        F.col("value").alias("e_value"),
+        F.col("ts").alias("e_ts"),
+    )
+    f = found.select(
+        "event_id",
+        F.col("value").alias("f_value"),
+        F.col("ts").alias("f_ts"),
+    )
+    j = e.join(f, "event_id", "full")
+    in_e = F.col("e_ts").isNotNull()
+    in_f = F.col("f_ts").isNotNull()
+    changed = (F.col("e_value") != F.col("f_value")) | (
+        F.col("e_ts") != F.col("f_ts")
+    )
+    t0 = F.lit(T0).cast("timestamp")
+    t1 = F.lit(T1).cast("timestamp")
+    closed = j.filter(in_e & (~in_f | changed)).select(
+        "event_id",
+        F.col("e_value").alias("value"),
+        t0.alias("valid_from"),
+        t1.alias("valid_to"),
+        F.lit(0).alias("is_current"),
+    )
+    current = j.filter(in_f).select(
+        "event_id",
+        F.col("f_value").alias("value"),
+        F.when(in_e & ~changed, t0).otherwise(t1).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return closed.unionAll(current)
+
+
+@query(
+    "tpch_q18_shape",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(floor(l_quantity * {QUANT}) AS BIGINT)) AS sq
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(floor(l_quantity * {QUANT}) AS BIGINT))
+             > {Q18_MIN_QTY} * {QUANT}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(b.sq AS DOUBLE) / {QUANT} AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY sum_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "agg", "join"),
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): aggregate the fact table by
+    order, keep orders over a quantity threshold (HAVING), then join
+    orders and customer for the top 100. The classic
+    agg-then-join-then-topk shape.
+
+    Scale shape: the lineitem aggregation is the only big shuffle and
+    it is map-side combined down to one row per order; the HAVING
+    filter then cuts ~99% of groups BEFORE the joins, so the
+    order/customer joins run on a sliver (AQE converts them to
+    broadcasts at runtime). The top-k is TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * QUANT)).alias("sq"))
+        .filter(F.col("sq") > Q18_MIN_QTY * QUANT)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("sq").cast("double") / QUANT).alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def _morton(x: Column, y: Column) -> Column:
+    """Interleave the low ZBITS bits of x (even positions) and y (odd)."""
+    z = F.lit(0)
+    for i in range(ZBITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+def _oracle_morton(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_id,
+             {_oracle_morton("(user_id % 256)",
+                             "least(255, CAST(floor(value / 2) AS BIGINT))")}
+               AS z
+      FROM events
+    )
+    SELECT CAST(z >> 6 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(z) AS BIGINT) AS z_min,
+           CAST(MAX(z) AS BIGINT) AS z_max
+    FROM m GROUP BY zbucket
+    """,
+    tags=("layout",),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value): bit
+    interleaving maps the 2-D domain onto a 1-D curve where range
+    splits stay tight in BOTH dimensions — the layout trick behind
+    Delta/Iceberg Z-ORDER clustering for multi-dimensional data
+    skipping. Pure integer bit arithmetic, whole-stage codegen, no
+    UDF.
+
+    Scale shape: at 100 TB the use is `df.repartitionByRange(N,
+    zcol).sortWithinPartitions(zcol).write(...)` — every output file
+    then covers a small rectangle of (user, value) space, so scans
+    filtered on EITHER dimension prune most files via min/max stats.
+    This query materializes the bucket profile (count + z extent per
+    curve segment) that such a writer would produce; the aggregation
+    is one map-side-combined shuffle over ~1k buckets."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = F.least(F.lit(255), F.floor(F.col("value") / 2)).cast("long")
+    z = _morton(x, y)
+    return (
+        ev.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 6).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+        )
+    )

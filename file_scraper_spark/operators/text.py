@@ -359,3 +359,45 @@ def text_topn_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           md5(norm) AS norm_md5
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    """,
+    tags=("text",),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — lowercase, strip non-alphanumerics,
+    collapse runs of whitespace, trim — the preprocessing pass that
+    feeds exact/near dedup (two documents differing only in case or
+    punctuation normalize to the same bytes). The result ships as
+    (length, md5) so the comparator sees scalars; the md5 doubles as
+    the exact-dedup key downstream.
+
+    Scale shape: pure per-row projection — one scan, no shuffle,
+    whole-stage codegen over the regex pipeline. At 100 TB this runs
+    at parquet-scan speed and is where a pipeline normalizes BEFORE
+    any shuffle-heavy dedup stage, so byte-identical variants collapse
+    as early as possible."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )

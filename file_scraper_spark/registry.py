@@ -87,6 +87,7 @@ def _ensure_loaded() -> None:
         pipeline_ops,
         relational,
         relational_ext,
+        relational_ext2,
         scrape,
         similarity,
         text,

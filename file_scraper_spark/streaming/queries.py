@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from file_scraper_spark.functions.exact import dsum, oracle_dsum
 from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
 
 WATERMARK = "1 hour"
 
@@ -344,3 +345,37 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name
+    FROM events e JOIN nation n
+      ON n.n_nationkey = e.user_id % 25
+    WHERE e.event_type = 'signup'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch against a broadcast dimension table (nation, keyed by
+    user_id % 25). Stateless — unlike the stream-stream join no state
+    store is needed because the static side is fully available to
+    every batch; the plan is a broadcast hash join inside each
+    micro-batch, identical to the batch oracle.
+
+    Scale shape: this is THE pattern for enriching a 100 TB/day event
+    stream with dimension attributes — the dim broadcast is refreshed
+    per batch (picks up dim updates), nothing shuffles, and throughput
+    is scan-bound."""
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    enriched = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .join(F.broadcast(nation), F.col("user_id") % 25 == F.col("nk"))
+        .select("event_id", "user_id", "n_name")
+    )
+    return run_to_memory(enriched, mode="append")

@@ -139,3 +139,31 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     # '*(n)' is the whole-stage-codegen marker in the tree string
     assert "*(" in plan
+
+
+def test_null_aware_anti_join_operator(spark, sf_dir):
+    """NOT IN over a nullable subquery must plan as a null-aware anti
+    join (BroadcastNestedLoop/BroadcastHashJoin LeftAnti with the
+    null-aware flag), not a plain anti join — the 3VL semantics the
+    query pins."""
+    plan = plan_of("null_aware_antijoin", spark, sf_dir)
+    # the trailing boolean on BroadcastHashJoin is isNullAwareAntiJoin
+    assert re.search(r"LeftAnti, BuildRight, true", plan), plan[:2000]
+    # ... and the null-free variants must NOT pay the null-aware cost
+    assert re.search(r"LeftAnti, BuildRight, false", plan), plan[:2000]
+
+
+def test_q18_topk_and_broadcast(spark, sf_dir):
+    """Q18's top-100 must be a per-partition heap (no global Sort) and
+    the customer join must broadcast."""
+    plan = plan_of("tpch_q18_shape", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_no_udf_no_extra_shuffle(spark, sf_dir):
+    """The Morton code is pure JVM bit arithmetic: no Python eval, and
+    exactly one exchange (the final aggregation)."""
+    plan = plan_of("zorder_layout", spark, sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE reuse)
