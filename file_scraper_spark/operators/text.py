@@ -264,12 +264,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigrams(words: Column) -> Column:
-    """1-based bigram array: words[i] + ' ' + words[i+1]."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
+    """Bigram array: words[i] + ' ' + words[i+1].
+
+    Formulated as ``zip_with(slice(w, 1, n-1), slice(w, 2, n-1), ..)``
+    — each slice evaluates the words array once per ROW. The obvious
+    ``transform(sequence(1, n-1), i -> element_at(w, i) ..)`` is ~9x
+    slower at 10x scale: Catalyst re-inlines the `split` into every
+    `element_at` call, re-splitting the text per element — O(L^2) per
+    document (measured 24s vs 2.6s on the 10x probe)."""
+    n = F.size(words) - 1
+    return F.zip_with(
+        F.slice(words, 1, n),
+        F.slice(words, 2, n),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
 
 

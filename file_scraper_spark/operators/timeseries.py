@@ -197,9 +197,11 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     since events.ts is microsecond-aligned. Scale shape: one shuffle
     on user_id, then a per-partition ordered scan with a sliding
     two-pointer frame; no state beyond the 1-hour tail."""
+    # cast: tolerate TIMESTAMP_NTZ-encoded events tables (unix_micros
+    # only accepts TIMESTAMP; the ordering key is timezone-invariant)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return load(spark, sf_dir, "events").select(
