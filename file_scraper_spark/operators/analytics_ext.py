@@ -205,3 +205,57 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("eid_val"),
         F.size(big).alias("n_big"),
     )
+
+
+@query(
+    "variant_shred",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
+           json_extract_string(props, '$.k') AS k_str,
+           'OBJECT<k: BIGINT>' AS vschema,
+           CAST(json_extract(nested, '$.a[1]') AS BIGINT) AS a1,
+           CAST(json_extract(nested, '$.b.c') AS BIGINT) AS bc
+    FROM (
+      SELECT event_id, props,
+             '{"a":[' || (event_id % 10) || ',' || (event_id % 10) * 2
+               || '],"b":{"c":' || user_id || '}}' AS nested
+      FROM events
+      WHERE event_id < 2000
+    )
+    """,
+    tags=("scalar", "variant"),
+)
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): `parse_json` into an
+    open-schema variant, typed extraction with `variant_get` (scalar,
+    array index, nested object paths), and runtime schema discovery
+    with `schema_of_variant`. Variant is the modern engine answer to
+    heterogeneous JSON at scale — binary-encoded, shreddable, no
+    schema declaration up front (vs `from_json`, which needs one).
+    The DuckDB twin uses its JSON type: identical extraction
+    semantics, different encoding.
+
+    Scale shape: pure per-row projection, one scan, no shuffle; the
+    variant binary encoding parses each document once and all
+    extractions walk the binary, not the text."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    nested_json = F.concat(
+        F.lit('{"a":['),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(","),
+        ((F.col("event_id") % 10) * 2).cast("string"),
+        F.lit('],"b":{"c":'),
+        F.col("user_id").cast("string"),
+        F.lit("}}"),
+    )
+    v = F.parse_json("props")
+    nv = F.parse_json(nested_json)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_big"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.schema_of_variant(v).alias("vschema"),
+        F.variant_get(nv, "$.a[1]", "bigint").alias("a1"),
+        F.variant_get(nv, "$.b.c", "bigint").alias("bc"),
+    )

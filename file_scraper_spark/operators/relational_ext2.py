@@ -281,3 +281,91 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").cast("long").alias("z_max"),
         )
     )
+
+
+@query(
+    "lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+    tags=("join", "sql"),
+)
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: for every nation, its top-2 customers
+    by account balance — the per-row-subquery surface (`JOIN LATERAL
+    ... ORDER BY ... LIMIT`). Catalyst DECORRELATES the lateral
+    subquery into a ranked window join rather than executing it per
+    outer row, so execution is set-oriented.
+
+    Scale shape: after decorrelation this is one shuffle on the
+    correlation key with per-partition top-k — per-group heaps, never
+    a nested loop over the outer side, which is what makes LATERAL
+    viable when the outer table has 10^9 rows."""
+    for t in ("customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_custkey, c_name, c_acctbal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(start_id, cur, depth) AS (
+      SELECT user_id, user_id, 0
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT start_id, cur // 2, depth + 1 FROM anc WHERE cur > 0
+    )
+    SELECT start_id AS user_id,
+           CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(COUNT(*) AS BIGINT) AS chain_len
+    FROM anc GROUP BY start_id
+    """,
+    tags=("sql", "iterative"),
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.x): walk the
+    implicit binary-tree hierarchy over user ids (parent = id / 2)
+    from every user up to the root, computing chain depth — the
+    fixed-point iteration surface that previously required driver-side
+    loops (compare dedup_clusters, which iterates min-label
+    propagation in Python precisely because recursive SQL was
+    unavailable).
+
+    Scale shape: each recursion step is one self-join/projection over
+    the frontier; the frontier SHRINKS geometrically here (ids halve),
+    so total work is O(n log n) with log n synchronization barriers —
+    the same shape a distributed BFS has. Spark materializes each
+    step; nothing is per-row recursive."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(start_id, cur, depth) AS (
+          SELECT user_id, user_id, 0
+          FROM (SELECT DISTINCT user_id FROM events)
+          UNION ALL
+          SELECT start_id, cur div 2, depth + 1 FROM anc WHERE cur > 0
+        )
+        SELECT start_id AS user_id,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               COUNT(*) AS chain_len
+        FROM anc GROUP BY start_id
+        """
+    )

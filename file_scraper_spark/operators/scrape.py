@@ -228,3 +228,31 @@ def scrape_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["event_id", "user_id", "event_type", "value", "ts", "deleted", "action"]
     return upserted.select(cols).unionAll(deleted.select(cols))
+
+
+@query(
+    "python_datasource",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]*)$', 1) AS filename,
+           CAST(size AS BIGINT) AS n_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+    tags=("source",),
+)
+def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a first-class pluggable source: the filesystem listing
+    implemented with Spark 4's Python DataSource API
+    (`spark.read.format("pylisting")`) — driver shards prefixes,
+    executors walk + stat their shard (sources/pyds.py). The oracle
+    stats the same directory via DuckDB read_blob. Fixed at sf0.01
+    like scrape_fs: oracle SQL cannot receive sf_dir."""
+    from file_scraper_spark.sources import pyds  # noqa: PLC0415
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("pylisting")
+        .option("path", sf_dir)
+        .option("pattern", "*.parquet")
+        .load()
+    )
+    return df.select("filename", F.col("size").alias("n_bytes"))
