@@ -142,3 +142,44 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price")
     )
+
+
+@query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> XML -> read back -> aggregate, through the built-in
+    XML format (native in Spark 4; previously the spark-xml package).
+    Doubles do NOT reliably round-trip through XML text, so the
+    aggregate sticks to integer columns — the same rule the CSV/JSON
+    roundtrips follow.
+
+    Scale shape: XML writing/parsing is row-wise text work (no
+    vectorized reader) — the format for INTEROP edges of a pipeline,
+    not the hot path; this query pins that the edge exists and is
+    lossless for the types it claims."""
+    out = _tmpdir("fss_xml_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

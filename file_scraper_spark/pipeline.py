@@ -41,3 +41,46 @@ def scrape_all(
         sink.sync_snapshot(found, source.identifier, scrape_time)
         identifiers.append(source.identifier)
     return identifiers
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target_file_mb each; returns the output file count.
+
+    Small files are the classic failure mode of incremental ingestion
+    (every micro-batch of the reference's 200-entry flush, src/fs.rs:
+    100, would land one file): at 100 TB a listing of millions of tiny
+    files dominates query planning and every task reads one file's
+    worth of rows. Compaction sizes file count from the ACTUAL bytes
+    on disk (not row counts), uses coalesce() — a shuffle-free
+    narrow repartitioning that only merges read splits — and writes
+    zstd, so the rewrite cost is one read + one write.
+    """
+    import math  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(src)
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(dst)
+    )
+    return sum(
+        1
+        for root, _, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )

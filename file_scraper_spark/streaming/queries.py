@@ -379,3 +379,61 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "n_name")
     )
     return run_to_memory(enriched, mode="append")
+
+
+@query(
+    "stream_state_inspect",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "state"),
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection: run a stateful streaming aggregation
+    with a checkpoint, then read the persisted operator state back
+    with the state data source (`spark.read.format("statestore")`) and
+    flatten key/value structs. The recovered state must equal the
+    batch aggregation — which is exactly what checkpoint recovery
+    relies on, so this query pins the engine's exactly-once state
+    contract.
+
+    Scale shape: the state read is partition-parallel (one task per
+    state-store shard) and reads only the latest snapshot + deltas;
+    at production scale this is the online tool for state-size
+    debugging and offline state migration, without replaying the
+    stream."""
+    import tempfile  # noqa: PLC0415
+
+    ckpt = tempfile.mkdtemp(prefix="fss_state_")
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000)).alias("sv_q"),
+        )
+    )
+    name = f"state_inspect_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    # the value struct exposes the agg BUFFER's internal field names
+    # (count, sum), not the query aliases
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+        (F.col("value.sum").cast("double") / 1_000_000).alias("sum_value"),
+    )

@@ -21,3 +21,17 @@ def test_scrape_all_fs(tmp_path, spark, sf_dir):
     ).fetchone()
     con.close()
     assert n == 10 and deleted == 0
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from file_scraper_spark.pipeline import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(50).write.parquet(src)
+    import os
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_small == 50
+    n_out = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert n_out == 1  # sf0.001 orders ≪ 512 MB
+    assert spark.read.parquet(dst).count() == orders.count()

@@ -167,3 +167,43 @@ def test_zorder_no_udf_no_extra_shuffle(spark, sf_dir):
     plan = plan_of("zorder_layout", spark, sf_dir)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE reuse)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """With runtime bloom filters on (and broadcast off, so the join is
+    SMJ), Catalyst injects a bloom_filter_agg on the filtered build
+    side and a might-contain probe into the fact scan — row-level
+    semi-join pruning BEFORE the shuffle, the knob that cuts shuffled
+    bytes on selective fact-dim joins at 100 TB."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
