@@ -233,9 +233,9 @@ def scrape_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "python_datasource",
     oracle="""
-    SELECT regexp_extract(filename, '([^/]*)$', 1) AS filename,
-           CAST(size AS BIGINT) AS n_bytes
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    SELECT regexp_extract(file, '([^/]*)$', 1) AS filename,
+           CAST(1 AS INT) AS listed
+    FROM glob('/root/testdata/sf0.01/*.parquet')
     """,
     tags=("source",),
 )
@@ -243,9 +243,12 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 as a first-class pluggable source: the filesystem listing
     implemented with Spark 4's Python DataSource API
     (`spark.read.format("pylisting")`) — driver shards prefixes,
-    executors walk + stat their shard (sources/pyds.py). The oracle
-    stats the same directory via DuckDB read_blob. Fixed at sf0.01
-    like scrape_fs: oracle SQL cannot receive sf_dir."""
+    executors walk + stat their shard (sources/pyds.py). Like
+    scrape_fs, the output sticks to scale-invariant columns (the
+    oracle's glob path is fixed at sf0.01 because oracle SQL cannot
+    receive sf_dir; filenames are identical across SFs, sizes are
+    not). Size/mtime fidelity is unit-tested against os.stat in
+    tests/test_sources.py."""
     from file_scraper_spark.sources import pyds  # noqa: PLC0415
 
     pyds.register(spark)
@@ -255,4 +258,4 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pattern", "*.parquet")
         .load()
     )
-    return df.select("filename", F.col("size").alias("n_bytes"))
+    return df.select("filename", F.lit(1).alias("listed"))

@@ -58,3 +58,39 @@ def test_scrape_fs_schema_and_rows(spark, sf_dir):
     assert all(r.mime_type == "application/vnd.apache.parquet" for r in rows)
     assert all(r.size > 0 for r in rows)
     assert all(r.created is None for r in rows)
+
+
+def test_python_datasource_stat_fidelity(spark, tmp_path):
+    """pyds rows must match os.stat exactly — size, mtime (UTC), and
+    recursive traversal into subdirectories with pattern filtering."""
+    import os
+    from datetime import datetime, timezone
+
+    from file_scraper_spark.sources import pyds
+
+    (tmp_path / "sub" / "deep").mkdir(parents=True)
+    (tmp_path / "a.dat").write_bytes(b"x" * 123)
+    (tmp_path / "sub" / "b.dat").write_bytes(b"y" * 4567)
+    (tmp_path / "sub" / "deep" / "c.dat").write_bytes(b"z")
+    (tmp_path / "skip.txt").write_text("not matched")
+
+    pyds.register(spark)
+    rows = {
+        r.filename: r
+        for r in (
+            spark.read.format("pylisting")
+            .option("path", str(tmp_path))
+            .option("pattern", "*.dat")
+            .load()
+        ).collect()
+    }
+    assert set(rows) == {"a.dat", "b.dat", "c.dat"}
+    for name, rel in [("a.dat", "a.dat"), ("b.dat", "sub/b.dat"),
+                      ("c.dat", "sub/deep/c.dat")]:
+        p = tmp_path / rel
+        st = os.stat(p)
+        assert rows[name].size == st.st_size
+        assert rows[name].path == str(p.parent)
+        expect = datetime.fromtimestamp(st.st_mtime, tz=timezone.utc)
+        got = rows[name].modified.replace(tzinfo=timezone.utc)
+        assert abs((got - expect).total_seconds()) < 0.002
