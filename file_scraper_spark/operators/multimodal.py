@@ -300,3 +300,97 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf d, LATERAL expand_words(d.text) t
         """
     )
+
+
+@query(
+    "udf_arrow_map",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars * 3 + 7 AS BIGINT) AS scaled,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native map UDF (`mapInPandas`' zero-copy sibling): the
+    function receives raw `pyarrow.RecordBatch`es and computes with
+    `pyarrow.compute` kernels — no pandas materialization at all, the
+    leanest Python hot path Spark offers. Integer arithmetic, so even
+    this path is oracle-exact.
+
+    Scale shape: per-batch streaming through Python workers; memory is
+    bounded by `spark.sql.execution.arrow.maxRecordsPerBatch`
+    regardless of partition size, and the filter is applied before
+    the Python boundary (pushed to the scan)."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    def scale(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.add(pc.multiply(b.column("n_chars"), 3), 7),
+                    pc.utf8_length(b.column("text")).cast(pa.int64()),
+                ],
+                names=["doc_id", "scaled", "text_len"],
+            )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select("doc_id", "n_chars", "text").mapInArrow(
+        scale, "doc_id long, scaled long, text_len long"
+    )
+
+
+@query(
+    "udf_arrow_grouped",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS chars_range
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow UDF (`applyInArrow`): each language's documents
+    arrive as one `pyarrow.Table`; the function reduces it with
+    pyarrow.compute aggregations and returns a one-row table. The
+    sixth and last member of the Python UDF family (row UDF excluded
+    by design), all on integer-exact arithmetic.
+
+    Scale shape: one shuffle on the group key; each group must fit a
+    worker's memory as a Table — the same contract as applyInPandas,
+    minus the pandas conversion cost. For unbounded groups the
+    built-in agg path (udf_grouped_agg) is the scale form."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    def reduce_lang(table: "pa.Table") -> "pa.Table":
+        chars = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(chars).as_py()],
+                "chars_range": [
+                    pc.max(chars).as_py() - pc.min(chars).as_py()
+                ],
+            },
+            schema=pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_chars", pa.int64()),
+                    ("chars_range", pa.int64()),
+                ]
+            ),
+        )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").applyInArrow(
+        reduce_lang,
+        "lang string, n_docs long, total_chars long, chars_range long",
+    )

@@ -35,3 +35,28 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     n_out = compact_parquet(spark, src, dst, target_file_mb=512)
     assert n_out == 1  # sf0.001 orders ≪ 512 MB
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe attaches accumulator-style metrics to a plan — the
+    zero-cost way to get row counts / quality tallies out of a 100 TB
+    write job without a second scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("scan_metrics")
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("o_totalprice") > 100000).cast("long")).alias("n_big"),
+        )
+        .filter(F.col("o_orderstatus") == "F")
+    )
+    n_f = df.count()
+    got = obs.get
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert got["n_rows"] == total  # observed BEFORE the filter
+    assert 0 < n_f < total
+    assert got["n_big"] >= 0
