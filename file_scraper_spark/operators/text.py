@@ -12,7 +12,7 @@ arithmetic on them — bit-identical across engines (see registry.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_scraper_spark.registry import query
@@ -407,4 +407,72 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(norm).cast("long").alias("norm_len"),
         F.md5(norm).alias("norm_md5"),
+    )
+
+
+TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY word
+    ), scored AS (
+      SELECT t.doc_id, t.word, t.tf, d.df,
+             CAST(t.tf AS DOUBLE) / d.df AS relevance,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.word
+             ) AS rnk
+      FROM tf t JOIN df d USING (word)
+    )
+    SELECT doc_id, word, tf, df, relevance, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= {TFIDF_TOPK}
+    """,
+    tags=("text",),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinguishing terms by a TF-IDF-family
+    weight: term frequency over document frequency (monotone in tf,
+    anti-monotone in df, like tf*idf; chosen over the log form because
+    a ratio of exact integers is bit-identical across engines while
+    `log` is libm-dependent). The keyword-extraction primitive of
+    corpus exploration.
+
+    Scale shape: two hash aggregations (tf: map-side combined on
+    (doc, word); df: on word — both shuffles carry one row per
+    distinct key per partition), one shuffle join of tf against the
+    much smaller df (AQE broadcasts it when it fits), and a
+    per-document top-k window. No global sort; the only wide frame is
+    partitioned by doc_id."""
+    words = _words()
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    rel = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(rel.desc(), F.col("word"))
+    return (
+        tf.join(df, "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            rel.alias("relevance"),
+            F.row_number().over(w).alias("rnk").cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TFIDF_TOPK)
     )
