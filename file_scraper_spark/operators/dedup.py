@@ -595,3 +595,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= 4
     )
+
+
+EDIT_PREFIX = 16  # blocking key: first chars of the text
+EDIT_REL_DIST = 0.25  # near-dup if dist <= 25% of the longer text
+
+
+@query(
+    "dedup_editdistance",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), corpus AS (
+      SELECT doc_id, words FROM base
+      UNION ALL
+      SELECT -(doc_id + 1),
+             list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
+      FROM base WHERE doc_id % 5 = 0
+    ), texts AS (
+      SELECT doc_id, array_to_string(words, ' ') AS text FROM corpus
+    ), blocked AS (
+      SELECT doc_id, text, substring(text, 1, 16) AS blk FROM texts
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+             CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+               AS max_len
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, dist, max_len
+    FROM pairs
+    WHERE dist <= 0.25 * max_len
+    """,
+    tags=("near-dup", "text"),
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs — the
+    character-level member of the dedup family, catching OCR noise /
+    small in-place edits that word-level shingles over-penalize.
+    Blocking is a prefix key (near-dups share their opening bytes in
+    this corpus — the planted perturbation truncates the TAIL);
+    within a block, exact Levenshtein, kept when the distance is
+    under 25% of the longer text. Both engines run the same classic
+    DP, so the integer distances hash-match exactly.
+
+    Scale shape: the prefix block bounds the quadratic stage like any
+    LSH bucket; Levenshtein is O(len^2) per pair, so at 100 TB the
+    blocking key must keep buckets small (prefix + length band), and
+    the length-difference lower bound |la-lb| <= d prunes before the
+    DP — Spark's levenshtein(l, r, threshold) 3-arg form short-
+    circuits exactly that way."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = near_dup_corpus(docs)
+    texts = corpus.select(
+        "doc_id", F.array_join("words", " ").alias("text")
+    )
+    blocked = texts.select(
+        "doc_id", "text", F.substring("text", 1, EDIT_PREFIX).alias("blk")
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        "blk",
+    )
+    dist = F.levenshtein("ta", "tb").cast("long")
+    max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("dist"),
+            max_len.alias("max_len"),
+        )
+        .filter(F.col("dist") <= EDIT_REL_DIST * F.col("max_len"))
+    )
