@@ -369,3 +369,130 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY start_id
         """
     )
+
+
+@query(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) adapted to the fixture
+    schema: orders in a date window having at least one line item
+    shipped more than 30 days after the order date, counted per
+    priority. The EXISTS decorrelates to a left-semi join.
+
+    Scale shape: the date filter prunes orders BEFORE the semi join
+    (pushed to the scan); the semi join shuffles on orderkey and
+    short-circuits per match — no duplicate-elimination aggregation
+    the way a plain join + distinct would need."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority) on the fixture
+    schema: line items shipped within a year, counted per return flag
+    split into high- vs low-priority orders — join + conditional
+    aggregation.
+
+    Scale shape: the selective shipdate predicate is pushed to the
+    lineitem scan; the join shuffles both sides on orderkey (or
+    broadcasts the filtered fact slice when small); the aggregation
+    is map-side combined to 3 groups."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_shape",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                      * {QUANT}) AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                      * {QUANT}) AS BIGINT)) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): revenue share of promo parts in
+    one month — a fact-dim join feeding a single-row conditional
+    ratio. Revenue terms are 1e-6-quantized BIGINTs, so both sums are
+    exact and the final ratio is one deterministic double division.
+
+    Scale shape: month filter pushed to the fact scan, part dim
+    broadcast, one-row aggregate — the canonical selective
+    scan + broadcast + global agg plan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = load(spark, sf_dir, "part")
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * QUANT
+    )
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(promo, rev_q).otherwise(0)).cast("double")
+                / F.sum(rev_q).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
