@@ -323,3 +323,121 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((sxx - sx * sx / n) * (syy - sy * sy / n))
         ).alias("r2"),
     )
+
+
+@query(
+    "bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT user_id % 97) AS BIGINT) AS n_cohorts
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "distinct"),
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count): each partition builds a fixed-width bitmap per
+    bucket, bitmaps OR together associatively, and the final
+    popcount is the exact distinct count. Same answer as
+    COUNT(DISTINCT) — the oracle — but the shuffle carries bitmaps,
+    not values.
+
+    Scale shape: COUNT(DISTINCT) expands to a two-phase aggregation
+    whose first shuffle carries EVERY distinct (group, value) pair;
+    the bitmap form shuffles a constant-size bitmap per (group,
+    bucket) regardless of row count — the exact-distinct analog of
+    the HLL sketch, and the right plan when values are dense
+    integers (user ids). Fully re-aggregatable: bitmaps OR across
+    days/partitions without recounting."""
+    ev = load(spark, sf_dir, "events")
+    users = (
+        ev.select("event_type", F.col("user_id").alias("v"))
+        .groupBy("event_type", F.bitmap_bucket_number(F.col("v")).alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("v"))).alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+    )
+    cohorts = (
+        ev.select("event_type", (F.col("user_id") % 97).alias("v"))
+        .groupBy("event_type", F.bitmap_bucket_number(F.col("v")).alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("v"))).alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_cohorts"))
+    )
+    return users.join(cohorts, "event_type").select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_cohorts").cast("long").alias("n_cohorts"),
+    )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT event_id,
+           value / nullif(CAST(event_id % 5 AS DOUBLE), 0.0) AS safe_div,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'oops'
+                         ELSE CAST(event_id AS VARCHAR) END AS BIGINT)
+             AS parsed,
+           CASE WHEN event_id % 2 = 0
+                THEN 9223372036854775807 ELSE event_id END AS big_or_id
+    FROM events
+    WHERE event_id < 3000
+    """,
+    tags=("scalar", "semantics"),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (`try_divide`, `try_cast`, `try_add`):
+    malformed input and overflow produce NULL instead of failing the
+    job — the semantics a 100 TB pipeline needs when one bad row in a
+    trillion must not kill a 6-hour job. ANSI mode stays ON for
+    everything else (silent-corruption protection); the try_* forms
+    are targeted opt-outs. try_add here takes the no-overflow branch
+    so both engines agree exactly; the overflowING case is pinned in
+    unit tests instead (DuckDB promotes to HUGEINT rather than
+    NULLing, so it cannot be an oracle row)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        F.try_divide("value", (F.col("event_id") % 5).cast("double")).alias(
+            "safe_div"
+        ),
+        F.try_to_number(
+            F.when(F.col("event_id") % 3 == 0, "oops").otherwise(
+                F.col("event_id").cast("string")
+            ),
+            F.lit("999999999999"),
+        )
+        .cast("long")
+        .alias("parsed"),
+        F.try_add(
+            F.when(F.col("event_id") % 2 == 0, F.lit(9223372036854775807))
+            .otherwise(F.col("event_id"))
+            .cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("big_or_id"),
+    )
+
+
+@query("hll_sketch_merge", tags=("agg", "approx", "sketch"))
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): per-(type, day) sketches
+    built with hll_sketch_agg, then re-aggregated to per-type counts
+    with hll_union_agg WITHOUT touching the raw data again — the
+    re-aggregatability that makes sketch columns materializable in a
+    daily rollup table at 100 TB (approx_count_distinct alone cannot
+    be rolled up later). Rows-only check (sketch binaries are
+    engine-specific); the estimate-vs-exact error is pinned in
+    tests/test_llm_ops.py."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .select("event_type", F.col("approx_users").cast("long").alias("approx_users"))
+    )

@@ -87,3 +87,27 @@ def test_embedding_dedup_finds_planted_pairs(spark, sf_dir):
         "vec_id % 20 = 0"
     ).count()
     assert sum(planted_found) / n_planted >= 0.7
+
+
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    """The merged-sketch estimate must be within HLL error (<5% at
+    lgK=12) of the exact distinct count — and merging daily sketches
+    must equal sketching the whole range directly."""
+    from file_scraper_spark import registry
+    from pyspark.sql import functions as F
+
+    registry._ensure_loaded()
+    est = {
+        r.event_type: r.approx_users
+        for r in registry.REGISTRY["hll_sketch_merge"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
