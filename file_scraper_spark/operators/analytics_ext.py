@@ -441,3 +441,51 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
         .select("event_type", F.col("approx_users").cast("long").alias("approx_users"))
     )
+
+
+@query(
+    "collation_compare",
+    oracle="""
+    SELECT lower(mixed) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_case_variants
+    FROM (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS mixed
+      FROM customer
+    )
+    GROUP BY lower(mixed)
+    """,
+    tags=("scalar", "semantics"),
+)
+def collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): the same
+    market segment rendered in mixed case groups as ONE key under the
+    UTF8_LCASE collation while binary COUNT(DISTINCT) still sees the
+    case variants. Collations push case/accent policy into the
+    engine's comparators — grouping, joins and sorts get
+    locale-correct semantics without wrapping every column in
+    lower() (which would defeat statistics and pushdown). The group
+    label ships as lower(key): the collated group's representative
+    string is whichever variant a partition saw first, so it is
+    normalized for the cross-engine hash.
+
+    Scale shape: identical to any hash aggregation — the collation
+    affects only the key comparator, not the plan."""
+    cust = load(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        cust.select(mixed.alias("mixed"))
+        .groupBy(F.collate(F.col("mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate(F.col("mixed"), "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("k")).alias("segment"), "n", "n_case_variants"
+        )
+    )

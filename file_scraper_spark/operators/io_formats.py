@@ -183,3 +183,32 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@query(
+    "file_metadata_cols",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_linenumber) AS BIGINT) AS line_sum
+    FROM lineitem
+    """,
+)
+def file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name` etc.):
+    every file-source row carries its provenance without any join —
+    the lineage primitive for incremental pipelines (which file did
+    this record come from, for replay/quarantine?). The reference
+    carries provenance as the external_source column it threads by
+    hand (src/fs.rs:43-47); Spark surfaces it for free.
+
+    Scale shape: the metadata struct is populated at scan time from
+    the split, zero I/O; grouping by file name costs one map-side
+    combined shuffle with one row per file."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy(
+        F.col("_metadata.file_name").alias("file_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_linenumber").alias("line_sum"),
+    )
