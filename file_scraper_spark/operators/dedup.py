@@ -665,17 +665,17 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
     )
     max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
-    len_gap = F.abs(F.length("ta") - F.length("tb")).cast("long")
-    # |la-lb| is a Levenshtein lower bound: prune before the DP.
-    # (Measured, do not "optimize": the 3-arg banded
-    # levenshtein(l, r, threshold) is 2.4x SLOWER here than the plain
-    # DP — 183s vs 77s on the 10x probe — its early-exit bookkeeping
-    # costs more than the skipped cells on ~600-char texts.)
+    # Measured, do not "optimize" (10x probe, ~600-char texts):
+    # - 3-arg banded levenshtein(l, r, threshold): 2.4x SLOWER than
+    #   the plain DP (183s vs 77s) — early-exit bookkeeping exceeds
+    #   the skipped cells.
+    # - a |len_a-len_b| lower-bound pre-filter: 2.2x SLOWER (181s vs
+    #   84s) — the extra predicate ends up re-evaluating levenshtein
+    #   after pushdown instead of pruning it.
     dist = F.levenshtein("ta", "tb").cast("long")
     return (
         a.join(b, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(len_gap <= F.floor(EDIT_REL_DIST * max_len))
         .select(
             "doc_a",
             "doc_b",

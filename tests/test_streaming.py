@@ -83,3 +83,44 @@ def test_scrape_stream_incremental(tmp_path, spark):
     con.close()
     assert rows["f0.txt"] is not None  # soft-deleted
     assert rows["f1.txt"] is None and sizes["f1.txt"] == 13  # updated
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a checkpointed streaming aggregation over an
+    unchanged source must emit NOTHING new — the file-source offsets
+    live in the checkpoint, so re-running is a no-op, not a
+    reprocess. This is the exactly-once contract a production
+    incremental pipeline leans on after every crash/redeploy."""
+    from pyspark.sql import functions as F
+
+    from file_scraper_spark.streaming.queries import events_stream
+
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def run_once() -> int:
+        emitted: list[int] = []
+
+        def fb(batch_df, _epoch) -> None:
+            emitted.append(batch_df.count())
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sum(emitted)
+
+    first = run_once()
+    assert first > 0  # initial run emits per-user updates
+    second = run_once()
+    assert second == 0  # restart: offsets replayed from checkpoint, no output
