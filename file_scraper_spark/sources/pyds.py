@@ -27,7 +27,12 @@ import os
 from datetime import datetime, timezone
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = "path string, filename string, size long, modified timestamp"
 
@@ -97,3 +102,77 @@ class ListingReader(DataSourceReader):
 def register(spark) -> None:  # noqa: ANN001
     """Idempotently register the source with a SparkSession."""
     spark.dataSource.register(ListingDataSource)
+
+
+class ListingStreamReader(SimpleDataSourceStreamReader):
+    """Incremental listing stream: each micro-batch emits files whose
+    mtime advanced past the last committed watermark — the reference's
+    repeated-scrape loop (one snapshot per run, src/main.rs:44-65)
+    recast as a continuous source. Offsets are {"mtime_ns": int}:
+    monotone, replayable (a restart re-reads from the committed
+    watermark — at-least-once for equal-mtime races, exactly-once
+    otherwise).
+
+    Scale note: SimpleDataSourceStreamReader lists on the DRIVER and
+    is the prototype-simplicity variant; the partition-parallel
+    `DataSourceStreamReader` (plan-per-offset-range on executors, like
+    the batch reader above) is the 100 TB form. The row schema and
+    offset contract are identical, so swapping is mechanical."""
+
+    def __init__(self, options: dict):
+        self.root = options["path"]
+        self.pattern = options.get("pattern", "*")
+
+    def initialOffset(self) -> dict:
+        return {"mtime_ns": -1}
+
+    def _scan(self, after_ns: int):
+        newest = after_ns
+        rows = []
+        for dirpath, _, files in os.walk(self.root):
+            for f in files:
+                if not fnmatch.fnmatch(f, self.pattern):
+                    continue
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                if st.st_mtime_ns > after_ns:
+                    newest = max(newest, st.st_mtime_ns)
+                    size = st.st_size if st.st_size <= 2**63 - 1 else None
+                    rows.append(
+                        (
+                            dirpath,
+                            f,
+                            size,
+                            datetime.fromtimestamp(
+                                st.st_mtime, tz=timezone.utc
+                            ),
+                        )
+                    )
+        return rows, newest
+
+    def read(self, start: dict):
+        rows, newest = self._scan(start["mtime_ns"])
+        return iter(rows), {"mtime_ns": newest}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derived from the filesystem; nothing to ack
+
+
+class ListingStreamDataSource(DataSource):
+    """`readStream.format("pylisting_stream")` — the streaming twin of
+    ListingDataSource (same options and row schema)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pylisting_stream"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema) -> ListingStreamReader:  # noqa: ANN001
+        return ListingStreamReader(self.options)
+
+
+def register_stream(spark) -> None:  # noqa: ANN001
+    """Idempotently register the streaming source with a session."""
+    spark.dataSource.register(ListingStreamDataSource)

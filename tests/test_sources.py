@@ -94,3 +94,45 @@ def test_python_datasource_stat_fidelity(spark, tmp_path):
         expect = datetime.fromtimestamp(st.st_mtime, tz=timezone.utc)
         got = rows[name].modified.replace(tzinfo=timezone.utc)
         assert abs((got - expect).total_seconds()) < 0.002
+
+
+def test_python_streaming_datasource_incremental(spark, tmp_path):
+    """pylisting_stream: batch 1 sees the initial tree; after new
+    files land, the next pass emits ONLY them (mtime watermark
+    offsets)."""
+    import time
+    import uuid as _uuid
+
+    from file_scraper_spark.sources import pyds
+
+    root = tmp_path / "watched"
+    root.mkdir()
+    (root / "a.dat").write_bytes(b"aa")
+    (root / "b.dat").write_bytes(b"bbb")
+
+    pyds.register_stream(spark)
+    stream = (
+        spark.readStream.format("pylisting_stream")
+        .option("path", str(root))
+        .option("pattern", "*.dat")
+        .load()
+    )
+    name = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.filename for r in spark.table(name).collect()}
+        assert first == {"a.dat", "b.dat"}
+
+        time.sleep(0.01)  # ensure a strictly newer mtime
+        (root / "c.dat").write_bytes(b"cccc")
+        q.processAllAvailable()
+        rows = [r.filename for r in spark.table(name).collect()]
+        assert sorted(rows) == ["a.dat", "b.dat", "c.dat"]  # c once, no re-emits
+    finally:
+        q.stop()
