@@ -496,3 +496,87 @@ def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "unnest_outer",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 9 = 0 THEN []::DOUBLE[]
+                  ELSE list_slice(embedding, 1, 3)::DOUBLE[] END AS arr
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT vec_id, CAST(pos AS INT) AS pos, val
+    FROM (
+      SELECT vec_id,
+             generate_subscripts(arr, 1) - 1 AS pos,
+             CAST(unnest(arr) AS DOUBLE) AS val
+      FROM v WHERE len(arr) > 0
+      UNION ALL
+      SELECT vec_id, NULL, NULL FROM v WHERE len(arr) = 0
+    )
+    """,
+    tags=("generator", "semantics"),
+)
+def unnest_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (`posexplode_outer`): rows whose array
+    is empty survive with NULL position/value instead of vanishing —
+    the generator analog of a left join, and the semantics a pipeline
+    needs when "document with zero features" must stay visible to
+    downstream accounting. DuckDB has no outer unnest, so the oracle
+    spells it as unnest-of-nonempty UNION the empty rows.
+
+    Scale shape: generators are pipelined (no shuffle); the outer
+    variant adds a constant-width null row per empty array."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    arr = F.when(
+        F.col("vec_id") % 9 == 0, F.array().cast("array<double>")
+    ).otherwise(
+        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))
+    )
+    return emb.select(
+        "vec_id", F.posexplode_outer(arr).alias("pos", "val")
+    )
+
+
+@query(
+    "map_transform_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS tag_val,
+           CAST(len(json_keys(props)) AS INT) + 1 AS n_after_zip
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("scalar", "map"),
+)
+def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-HOF family map_funcs leaves out: `transform_values`
+    (double every value), `transform_keys` (prefix-tag keys), and
+    `map_zip_with` (merge two maps field-wise). Emitted as scalar
+    lookups/cardinalities for the hash comparator.
+
+    Scale shape: narrow projection, whole-stage codegen, no
+    shuffle."""
+    m = F.from_json("props", "map<string,bigint>")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", m.alias("m"))
+    )
+    doubled = F.transform_values(F.col("m"), lambda _, v: v * 2)
+    tagged = F.transform_keys(F.col("m"), lambda k, _: F.concat(F.lit("k="), k))
+    zipped = F.map_zip_with(
+        F.col("m"),
+        F.create_map(F.lit("extra"), F.col("event_id")),
+        lambda _, v1, v2: F.coalesce(v1, v2),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(doubled, F.lit("k")).alias("k2"),
+        # look the original value up under its transform_keys-tagged key
+        F.element_at(tagged, F.lit("k=k")).alias("tag_val"),
+        F.size(F.map_keys(zipped)).alias("n_after_zip"),
+    )
