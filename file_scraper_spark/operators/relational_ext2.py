@@ -580,3 +580,108 @@ def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(tagged, F.lit("k=k")).alias("tag_val"),
         F.size(F.map_keys(zipped)).alias("n_after_zip"),
     )
+
+
+@query(
+    "tpch_q17_shape",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_quantity * {QUANT}) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) AS avg_q
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(floor(l.l_extendedprice * {QUANT}) AS BIGINT))
+                AS DOUBLE) / {QUANT} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND floor(l.l_quantity * {QUANT}) < 0.5 * pa.avg_q
+    """,
+    tags=("tpch", "agg", "join"),
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): line items of one
+    brand whose quantity is below half that part's average quantity —
+    the correlated-average-subquery shape, decorrelated into an
+    aggregate + self-join. Quantized-integer average (exact sum /
+    exact count) keeps the threshold comparison bit-identical.
+
+    Scale shape: the per-part average is a map-side-combined
+    aggregation reused via a shuffle join on partkey (both sides
+    partition by the same key — co-located under bucketing); the
+    brand filter prunes the part dim to a broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    qq = F.floor(F.col("l_quantity") * QUANT)
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum(qq).cast("double") / F.count(F.lit(1))).alias("avg_q")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    joined = (
+        li.join(pa.withColumnRenamed("l_partkey", "pk"),
+                F.col("l_partkey") == F.col("pk"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(qq < 0.5 * F.col("avg_q"))
+    )
+    return joined.agg(
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * QUANT)).cast("double")
+            / QUANT
+            / 7.0
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "tpch_q22_shape",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * {QUANT}) AS BIGINT))
+                  AS DOUBLE) / {QUANT} / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(floor(c.c_acctbal * {QUANT}) AS BIGINT))
+                AS DOUBLE) / {QUANT} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with
+    above-average balances and NO orders, grouped by country — a
+    global scalar subquery (single-row broadcast) feeding an
+    anti-join feeding an aggregation. The three-stage shape every
+    "compare to the population mean" analysis takes.
+
+    Scale shape: the scalar average is one tiny aggregate broadcast
+    into the filter (no shuffle of the big side); the anti join
+    shuffles on custkey (broadcastable when the order keys fit); the
+    final groupBy is 25 groups, map-side combined."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bq = F.floor(F.col("c_acctbal") * QUANT)
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(bq).cast("double") / QUANT / F.count(F.lit(1))).alias("ab")
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(
+        F.col("c_nationkey").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(bq).cast("double") / QUANT).alias("totacctbal"),
+    )
