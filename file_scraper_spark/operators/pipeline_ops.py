@@ -210,3 +210,86 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(F.col("b") < F.col("rate"), 1)).alias("n_sampled"),
     )
+
+
+@query(
+    "pipeline_end2end",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+      FROM documents
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS n_chars,
+             arg_min(n_words, doc_id) AS n_words
+      FROM normed GROUP BY norm_md5
+    ), kept AS (
+      SELECT *, {_oracle_bucket('doc_id')} AS b
+      FROM deduped WHERE n_words >= 10
+    )
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM kept
+    GROUP BY split, lang
+    """,
+)
+def pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline, end to end in ONE
+    declarative plan: normalize text -> exact-dedup on the normalized
+    hash (keep the min-id representative) -> quality gate (>= 10
+    words) -> deterministic hash split -> per-(split, lang)
+    accounting. Every stage is an operator this engine ships
+    standalone; composing them stays a single Catalyst plan — no
+    intermediate materialization, filters and projections fused
+    through the whole chain.
+
+    Scale shape: one scan; one shuffle for the dedup groupBy (on the
+    norm hash — uniform by construction); one map-side-combined
+    shuffle for the final stats. The split assignment is a per-row
+    expression, so adding data never moves earlier docs between
+    splits. This is the plan shape a 100 TB corpus build runs
+    nightly."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    normed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.md5(norm).alias("norm_md5"),
+    )
+    # min_by, not any_value: if two docs ever normalize to the same
+    # text with different raw attributes, the representative must be
+    # the min-id doc's attributes deterministically
+    deduped = normed.groupBy("norm_md5").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+        F.min_by("n_words", "doc_id").alias("n_words"),
+    )
+    kept = deduped.filter(F.col("n_words") >= 10).withColumn(
+        "b", hash_bucket(F.col("doc_id"))
+    )
+    split = (
+        F.when(F.col("b") < 80, "train")
+        .when(F.col("b") < 90, "valid")
+        .otherwise("test")
+    )
+    return kept.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").alias("total_words"),
+    )
