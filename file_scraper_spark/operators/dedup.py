@@ -9,8 +9,9 @@ Scale design notes (the 100 TB story):
   inverted-index / LSH-band equi-join: explode each doc into a bounded
   number of keys (shingles or signature bands), shuffle on the key,
   and only verify pairs that collide. Collision lists per key are
-  bounded (hot shingles are stopword-like and can be frequency-capped)
-  so the join partitions cleanly.
+  bounded: hot stopword-like shingles ARE frequency-capped before the
+  self-join (``cap_hot_shingles``, df <= SHINGLE_DF_CAP) so no single
+  join key can emit df^2 candidates.
 - MinHash/SimHash signatures are computed with JVM higher-order
   functions over xxhash64 — no Python UDFs; signature state per doc is
   O(k) regardless of doc length.
@@ -33,6 +34,19 @@ MINHASH_K = 32
 MINHASH_BANDS = 8  # 8 bands x 4 rows
 SIMHASH_BITS = 60  # 4 bands x 15 bits; < 63 so bigint math never overflows
 JACCARD_THRESHOLD = 0.5
+
+#: Hot-shingle frequency cap for the inverted-index joins. A shingle
+#: present in more than CAP documents (boilerplate: "all rights
+#: reserved") is dropped from the index BEFORE the self-join —
+#: otherwise a single df=k key emits k^2 candidate pairs (df in the
+#: millions on a real corpus => a 10^12-pair join key). Capping is the
+#: standard stopword-style filter: near-dup signal lives in rare
+#: shingles, and a shingle shared by >CAP docs carries ~zero Jaccard
+#: information while dominating the join. The cap applies to the
+#: *effective shingle sets* (intersection AND union counts), so the
+#: semantics stay a well-defined Jaccard over capped sets and both
+#: engines compute it identically.
+SHINGLE_DF_CAP = 100
 
 #: prime just under 2^40 for the double-hash MinHash family
 #: h_i(s) = (h1(s) + i*h2(s)) mod P  (Broder-style; h1/h2 are 40-bit
@@ -140,6 +154,41 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def cap_hot_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap`` (see
+    SHINGLE_DF_CAP). One groupBy + one left-anti join, both on the
+    same `shingle` key the downstream inverted-index join shuffles on,
+    so AQE coalesces them into the same exchange footprint. The hot
+    set itself is tiny (by definition few keys exceed the cap) but is
+    NOT broadcast-hinted: its size is data-dependent and the anti-join
+    key equals the main join key anyway."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
+# Bounded-leak scoped cache: the shingle table must be cached (it
+# feeds per-doc counts and both self-join sides; lazy cache() would
+# re-explode it concurrently — see jaccard_pairs). But the returned
+# DataFrame is lazy, so the function cannot unpersist before its
+# caller's action runs. Holding at most ONE such cache per process
+# (unpersisting the previous on the next call) keeps the 127-query
+# harness from pinning 127 exploded shingle tables in executor memory.
+_SCOPED_CACHE: list[DataFrame] = []
+
+
+def _scoped_cache(df: DataFrame) -> DataFrame:
+    while _SCOPED_CACHE:
+        _SCOPED_CACHE.pop().unpersist()
+    out = df.cache()
+    _SCOPED_CACHE.append(out)
+    return out
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard >= threshold) near-dup edge list — shared
     by dedup_ngram_jaccard and the connected-components clusterer."""
@@ -151,8 +200,9 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but stores row-format blocks whose scan is 3-4x slower than the
     # columnar cache for the big self-join (measured at the 10x
     # probe). Materializing the cache with a count() first gets both:
-    # one explode pass, columnar scans after.
-    sh = shingles(near_dup_corpus(docs)).cache()
+    # one explode pass, columnar scans after. The cache is scoped
+    # (at most one held per process — see _scoped_cache).
+    sh = _scoped_cache(cap_hot_shingles(shingles(near_dup_corpus(docs))))
     sh.count()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -180,17 +230,31 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: capped inverted index, oracle side: same df <= CAP filter as
+#: ``cap_hot_shingles`` so both engines see identical shingle sets.
+_CAPPED_SQL = f"""
+    , shingle_df AS (
+      SELECT shingle, COUNT(*) AS df FROM shingled GROUP BY shingle
+    ), capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s JOIN shingle_df d ON s.shingle = d.shingle
+      WHERE d.df <= {SHINGLE_DF_CAP}
+    )
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=_CORPUS_SQL
+    + _CAPPED_SQL
     + f"""
     , counts AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-      FROM shingled GROUP BY doc_id
+      FROM capped GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS common
-      FROM shingled a JOIN shingled b
+      FROM capped a JOIN capped b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
@@ -206,7 +270,9 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join:
     candidate pairs come from shared shingles (equi-join, scales), the
-    Jaccard is computed from exact distinct-shingle counts."""
+    Jaccard is computed from exact distinct-shingle counts over the
+    frequency-capped shingle sets (df <= SHINGLE_DF_CAP, identical in
+    the oracle)."""
     return jaccard_pairs(spark, sf_dir)
 
 
@@ -214,14 +280,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle="WITH RECURSIVE "
     + _CORPUS_SQL.replace("WITH base", "base", 1)
+    + _CAPPED_SQL
     + f"""
     , counts AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-      FROM shingled GROUP BY doc_id
+      FROM capped GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS common
-      FROM shingled a JOIN shingled b
+      FROM capped a JOIN capped b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ), pairs AS (
@@ -329,13 +396,19 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
                AS shingle
         FROM base
       )
+    ), shingle_df AS (
+      SELECT shingle, COUNT(*) AS df FROM shingled GROUP BY shingle
+    ), capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s JOIN shingle_df d ON s.shingle = d.shingle
+      WHERE d.df <= {SHINGLE_DF_CAP}
     ), eval_sh AS (
-      SELECT doc_id AS eval_id, shingle FROM shingled WHERE doc_id < 10
+      SELECT doc_id AS eval_id, shingle FROM capped WHERE doc_id < 10
     ), train_sh AS (
-      SELECT doc_id AS train_id, shingle FROM shingled WHERE doc_id >= 10
+      SELECT doc_id AS train_id, shingle FROM capped WHERE doc_id >= 10
     ), counts AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-      FROM shingled GROUP BY doc_id
+      FROM capped GROUP BY doc_id
     ), overlap AS (
       SELECT e.eval_id, t.train_id, CAST(COUNT(*) AS BIGINT) AS common
       FROM eval_sh e JOIN train_sh t ON e.shingle = t.shingle
@@ -356,9 +429,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number of training docs sharing >= 1 shingle. Same
     inverted-index equi-join shape as near-dup detection — the
     standard decontamination pass before training. Fractions are exact
-    ratios of identical integers (engine-identical)."""
+    ratios of identical integers (engine-identical). Hot shingles are
+    frequency-capped before the join (see SHINGLE_DF_CAP) — the same
+    df^2 blowup guard as the near-dup inverted index."""
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(docs.select("doc_id", F.split("text", " ").alias("words")))
+    sh = cap_hot_shingles(
+        shingles(docs.select("doc_id", F.split("text", " ").alias("words")))
+    )
     eval_sh = sh.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("eval_id"), "shingle"
     )
@@ -615,14 +692,23 @@ EDIT_REL_DIST = 0.25  # near-dup if dist <= 25% of the longer text
     ), texts AS (
       SELECT doc_id, array_to_string(words, ' ') AS text FROM corpus
     ), blocked AS (
-      SELECT doc_id, text, substring(text, 1, 16) AS blk FROM texts
+      SELECT doc_id, text, substring(text, 1, 16) AS blk,
+             length(bin(greatest(length(text), 1))) AS band
+      FROM texts
+    ), keyed AS (
+      SELECT doc_id, text, blk, band + d AS jb
+      FROM blocked CROSS JOIN (VALUES (0), (1)) t(d)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.text AS ta, b.text AS tb
+      FROM keyed a JOIN keyed b
+        ON a.blk = b.blk AND a.jb = b.jb AND a.doc_id < b.doc_id
     ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
-             CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+             CAST(greatest(length(ta), length(tb)) AS BIGINT)
                AS max_len
-      FROM blocked a JOIN blocked b
-        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      FROM cand
     )
     SELECT doc_a, doc_b, dist, max_len
     FROM pairs
@@ -634,35 +720,60 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs — the
     character-level member of the dedup family, catching OCR noise /
     small in-place edits that word-level shingles over-penalize.
-    Blocking is a prefix key (near-dups share their opening bytes in
-    this corpus — the planted perturbation truncates the TAIL);
-    within a block, exact Levenshtein, kept when the distance is
-    under 25% of the longer text. Both engines run the same classic
-    DP, so the integer distances hash-match exactly.
 
-    Scale shape: the prefix block bounds the quadratic stage like any
-    LSH bucket; Levenshtein is O(len^2) per pair, so at 100 TB the
-    blocking key must keep buckets small (prefix + length band), and
-    the length-difference lower bound |la-lb| <= d prunes before the
-    DP — Spark's levenshtein(l, r, threshold) 3-arg form short-
-    circuits exactly that way."""
+    Blocking is a COMPOSITE key: (16-char prefix, power-of-2 length
+    band). The prefix alone mega-buckets under templated corpora
+    (every doc opening with the same boilerplate lands on one join
+    key); the length band splits those buckets. The band is
+    ``length(bin(len))`` — i.e. floor(log2(len))+1, computed with
+    integer/string ops so Spark and DuckDB agree bit-for-bit (a
+    floating log2 could round differently at band edges). Each doc is
+    indexed under its own band AND band+1, and candidates require
+    equal keys — so two docs collide iff their bands differ by <= 1.
+    Because a surviving pair needs dist <= 25% of the longer text and
+    |len_a - len_b| <= dist, its length ratio is <= 4/3 < 2, which
+    forces band delta <= 1: the composite block provably returns the
+    IDENTICAL result set to prefix-only blocking while bounding
+    bucket size. (A linear floor(len/W) band was rejected: any fixed
+    W drops genuine near-dups whose length gap exceeds W — the
+    planted 80%-truncation pairs differ by ~20% of the text.)
+
+    Within a block, exact Levenshtein, kept when the distance is
+    under 25% of the longer text. Both engines run the same classic
+    DP, so the integer distances hash-match exactly."""
     docs = load(spark, sf_dir, "documents")
     corpus = near_dup_corpus(docs)
     texts = corpus.select(
         "doc_id", F.array_join("words", " ").alias("text")
     )
+    band = F.length(F.bin(F.greatest(F.length("text"), F.lit(1))))
     blocked = texts.select(
-        "doc_id", "text", F.substring("text", 1, EDIT_PREFIX).alias("blk")
+        "doc_id",
+        "text",
+        F.substring("text", 1, EDIT_PREFIX).alias("blk"),
+        band.alias("band"),
     )
-    a = blocked.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("text").alias("ta"),
+    # dual emission: keys band and band+1 on BOTH sides -> key sets
+    # {b, b+1} intersect iff |b_a - b_b| <= 1 (order-free, so the
+    # doc_a < doc_b canonicalization stays correct); same-band pairs
+    # match on two keys, hence the distinct() before the DP.
+    keyed = blocked.select(
+        "doc_id",
+        "text",
         "blk",
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("jb"),
     )
-    b = blocked.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("text").alias("tb"),
-        "blk",
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "blk", "jb"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "blk", "jb"
+    )
+    cand = (
+        a.join(b, ["blk", "jb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ta", "tb")
+        .distinct()
     )
     max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
     # Measured, do not "optimize" (10x probe, ~600-char texts):
@@ -674,9 +785,7 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   after pushdown instead of pruning it.
     dist = F.levenshtein("ta", "tb").cast("long")
     return (
-        a.join(b, "blk")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        cand.select(
             "doc_a",
             "doc_b",
             dist.alias("dist"),

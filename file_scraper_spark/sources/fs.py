@@ -11,19 +11,35 @@ metadata columns, and the binaryFile reader prunes `content` away
 The projected schema mirrors FileInfo (src/db.rs:10-18 -> FIXTURES.md §4):
 external_source, path, filename, mime_type, created, modified, size.
 
-Quirk parity: `created` is st_ctime-based where available and NULL
-otherwise — the reference *errors* on platforms without btime
-(src/fs.rs:65); erroring a 1000-executor job for a missing btime is
-wrong at scale, so we relax to NULL and document the divergence.
+Quirk parity: the reference populates `created` from the platform's
+file-creation time and *errors* where btime is unavailable
+(`metadata.created()?`, src/fs.rs:65). Erroring a 1000-executor job
+for a missing btime is wrong at scale, so we relax: ``enrich_created``
+stats each listed file executor-side and fills `created` from
+st_birthtime where the platform exposes it (macOS/Windows/BSD),
+falling back to st_ctime (Linux: inode-change time — the closest
+os.stat field; it moves when a file is replaced, which is what the
+A8 change predicate needs), and NULL only if the stat itself fails.
+Spark's binaryFile listing exposes only (modificationTime, length),
+so this costs one extra executor-side stat per file — exactly the
+stat the reference performs (src/fs.rs:60-66). Pass
+``created_from_stat=False`` to skip it when the sink does not use
+`created` (halves metadata I/O on remote stores).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_scraper_spark.sources.mime import with_mime_type
 from file_scraper_spark.sources.url import default_fs_identifier
+
+if TYPE_CHECKING:
+    import pandas as pd
 
 
 def list_files(spark: SparkSession, root: str) -> DataFrame:
@@ -35,6 +51,59 @@ def list_files(spark: SparkSession, root: str) -> DataFrame:
         .select("path", "modificationTime", "length")  # prunes `content`
     )
     return raw
+
+
+def _stat_created_ns(full_path: str) -> int | None:
+    """Creation time in epoch-ns: st_birthtime if the platform has it,
+    else st_ctime (see module docstring); None when the file vanished
+    between listing and stat (OSError) — a tolerated per-entry anomaly,
+    matching the reference walk's filter_map_ok (src/fs.rs:92)."""
+    import os
+
+    try:
+        st = os.stat(full_path)
+    except OSError:
+        return None
+    bt = getattr(st, "st_birthtime_ns", None)
+    if bt is not None:
+        return bt
+    bt = getattr(st, "st_birthtime", None)
+    if bt is not None:
+        return int(bt * 1_000_000_000)
+    return st.st_ctime_ns
+
+
+def enrich_created(projected: DataFrame) -> DataFrame:
+    """Fill the `created` column by stat-ing each file on executors.
+
+    Arrow-batched mapInPandas (never row-at-a-time serialization); the
+    per-file os.stat is the same syscall the reference's walk performs
+    per entry. Schema is unchanged, so batch and streaming paths can
+    both layer this on top of ``project_listing``."""
+    schema = projected.schema
+
+    def add_created(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            us = [
+                None if ns is None else ns // 1_000
+                for ns in (
+                    _stat_created_ns(f"{p}/{f}")
+                    for p, f in zip(pdf["path"], pdf["filename"])
+                )
+            ]
+            pdf = pdf.copy()
+            # naive UTC datetimes, pre-truncated to micros (Spark
+            # TimestampType precision — Arrow refuses a lossy ns->us
+            # cast); session timezone is UTC-pinned (tables.load), so
+            # Arrow round-trips them unshifted
+            pdf["created"] = pd.to_datetime(
+                pd.Series(us, index=pdf.index, dtype="object"), unit="us"
+            )
+            yield pdf
+
+    return projected.mapInPandas(add_created, schema)
 
 
 def project_listing(
@@ -65,12 +134,19 @@ def project_listing(
 
 
 def scrape_fs(
-    spark: SparkSession, root: str, identifier: str | None = None
+    spark: SparkSession,
+    root: str,
+    identifier: str | None = None,
+    created_from_stat: bool = True,
 ) -> DataFrame:
-    """Full fs scrape dataflow: list -> project FileInfo -> mime join.
+    """Full fs scrape dataflow: list -> project FileInfo -> mime join
+    -> created stat enrichment.
 
     Equivalent of the reference walk pipeline minus the sink
     (src/fs.rs:98-117); feed the result to sinks.merge_sink.
     """
     identifier = identifier or default_fs_identifier(root)
-    return project_listing(list_files(spark, root), spark, identifier)
+    out = project_listing(list_files(spark, root), spark, identifier)
+    if created_from_stat:
+        out = enrich_created(out)
+    return out

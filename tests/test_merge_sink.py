@@ -92,6 +92,26 @@ def test_null_created_noop_not_rewritten(db):
     assert fetch(connect)[0][3] == "manual/fix"
 
 
+def test_created_only_change_fires_update(db):
+    """A8 change tuple includes `created` (src/db.rs:111-115): with the
+    fs source now stat-enriching created (sources/fs.py), a file whose
+    ctime moved but whose (modified, size) did not — e.g. chmod then
+    touch -m back, or an in-place restore — must still be rewritten."""
+    sink, connect = db
+    sink.sync_rows([row(created=T0)], SRC, T1)
+    con = connect()
+    con.execute("UPDATE external_file SET mime_type = 'manual/fix'")
+    con.commit()
+    con.close()
+    # created flips T0 -> T1, modified/size identical -> update fires
+    # (and, per the reference, the update overwrites mime_type)
+    sink.sync_rows([row(created=T1)], SRC, T2)
+    got = fetch(connect)[0]
+    assert got[4] == T1  # created updated
+    assert got[3] == "text/plain"  # change-update clobbers manual mime
+    assert got[7] is None  # still live
+
+
 def test_deleted_restamped_every_scrape(db):
     # reference quirk (src/db.rs:48-65): no `deleted IS NULL` guard
     sink, connect = db

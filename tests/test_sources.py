@@ -57,7 +57,33 @@ def test_scrape_fs_schema_and_rows(spark, sf_dir):
     assert len(rows) == 10  # the ten fixture parquet files
     assert all(r.mime_type == "application/vnd.apache.parquet" for r in rows)
     assert all(r.size > 0 for r in rows)
-    assert all(r.created is None for r in rows)
+    # created parity (reference src/fs.rs:65): populated from the
+    # executor-side stat (st_ctime on Linux) — never NULL on a
+    # readable local tree
+    assert all(r.created is not None for r in rows)
+
+
+def test_scrape_fs_created_matches_stat(spark, tmp_path):
+    """created must equal os.stat's birthtime/ctime (micros precision)
+    and switch off cleanly with created_from_stat=False."""
+    import os
+    from datetime import datetime, timezone
+
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"\x00" * 64)
+    st = os.stat(f)
+    expect_ns = getattr(st, "st_birthtime_ns", None) or st.st_ctime_ns
+
+    rows = scrape_fs(spark, str(tmp_path), identifier="t").collect()
+    assert len(rows) == 1
+    got = rows[0].created.replace(tzinfo=timezone.utc)
+    expect = datetime.fromtimestamp(expect_ns / 1e9, tz=timezone.utc)
+    assert abs((got - expect).total_seconds()) < 0.002
+
+    plain = scrape_fs(
+        spark, str(tmp_path), identifier="t", created_from_stat=False
+    ).collect()
+    assert plain[0].created is None
 
 
 def test_python_datasource_stat_fidelity(spark, tmp_path):
