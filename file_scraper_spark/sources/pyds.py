@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import fnmatch
 import os
+import stat as stat_mod
 from datetime import datetime, timezone
 from typing import Iterator, Sequence
 
@@ -77,17 +78,32 @@ class ListingReader(DataSourceReader):
         return [_Shard(children[i::n]) for i in range(n)]
 
     def read(self, partition: _Shard) -> Iterator[tuple]:
-        # Executor-side: recursive walk + stat of this shard.
+        # Executor-side: recursive walk + stat of this shard. Per-entry
+        # anomalies are TOLERATED, not fatal (parity with the reference
+        # walk's filter_map_ok, src/fs.rs:88): a file deleted mid-walk
+        # or an unreadable directory is skipped, never a job failure.
+        # lstat (never following links) makes symlinks non-dir non-reg
+        # entries, so symlink cycles cannot loop the walk and symlinked
+        # subtrees are not double-counted — matching WalkDir's default
+        # no-follow + the reference's is_file() filter (src/fs.rs:55).
         stack = list(partition.entries)
         while stack:
             p = stack.pop()
-            if os.path.isdir(p):
-                stack.extend(os.path.join(p, e) for e in os.listdir(p))
+            try:
+                st = os.lstat(p)
+            except OSError:
+                continue  # vanished or unreadable between list and stat
+            if stat_mod.S_ISDIR(st.st_mode):
+                try:
+                    stack.extend(os.path.join(p, e) for e in os.listdir(p))
+                except OSError:
+                    pass  # unreadable dir: skip its subtree
                 continue
+            if not stat_mod.S_ISREG(st.st_mode):
+                continue  # symlink / fifo / socket: not a file record
             name = os.path.basename(p)
             if not fnmatch.fnmatch(name, self.pattern):
                 continue
-            st = os.stat(p)
             # u64->i64 overflow -> NULL, like the reference's
             # size.try_into().ok() (src/db.rs:85)
             size = st.st_size if st.st_size <= 2**63 - 1 else None
@@ -126,7 +142,12 @@ class ListingStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"mtime_ns": -1}
 
-    def _scan(self, after_ns: int):
+    def _scan(self, after_ns: int, until_ns: int | None = None):
+        """Files with after_ns < mtime_ns (<= until_ns if given).
+        os.walk never follows symlinked dirs (followlinks=False) and
+        tolerates unreadable dirs; the per-file stat is additionally
+        guarded so entries vanishing mid-scan are skipped, not fatal
+        (the reference walk's filter_map_ok, src/fs.rs:88)."""
         newest = after_ns
         rows = []
         for dirpath, _, files in os.walk(self.root):
@@ -134,8 +155,13 @@ class ListingStreamReader(SimpleDataSourceStreamReader):
                 if not fnmatch.fnmatch(f, self.pattern):
                     continue
                 p = os.path.join(dirpath, f)
-                st = os.stat(p)
-                if st.st_mtime_ns > after_ns:
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue  # deleted / broken link between list+stat
+                if st.st_mtime_ns > after_ns and (
+                    until_ns is None or st.st_mtime_ns <= until_ns
+                ):
                     newest = max(newest, st.st_mtime_ns)
                     size = st.st_size if st.st_size <= 2**63 - 1 else None
                     rows.append(
@@ -153,6 +179,16 @@ class ListingStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         rows, newest = self._scan(start["mtime_ns"])
         return iter(rows), {"mtime_ns": newest}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Failure-recovery replay of a planned-but-uncommitted batch
+        (the engine calls this on restart to re-emit [start, end]):
+        rescan bounded above by the end offset so the replayed batch
+        contains exactly the files that batch claimed — files touched
+        after `end` stay in the NEXT batch. At-least-once for
+        equal-mtime races, like the live path."""
+        rows, _ = self._scan(start["mtime_ns"], until_ns=end["mtime_ns"])
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are derived from the filesystem; nothing to ack

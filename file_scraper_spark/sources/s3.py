@@ -52,17 +52,25 @@ _LIST_SCHEMA = T.StructType(
 
 
 def list_objects_boto3(
-    spark: SparkSession, loc: S3Location, page_size: int = 1000
+    spark: SparkSession,
+    loc: S3Location,
+    page_size: int = 1000,
+    client=None,  # noqa: ANN001 - boto3-shaped client, injectable for tests
 ) -> DataFrame:
-    """ListObjectsV2 pagination loop -> DataFrame (fallback path)."""
-    try:
-        import boto3  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - boto3 absent in container
-        raise NotImplementedError(
-            "boto3 not available; use the s3a:// listing path "
-            "(scrape_s3 with use_s3a=True) on a configured cluster"
-        ) from e
-    client = boto3.client("s3")
+    """ListObjectsV2 pagination loop -> DataFrame (fallback path).
+
+    ``client`` is any object with boto3's ``list_objects_v2`` shape —
+    injected in tests (no S3 in the sandbox); defaults to a real
+    boto3 client."""
+    if client is None:
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - boto3 absent in container
+            raise NotImplementedError(
+                "boto3 not available; use the s3a:// listing path "
+                "(scrape_s3 with use_s3a=True) on a configured cluster"
+            ) from e
+        client = boto3.client("s3")
     rows = []
     token: str | None = None
     while True:  # continuation-token loop (reference src/s3.rs:135-150)
@@ -72,7 +80,13 @@ def list_objects_boto3(
         resp = client.list_objects_v2(**kwargs)
         for obj in resp.get("Contents", []):
             rows.append((obj["Key"], obj["LastModified"], int(obj["Size"])))
-        if not resp.get("IsTruncated"):
+        if "IsTruncated" not in resp:
+            # parity with the reference, which refuses to silently
+            # stop paging when the flag is absent (src/s3.rs:145
+            # `is_truncated().context(..)?`) — a truncated-but-
+            # unflagged listing would mass-soft-delete the unseen tail
+            raise ValueError("IsTruncated missing from ListObjectsV2 response")
+        if not resp["IsTruncated"]:
             break
         token = resp.get("NextContinuationToken")
     return spark.createDataFrame(rows, schema=_LIST_SCHEMA)
@@ -112,6 +126,7 @@ def scrape_s3(
     loc: S3Location,
     identifier: str | None = None,
     use_s3a: bool = True,
+    client=None,  # noqa: ANN001 - boto3-shaped client for the fallback path
 ) -> DataFrame:
     """Full S3 scrape dataflow (minus sink)."""
     identifier = identifier or loc.url  # reference src/s3.rs:71
@@ -128,5 +143,5 @@ def scrape_s3(
         except Exception as e:
             raise translate_s3a_error(e) from e
     else:
-        listed = list_objects_boto3(spark, loc)
+        listed = list_objects_boto3(spark, loc, client=client)
     return project_objects(spark, listed, identifier)

@@ -26,6 +26,35 @@ from file_scraper_spark.tables import load
 
 WATERMARK = "1 hour"
 
+# Bounded-leak checkpoint dirs: stream_state_inspect's returned frame
+# lazily reads the state store UNDER its checkpoint dir, so the dir
+# cannot be rmtree'd before the caller's action runs. Instead each
+# call reclaims the previous call's dir and atexit sweeps the last —
+# a many-query harness run leaks at most one live checkpoint instead
+# of one per invocation.
+_STATE_CKPTS: list[str] = []
+_CKPT_SWEEP_REGISTERED = False
+
+
+def _scoped_checkpoint_dir() -> str:
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    global _CKPT_SWEEP_REGISTERED
+    while _STATE_CKPTS:
+        shutil.rmtree(_STATE_CKPTS.pop(), ignore_errors=True)
+    d = tempfile.mkdtemp(prefix="fss_state_")
+    if not _CKPT_SWEEP_REGISTERED:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _STATE_CKPTS
+            ]
+        )
+        _CKPT_SWEEP_REGISTERED = True
+    _STATE_CKPTS.append(d)
+    return d
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file stream.
@@ -406,9 +435,7 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     at production scale this is the online tool for state-size
     debugging and offline state migration, without replaying the
     stream."""
-    import tempfile  # noqa: PLC0415
-
-    ckpt = tempfile.mkdtemp(prefix="fss_state_")
+    ckpt = _scoped_checkpoint_dir()
     agg = (
         events_stream(spark, sf_dir)
         .groupBy("user_id")
@@ -437,3 +464,32 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("long").alias("n_events"),
         (F.col("value.sum").cast("double") / 1_000_000).alias("sum_value"),
     )
+
+
+@query(
+    "pylisting_stream",
+    oracle="""
+    SELECT regexp_extract(file, '([^/]*)$', 1) AS filename
+    FROM glob('/root/testdata/sf0.01/*.parquet')
+    """,
+    tags=("streaming", "source"),
+)
+def pylisting_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Python DataSource (sources/pyds.py: mtime-
+    watermark incremental listing, the reference's repeated-scrape
+    loop as a continuous source) driven for one full availableNow-
+    style pass over sf_dir. Emits the filenames the first micro-batch
+    lists — deterministic for a static fixture tree, so it IS
+    oracle-checkable against DuckDB's glob() of the same directory
+    (path pinned to sf0.01, the driver's t2 scale; the local harness
+    retargets it at the sf_dir under test)."""
+    from file_scraper_spark.sources import pyds  # noqa: PLC0415
+
+    pyds.register_stream(spark)
+    stream = (
+        spark.readStream.format("pylisting_stream")
+        .option("path", sf_dir)
+        .option("pattern", "*.parquet")
+        .load()
+    )
+    return run_to_memory(stream.select("filename"), mode="append")

@@ -89,6 +89,54 @@ def test_embedding_dedup_finds_planted_pairs(spark, sf_dir):
     assert sum(planted_found) / n_planted >= 0.7
 
 
+def test_dedup_band_bits_autoscale():
+    """Band bits hold at 8 through every driver fixture size, then
+    grow one bit per corpus doubling — bounded expected occupancy."""
+    from file_scraper_spark.operators.similarity import (
+        DEDUP_BASE_N,
+        dedup_band_bits,
+    )
+
+    assert dedup_band_bits(210) == 8  # sf0.001
+    assert dedup_band_bits(2100) == 8  # sf0.01
+    assert dedup_band_bits(22050) == 8  # sf0.1
+    assert dedup_band_bits(DEDUP_BASE_N) == 8
+    assert dedup_band_bits(DEDUP_BASE_N + 1) == 9
+    assert dedup_band_bits(4 * DEDUP_BASE_N) == 10
+    assert dedup_band_bits(10**10) == 8 + 19  # the 100 TB regime
+
+
+def test_dedup_band_bucket_occupancy_bounded():
+    """10x-probe shape (VERDICT r2 #6): on a corpus ABOVE the 8-bit
+    regime, auto-scaled banding must keep max bucket occupancy near
+    the n/2^bits expectation — the quadratic bucket-local verify
+    stays bounded — while fixed 8-bit banding degrades ~2x per
+    doubling. Runs the real banding kernel directly (no Spark round
+    trip) on seeded random unit vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from file_scraper_spark.operators.similarity import (
+        DIM,
+        _band_rows_fn,
+        dedup_band_bits,
+    )
+
+    n = 80_000  # > 2*DEDUP_BASE_N -> 10 bits
+    bits = dedup_band_bits(n)
+    assert bits == 10
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((n, DIM))
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "v": list(V)})
+    out = pd.concat(list(_band_rows_fn(bits)([pdf])))
+    occ = out.groupby(["band", "band_val"]).size()
+    # expectation n/2^bits = 78; signs of random projections are not
+    # perfectly uniform, so allow a generous constant factor
+    assert occ.max() <= 40 * (n // 2**bits), occ.max()
+    # and the scaled key space is actually being used
+    assert occ.index.get_level_values("band_val").max() >= 2**(bits - 1)
+
+
 def test_hll_sketch_merge_accuracy(spark, sf_dir):
     """The merged-sketch estimate must be within HLL error (<5% at
     lgK=12) of the exact distinct count — and merging daily sketches

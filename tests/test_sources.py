@@ -122,6 +122,62 @@ def test_python_datasource_stat_fidelity(spark, tmp_path):
         assert abs((got - expect).total_seconds()) < 0.002
 
 
+def test_python_datasource_tolerates_fs_anomalies(spark, tmp_path):
+    """Real trees contain broken symlinks and symlink cycles; the
+    executor walk must skip them (reference filter_map_ok parity,
+    src/fs.rs:88) instead of crashing or looping forever."""
+    import os
+
+    from file_scraper_spark.sources import pyds
+
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "real.dat").write_bytes(b"ok")
+    os.symlink(tmp_path / "nowhere", sub / "broken.dat")  # dangling
+    os.symlink(tmp_path, sub / "loop")  # cycle back to the root
+    os.symlink(sub / "real.dat", sub / "alias.dat")  # file symlink
+
+    pyds.register(spark)
+    rows = (
+        spark.read.format("pylisting")
+        .option("path", str(tmp_path))
+        .option("pattern", "*.dat")
+        .load()
+    ).collect()
+    # only the regular file; no crash, no infinite loop, no
+    # double-count through the cycle or the alias
+    assert [(r.filename, r.size) for r in rows] == [("real.dat", 2)]
+
+
+def test_streaming_datasource_replay_between_offsets(tmp_path):
+    """Failure recovery: readBetweenOffsets must re-emit exactly the
+    planned batch — files touched after the batch's end offset belong
+    to the NEXT batch, files inside the range are replayed."""
+    import os
+
+    from file_scraper_spark.sources.pyds import ListingStreamReader
+
+    root = tmp_path / "w"
+    root.mkdir()
+    (root / "a.dat").write_bytes(b"a")
+    (root / "b.dat").write_bytes(b"bb")
+
+    r = ListingStreamReader({"path": str(root), "pattern": "*.dat"})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert {t[1] for t in rows} == {"a.dat", "b.dat"}
+
+    # a file lands AFTER the planned batch (strictly newer mtime)
+    (root / "late.dat").write_bytes(b"zzz")
+    os.utime(root / "late.dat", ns=(end["mtime_ns"] + 10**9,) * 2)
+
+    replay = list(r.readBetweenOffsets(start, end))
+    assert {t[1] for t in replay} == {"a.dat", "b.dat"}
+    # and the next live batch picks up only the late file
+    nxt, _ = r.read(end)
+    assert {t[1] for t in nxt} == {"late.dat"}
+
+
 def test_python_streaming_datasource_incremental(spark, tmp_path):
     """pylisting_stream: batch 1 sees the initial tree; after new
     files land, the next pass emits ONLY them (mtime watermark

@@ -103,7 +103,13 @@ def main() -> int:
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            d_cols, d_rows = duckdb_run(sf_dir, spec.oracle)
+            # A few oracles (scrape_fs, python_datasource) glob() the
+            # fixture directory by literal path, pinned to sf0.01 (the
+            # driver's t2 scale — driver oracles cannot receive sf_dir).
+            # Locally, retarget them at the directory under test so a
+            # run against another fixture compares the right tree.
+            osql = spec.oracle.replace("/root/testdata/sf0.01", sf_dir)
+            d_cols, d_rows = duckdb_run(sf_dir, osql)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
