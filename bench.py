@@ -7,12 +7,19 @@ Prints ONE JSON line:
 
 Each query is materialized through the noop sink (full JVM execution,
 no driver collect, no Python serialization in the measurement path).
+
+Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_REPS passes
+(default 3), interleaved round-robin so a transient JVM hiccup (GC,
+JIT recompile) lands in one pass, not one query: single-pass timings
+on this box swing +/-25% run-to-run (NOTES.md), which the median
+kills. `value` is the sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -73,11 +80,16 @@ def main() -> None:
         load(spark, sf_dir, t).count()
     materialize(queries["topk_sort_limit"](spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(

@@ -159,3 +159,65 @@ def test_hll_sketch_merge_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """agg_approx_distinct (rows-only in the driver gate) must agree
+    with the exact per-group distinct count within a few times the
+    requested rsd=0.01 — a quantitative bound, not just a shape
+    check."""
+    from pyspark.sql import functions as F
+
+    rows = R["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    est = {r.event_type: r.approx_users for r in rows}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        # 4x rsd covers the estimator's tail at small-cardinality groups
+        assert abs(est[t] - n) <= max(2, 4 * 0.01 * n), (t, est[t], n)
+    # and the exact companion column is exact
+    n_events = {r.event_type: r.n_events for r in rows}
+    exact_n = {
+        r.event_type: r.c
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert n_events == exact_n
+
+
+def test_approx_quantile_within_rank_error(spark, sf_dir):
+    """approx_percentile(accuracy=1000) guarantees the returned value
+    sits within n/1000 RANK positions of the target rank (the
+    Greenwald-Khanna bound — the estimate is an actual data value, so
+    the check is on ranks, not interpolated values): per group, the
+    estimate's rank interval in the sorted values must overlap
+    [p*n - n/1000 - 1, p*n + n/1000 + 1]."""
+    import numpy as np
+
+    est = {
+        r.event_type: (r.approx_p50, r.approx_p90, r.approx_p99)
+        for r in R["approx_quantile"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    groups: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        groups.setdefault(r.event_type, []).append(r.value)
+    assert set(est) == set(groups)
+    for t, vals in groups.items():
+        arr = np.sort(np.array(vals))
+        n = len(arr)
+        slack = n / 1000 + 1
+        for p, v in zip((0.5, 0.9, 0.99), est[t]):
+            lo_rank = np.searchsorted(arr, v, side="left")
+            hi_rank = np.searchsorted(arr, v, side="right")
+            target = p * (n - 1)
+            assert lo_rank - slack <= target <= hi_rank + slack, (
+                t, p, v, lo_rank, hi_rank, target, n
+            )
+            # and the estimate is an actual observed value
+            assert v in arr
