@@ -293,3 +293,70 @@ def pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_words").alias("total_words"),
     )
+
+
+CTX_WINDOW = 128  # tokens per training context window
+CTX_STRIDE = 64  # window start stride (50% overlap)
+
+
+@query(
+    "context_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), exploded AS (
+      SELECT doc_id, words, n,
+             unnest(range(0, (n + {CTX_STRIDE - 1}) // {CTX_STRIDE})) AS w
+      FROM toks
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS win_id,
+           CAST(w * {CTX_STRIDE} AS BIGINT) AS win_start,
+           CAST(least({CTX_WINDOW}, n - w * {CTX_STRIDE}) AS BIGINT)
+             AS win_len,
+           words[w * {CTX_STRIDE} + 1] AS first_tok,
+           words[w * {CTX_STRIDE}
+                 + least({CTX_WINDOW}, n - w * {CTX_STRIDE})] AS last_tok
+    FROM exploded
+    """,
+)
+def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows: tokenize each document and emit
+    CTX_WINDOW-token windows every CTX_STRIDE tokens (50% overlap) —
+    the chunking step that turns variable-length documents into
+    fixed-context training samples. Emits (win_id, start, length,
+    first/last token) per window; the real pipeline would slice the
+    token array the same way (the boundary tokens pin the slice
+    arithmetic for the oracle without shipping whole windows).
+
+    All integer arithmetic ((n + S - 1) div S window count — no
+    float division whose ceil could round differently across
+    engines); one explode, no shuffle at all: windowing is per-row,
+    so the operator scales linearly and partitions trivially at
+    100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).withColumn("n", F.size("words").cast("long"))
+    exploded = toks.select(
+        "doc_id",
+        "words",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"(n + {CTX_STRIDE - 1}) div {CTX_STRIDE}") - 1,
+            )
+        ).alias("w"),
+    )
+    start = F.col("w") * CTX_STRIDE
+    win_len = F.least(F.lit(CTX_WINDOW).cast("long"), F.col("n") - start)
+    return exploded.select(
+        "doc_id",
+        F.col("w").alias("win_id"),
+        start.alias("win_start"),
+        win_len.alias("win_len"),
+        F.element_at("words", (start + 1).cast("int")).alias("first_tok"),
+        F.element_at("words", (start + win_len).cast("int")).alias("last_tok"),
+    )

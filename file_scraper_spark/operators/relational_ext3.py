@@ -1,0 +1,332 @@
+"""Additional TPC-H-shaped relational coverage ([EXT], SURVEY §2.B
+"beyond the reference" analytics surface): correlated scalar
+subqueries, disjunctive predicate pushdown, exclusion subqueries,
+multi-nation join graphs — the remaining classic OLAP shapes not yet
+in relational_ext/relational_ext2.
+
+Determinism: every revenue sum is the quantized BIGINT fold
+(functions/exact.dsum — see registry.py rules); doubles only appear
+as exact per-row IEEE results (division, min) that both engines
+compute bit-identically; every ORDER BY/LIMIT carries a unique
+tiebreaker.
+
+Scale notes: dims (part, supplier, nation, customer at these shapes'
+filters) broadcast; lineitem is the only shuffled table in each plan.
+The derived partsupp (distinct (l_partkey, l_suppkey)) shuffles once
+and is reused within a plan; at 100 TB it would be a maintained
+bucketed table instead of a per-query derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.functions.exact import QUANT, dsum, oracle_dsum
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+
+@query(
+    "tpch_q2_shape",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT partkey, MIN(cost) AS min_cost FROM ps GROUP BY partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, ps.cost
+    FROM part p
+    JOIN ps ON ps.partkey = p.p_partkey
+    JOIN best b ON b.partkey = p.p_partkey AND ps.cost = b.min_cost
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15
+    ORDER BY p.p_partkey, s.s_suppkey
+    """,
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost-supplier shape (TPC-H Q2): a correlated scalar
+    subquery — for each part, the supplier(s) achieving the minimum
+    unit cost — decorrelated the way Catalyst does it: aggregate the
+    derived partsupp twice (per-(part,supplier) cost, then per-part
+    min) and equi-join on equality with the min. Unit cost is one
+    IEEE division + MIN (no accumulation), so the double compares
+    bit-identically across engines. partsupp is derived from lineitem
+    (the fixture has no partsupp table); ties keep all witnesses, so
+    no arbitrary-row nondeterminism."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    best = ps.groupBy("partkey").agg(F.min("cost").alias("min_cost"))
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        ps.join(best, ["partkey"])
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "cost")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@query(
+    "tpch_q7_shape",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1999-12-31'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping shape (TPC-H Q7): the same dim (nation) joined
+    twice under different roles with a symmetric cross-nation
+    disjunction, plus a year extraction group key. Both nation copies
+    broadcast; the disjunctive filter runs after both joins (it spans
+    them), but each branch's nation equality still prunes via the
+    broadcast hash lookups."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1999-12-31")
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (
+        F.col("cust_nation") == "NATION_7"
+    ) | (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q10_shape",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item-losses shape (TPC-H Q10): selective fact filter
+    (returnflag, one order year) -> join up the customer/nation dims
+    -> top 20 by lost revenue. The returnflag + date predicates reach
+    the parquet scans (PushedFilters); TakeOrderedAndProject caps the
+    result without a global sort."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q15_shape",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(floor((l_extendedprice * (1 - l_discount))
+                 * {QUANT}) AS BIGINT)) AS rev_q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev_q AS DOUBLE) / {QUANT} AS total_revenue
+    FROM srev
+    JOIN supplier s ON s.s_suppkey = srev.suppkey
+    WHERE rev_q = (SELECT MAX(rev_q) FROM srev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier shape (TPC-H Q15): an aggregate reused by both the
+    main query and a scalar MAX subquery over itself. The revenue
+    ranking compares QUANTIZED BIGINTs, not doubles, so the max-
+    equality join cannot be perturbed by summation order in either
+    engine; ties keep all witnesses. Spark reuses the aggregated frame
+    for both sides (Catalyst reuses the exchange); the scalar max is a
+    broadcast one-row join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    srev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.floor(rev * QUANT).cast("long")).alias("rev_q")
+    )
+    mx = srev.agg(F.max("rev_q").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        srev.join(F.broadcast(mx), F.col("rev_q") == F.col("mx"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_q").cast("double") / QUANT).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q16_shape",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ), excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count-per-part-class shape (TPC-H Q16): distinct
+    supplier counting with an exclusion (NOT IN) subquery — expressed
+    as a broadcast left-anti join, the scale-safe NOT IN for non-null
+    keys (s_acctbal < 0 stands in for the spec's complaints-comment
+    filter; the fixture has no comment column). partsupp is the
+    distinct (part, supplier) projection of lineitem — one shuffle,
+    then the count-distinct reshuffles by part class."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(F.broadcast(excluded), "suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q19_shape",
+    oracle=f"""
+    SELECT {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate shape (TPC-H Q19): an OR of three
+    conjunctive branches spanning both join sides. Catalyst extracts
+    the common join key and pushes the per-table residuals of the
+    disjunction down to each scan (p_brand/p_size union-of-ranges to
+    part, l_quantity range union to lineitem) before evaluating the
+    full OR post-join — the classic test that a planner does not fall
+    back to a cross-ish join under ORs. Single global aggregate row
+    (count kept alongside so the result is self-evidently non-empty)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(branch).agg(
+        dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )

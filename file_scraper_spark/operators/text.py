@@ -476,3 +476,28 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TFIDF_TOPK)
     )
+
+
+@query("text_heavy_hitters", tags=("approx", "text"))
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent-token detection via approx_top_k — the
+    sketch-based heavy-hitters pass a training pipeline runs to build
+    stopword/boilerplate lists without a full token groupBy. One
+    aggregation with O(maxItemsTracked) state per partial (vs a
+    shuffle of every distinct token for the exact count): the 100 TB
+    shape. Rows-only in the driver gate (DuckDB has no sketch twin);
+    tests/test_llm_ops.py asserts top-k recall and count accuracy
+    against the exact token counts computed alongside."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sk = toks.select(
+        F.expr("approx_top_k(tok, 20, 4096)").alias("top")
+    )
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("tok"),
+            F.col("e.count").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("tok"))
+    )

@@ -88,6 +88,7 @@ def _ensure_loaded() -> None:
         relational,
         relational_ext,
         relational_ext2,
+        relational_ext3,
         scrape,
         similarity,
         text,

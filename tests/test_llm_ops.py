@@ -221,3 +221,30 @@ def test_approx_quantile_within_rank_error(spark, sf_dir):
             )
             # and the estimate is an actual observed value
             assert v in arr
+
+
+def test_heavy_hitters_tracks_exact_counts(spark, sf_dir):
+    """approx_top_k with maxItemsTracked=4096: on this corpus the
+    tracked space covers the heavy tail, so the sketch's top-k must
+    contain the exact top-10 tokens and report their exact counts
+    (approx_top_k degrades only when distinct >> tracked)."""
+    from pyspark.sql import functions as F
+
+    est = {
+        r.tok: r.est_count
+        for r in R["text_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(10)
+        .collect()
+    )
+    for r in exact:
+        assert r.tok in est, f"top token {r.tok} missed by sketch"
+        assert abs(est[r.tok] - r["count"]) <= max(1, 0.02 * r["count"]), (
+            r.tok, est[r.tok], r["count"]
+        )
