@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_scraper_spark.registry import query
-from file_scraper_spark.tables import load
+from file_scraper_spark.tables import load, scoped_cache
 
 MINHASH_K = 32
 MINHASH_BANDS = 8  # 8 bands x 4 rows
@@ -171,22 +171,6 @@ def cap_hot_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     return sh.join(hot, "shingle", "left_anti")
 
 
-# Bounded-leak scoped cache: the shingle table must be cached (it
-# feeds per-doc counts and both self-join sides; lazy cache() would
-# re-explode it concurrently — see jaccard_pairs). But the returned
-# DataFrame is lazy, so the function cannot unpersist before its
-# caller's action runs. Holding at most ONE such cache per process
-# (unpersisting the previous on the next call) keeps the 127-query
-# harness from pinning 127 exploded shingle tables in executor memory.
-_SCOPED_CACHE: list[DataFrame] = []
-
-
-def _scoped_cache(df: DataFrame) -> DataFrame:
-    while _SCOPED_CACHE:
-        _SCOPED_CACHE.pop().unpersist()
-    out = df.cache()
-    _SCOPED_CACHE.append(out)
-    return out
 
 
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,8 +185,8 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columnar cache for the big self-join (measured at the 10x
     # probe). Materializing the cache with a count() first gets both:
     # one explode pass, columnar scans after. The cache is scoped
-    # (at most one held per process — see _scoped_cache).
-    sh = _scoped_cache(cap_hot_shingles(shingles(near_dup_corpus(docs))))
+    # (at most one held per process — see tables.scoped_cache).
+    sh = scoped_cache(cap_hot_shingles(shingles(near_dup_corpus(docs))))
     sh.count()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_scraper_spark.registry import query
-from file_scraper_spark.tables import load
+from file_scraper_spark.tables import load, scoped_cache
 
 DIM = 64
 N_PLANES = 16
@@ -514,11 +514,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded at 100x; 8 bits for every driver fixture.
     band_bits = dedup_band_bits(emb.count() * 21 // 20)
 
-    # cache(): banding is the expensive per-vector step and the banded
-    # frame is tiny (4 rows of 3 ints per vector).
-    banded = corpus.mapInPandas(
-        _band_rows_fn(band_bits), "vec_id long, band int, band_val long"
-    ).cache()
+    # scoped cache (tables.scoped_cache — at most one live intermediate
+    # per process): banding is the expensive per-vector step and the
+    # banded frame is tiny (4 rows of 3 ints per vector).
+    banded = scoped_cache(
+        corpus.mapInPandas(
+            _band_rows_fn(band_bits), "vec_id long, band int, band_val long"
+        )
+    )
     # Verification is per-BUCKET, not per-pair: each (band, band_val)
     # bucket's quantized vectors arrive as one pandas group and the
     # bucket-local all-pairs cosines come out of strip-chunked float64

@@ -32,6 +32,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Bounded-leak scoped cache (shared by the dedup/similarity operators):
+# a query's returned DataFrame is lazy, so an operator cannot unpersist
+# its intermediate cache before the caller's action runs — but holding
+# every invocation's cache pins one exploded/banded table per query in
+# executor memory across a many-query harness run. One slot per
+# process: each scoped_cache() call reclaims the previous one, so the
+# 130+-query gate never holds more than a single live intermediate.
+# (Callers that must survive a later scoped_cache call — e.g. an
+# iterative loop — should localCheckpoint or manage their own cache.)
+_SCOPED_CACHE: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    while _SCOPED_CACHE:
+        _SCOPED_CACHE.pop().unpersist()
+    out = df.cache()
+    _SCOPED_CACHE.append(out)
+    return out
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one fixture table (pushdown-friendly).
 
