@@ -207,3 +207,60 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime row-level filtering (the 100 TB shuffle-join saver):
+    with a selective filter on the creation side, Catalyst injects a
+    bloom_filter_agg on the dim side and a BloomFilterMightContain
+    pre-filter into the fact scan side, so most fact rows drop BEFORE
+    the shuffle. Thresholds are lowered so local-scale data
+    qualifies; disabled broadcast forces the shuffle join the rule
+    targets."""
+    from pyspark.sql import functions as F
+
+    from file_scraper_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the filtered result is still correct vs the plain join
+        got = {r.o_orderstatus: r.n for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    expect = {
+        r.o_orderstatus: r.n
+        for r in load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
