@@ -30,13 +30,16 @@ def scrape_all(
     sink: MergeSink,
     identifier: str | None = None,
     scrape_time: datetime | None = None,
+    created_from_stat: bool = True,
 ) -> list[str]:
     """Scrape every path into the sink; returns the identifiers used."""
     sink.ensure_target()
     scrape_time = scrape_time or datetime.now(timezone.utc).replace(tzinfo=None)
     identifiers = []
     for path in paths:
-        source = source_for_path(path, identifier)
+        source = source_for_path(
+            path, identifier, created_from_stat=created_from_stat
+        )
         found = source.scrape(spark)
         sink.sync_snapshot(found, source.identifier, scrape_time)
         identifiers.append(source.identifier)

@@ -22,8 +22,16 @@ class Source:
     scrape: Callable[[SparkSession], DataFrame]
 
 
-def source_for_path(path: str, identifier: str | None = None) -> Source:
-    """Scheme-sniff a CLI path into a Source (s3 first, fs fallback)."""
+def source_for_path(
+    path: str,
+    identifier: str | None = None,
+    created_from_stat: bool = True,
+) -> Source:
+    """Scheme-sniff a CLI path into a Source (s3 first, fs fallback).
+
+    ``created_from_stat`` applies only to fs sources (S3 has no create
+    time — src/s3.rs:123): False skips the per-file stat enrichment
+    and leaves `created` NULL (see sources/fs.py)."""
     loc = parse_s3_url(path)
     if loc is not None:
         from file_scraper_spark.sources.s3 import scrape_s3  # noqa: PLC0415
@@ -40,5 +48,7 @@ def source_for_path(path: str, identifier: str | None = None) -> Source:
     return Source(
         kind="fs",
         identifier=ident,
-        scrape=lambda spark: scrape_fs(spark, path, ident),
+        scrape=lambda spark: scrape_fs(
+            spark, path, ident, created_from_stat=created_from_stat
+        ),
     )

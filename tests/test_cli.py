@@ -46,3 +46,32 @@ def test_cli_missing_path_exit_code(tmp_path):
     r = run_cli("/nonexistent-dir-xyz", "--database", str(tmp_path / "d.duckdb"))
     assert r.returncode == 1
     assert "error:" in r.stderr
+
+
+def test_cli_created_stat_toggle(tmp_path):
+    """Default run records a stat-derived created; --no-created-stat
+    leaves it NULL (the cheap listing-only mode)."""
+    import duckdb
+
+    tree = tmp_path / "t2"
+    tree.mkdir()
+    (tree / "a.txt").write_text("x")
+
+    db1 = str(tmp_path / "with.duckdb")
+    assert run_cli(str(tree), "--database", db1).returncode == 0
+    con = duckdb.connect(db1)
+    assert con.execute(
+        "SELECT created IS NOT NULL FROM external_file"
+    ).fetchone()[0]
+    con.close()
+
+    db2 = str(tmp_path / "without.duckdb")
+    assert (
+        run_cli(str(tree), "--database", db2, "--no-created-stat").returncode
+        == 0
+    )
+    con = duckdb.connect(db2)
+    assert con.execute(
+        "SELECT created IS NULL FROM external_file"
+    ).fetchone()[0]
+    con.close()
