@@ -519,6 +519,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
+    # signatures ride THROUGH the candidate join + distinct (256B/row)
+    # rather than rejoining after an id-only dedup: the sigs frame is
+    # an expensive md5 aggregation and Spark does not reuse the
+    # subplan across three consumers (measured: md5 work triplicated,
+    # no ReusedExchange) — the wider shuffle is the cheaper side of
+    # that trade, unlike the editdistance texts rejoin below where the
+    # re-read is a plain parquet scan.
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_key"
     )
@@ -740,24 +747,29 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dual emission: keys band and band+1 on BOTH sides -> key sets
     # {b, b+1} intersect iff |b_a - b_b| <= 1 (order-free, so the
     # doc_a < doc_b canonicalization stays correct); same-band pairs
-    # match on two keys, hence the distinct() before the DP.
+    # match on two keys, hence the distinct() before the DP. The
+    # distinct runs on BARE ids (16 bytes/row) and the texts rejoin
+    # afterwards — shuffling full texts through the dedup would
+    # multiply the exchange by the document size at corpus scale.
     keyed = blocked.select(
         "doc_id",
-        "text",
         "blk",
         F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("jb"),
     )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "blk", "jb"
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "blk", "jb"
-    )
-    cand = (
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "blk", "jb")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "blk", "jb")
+    ids = (
         a.join(b, ["blk", "jb"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ta", "tb")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    cand = ids.join(
+        texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+        "doc_a",
+    ).join(
+        texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+        "doc_b",
     )
     max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
     # Measured, do not "optimize" (10x probe, ~600-char texts):
