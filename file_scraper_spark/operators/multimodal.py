@@ -6,11 +6,14 @@ extraction runs in Arrow-batched Python (``mapInPandas`` — one
 serialization per batch, not per row) on executors, so the pipeline
 partitions by file and scales linearly.
 
-The actual codec step is STUBBED in this container (no image/audio
-libs): ``decode_media`` raises NotImplementedError unless
-``fake=True``, in which case it produces deterministic pseudo-features
-so the Spark-side plumbing — schema, batch shape, UDF signature — is
-real and oracle-testable. The fixture's binary payload is derived
+Codec status: header-parseable formats decode for REAL in pure Python
+(``parse_wav`` RIFF chunk walk, ``parse_bmp`` — see
+``multimodal_wav_decode`` for the oracle-checked end-to-end proof);
+compressed codecs (PNG/JPEG/video) need PIL/ffmpeg, absent in this
+container, so ``decode_media`` raises NotImplementedError for them
+unless ``fake=True`` (deterministic pseudo-features keeping the
+Spark-side plumbing — schema, batch shape, UDF signature — real and
+oracle-testable). The fixture's binary payload is derived
 deterministically from documents.text (utf-8 bytes).
 """
 
@@ -53,15 +56,76 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_wav(payload: bytes) -> dict:
+    """REAL (pure-Python) RIFF/WAVE header parse: fmt chunk walk, PCM
+    layout fields, sample count from the data chunk — no audio lib
+    needed for the metadata a pipeline filters on (rate/channels/
+    duration). Raises ValueError on malformed input."""
+    import struct  # noqa: PLC0415
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, bits = fmt
+    frame = channels * (bits // 8)
+    n_samples = data_len // frame if frame else 0
+    return {
+        "kind": "wav",
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // rate if rate else 0,
+    }
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """REAL (pure-Python) BMP header parse (BITMAPINFOHEADER)."""
+    import struct  # noqa: PLC0415
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack("<ii", payload[18:26])
+    return {"kind": "bmp", "width": width, "height": abs(height)}
+
+
 def decode_media(payload: bytes, fake: bool = False) -> dict:
-    """Codec stub. Real decode (PIL/ffmpeg/soundfile) is unavailable in
-    this container; ``fake=True`` yields deterministic pseudo-features
-    (documented, reproducible) so plumbing stays testable."""
+    """Media decode. Header-parseable formats (WAV, BMP) decode for
+    REAL in pure Python; compressed codecs (PNG/JPEG/...) need PIL/
+    ffmpeg, absent in this container, so they raise NotImplementedError
+    unless ``fake=True`` (deterministic pseudo-features keeping the
+    plumbing testable)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return parse_wav(payload)
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "media codecs not available in this environment; "
+            "compressed media codecs not available in this environment; "
             "pass fake=True for deterministic pseudo-decode"
         )
+    return pseudo_decode(payload)
+
+
+def pseudo_decode(payload: bytes) -> dict:
+    """Deterministic pseudo-features (the documented fake path) —
+    schema-stable regardless of payload magic bytes, so the generic
+    feature extractor cannot be derailed by text that happens to start
+    with 'BM' or 'RIFF'."""
     n = len(payload)
     return {
         "n_bytes": n,
@@ -77,7 +141,10 @@ def extract_features(media: DataFrame, batch_hint: str = "fake") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_media(p, fake=fake) for p in pdf["payload"]]
+            feats = [
+                pseudo_decode(p) if fake else decode_media(p)
+                for p in pdf["payload"]
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
@@ -394,3 +461,75 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce_lang,
         "lang string, n_docs long, total_chars long, chars_range long",
     )
+
+
+WAV_SCHEMA = (
+    "doc_id long, channels long, sample_rate long, bits long, "
+    "n_samples long, duration_ms long"
+)
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(octet_length(encode(text)) // (2 * (1 + doc_id % 2))
+                AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) // (2 * (1 + doc_id % 2)))
+                * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+             AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-metadata decode end-to-end: each document's payload
+    is wrapped in a deterministic PCM WAV container (44-byte RIFF
+    header built with struct.pack — rate 8000+(id%8)*1000 Hz,
+    channels 1+id%2, 16-bit) and then decoded by the genuine
+    ``parse_wav`` chunk walker, all inside one Arrow-batched
+    mapInPandas. The oracle recomputes the expected metadata from the
+    same integer formulas — so the parser's output (not a stub) is
+    what hash-matches. This is the plumbing shape for real audio at
+    100 TB: binary column in, typed metadata out, one Python batch
+    hop, linear partitioning; only the codec body would change
+    (soundfile/ffmpeg instead of header walk)."""
+    import struct  # noqa: PLC0415
+
+    media = media_table(spark, sf_dir)
+
+    def wav_header(n_data: int, channels: int, rate: int, bits: int = 16) -> bytes:
+        byte_rate = rate * channels * bits // 8
+        block = channels * bits // 8
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + n_data)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, block, bits)
+            + b"data"
+            + struct.pack("<I", n_data)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                channels = 1 + int(doc_id) % 2
+                rate = 8000 + (int(doc_id) % 8) * 1000
+                wav = wav_header(len(payload), channels, rate) + bytes(payload)
+                feats = decode_media(wav)  # the REAL parser path
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "channels": feats["channels"],
+                        "sample_rate": feats["sample_rate"],
+                        "bits": feats["bits"],
+                        "n_samples": feats["n_samples"],
+                        "duration_ms": feats["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(run, WAV_SCHEMA)

@@ -248,3 +248,51 @@ def test_heavy_hitters_tracks_exact_counts(spark, sf_dir):
         assert abs(est[r.tok] - r["count"]) <= max(1, 0.02 * r["count"]), (
             r.tok, est[r.tok], r["count"]
         )
+
+
+def test_wav_bmp_real_parsers():
+    """parse_wav/parse_bmp are genuine binary parsers: round-trip a
+    constructed PCM WAV (with an extra chunk before fmt, odd-length
+    word-aligned), a BMP header, and reject malformed input."""
+    import struct
+
+    from file_scraper_spark.operators.multimodal import (
+        decode_media,
+        parse_bmp,
+        parse_wav,
+    )
+
+    data = b"\x01\x02" * 501  # 1002 bytes -> 501 16-bit mono samples
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd len, padded
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 0)
+        + b"WAVE"
+        + junk
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    feats = parse_wav(wav)
+    assert feats == {
+        "kind": "wav",
+        "channels": 1,
+        "sample_rate": 16000,
+        "bits": 16,
+        "n_samples": 501,
+        "duration_ms": 501 * 1000 // 16000,
+    }
+    # dispatcher routes by magic bytes without fake
+    assert decode_media(wav)["kind"] == "wav"
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 8
+    assert parse_bmp(bmp) == {"kind": "bmp", "width": 640, "height": 480}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+    with _pytest.raises(ValueError):
+        parse_bmp(b"BMx")
