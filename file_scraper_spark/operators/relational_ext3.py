@@ -330,3 +330,245 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(branch).agg(
         dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+@query(
+    "tpch_q6_shape",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change shape (TPC-H Q6): the purest
+    scan-filter-aggregate — no join at all. Every predicate (date
+    range, discount band, quantity cap) must reach the parquet scan
+    as a pushed filter; at 100 TB this query is bounded purely by
+    scan bandwidth x selectivity, which is why it is the canonical
+    pushdown sanity check."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q8_shape",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount))
+                 * {QUANT}) AS BIGINT)) AS BIGINT) AS vol_q
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31'
+      GROUP BY year(o.o_orderdate), sn.n_name
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_q
+                    ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol_q) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National-market-share shape (TPC-H Q8): an 8-table join with
+    nation in two roles, then a ratio of conditional sums per year.
+    The share divides two QUANTIZED BIGINT sums (one double division
+    at the end — identical IEEE both engines), never double
+    aggregates. Customer-side region filter prunes via broadcast
+    chain; lineitem is the only big shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_q = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * QUANT
+    ).cast("long")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"), "supp_nation"
+        )
+        .agg(F.sum(rev_q).alias("vol_q"))
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("vol_q")).otherwise(
+            F.lit(0)
+        )
+    ).cast("double") / F.sum("vol_q").cast("double")
+    return (
+        vol.groupBy("o_year")
+        .agg(share.alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_shape",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                 - ps.supplycost * l.l_quantity) * {QUANT}) AS BIGINT))
+                AS DOUBLE) / {QUANT} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN ps ON ps.partkey = l.l_partkey AND ps.suppkey = l.l_suppkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type-profit shape (TPC-H Q9): profit = revenue minus
+    cost where cost joins back a DERIVED per-(part,supplier) unit
+    cost (the fixture has no partsupp — same derivation as Q2),
+    making lineitem join an aggregate OF ITSELF plus four dims. The
+    profit addend quantizes the two-term double expression once
+    (floor-exact both engines); the LIKE filter prunes part before
+    broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit_q = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("supplycost") * F.col("l_quantity")
+        )
+        * QUANT
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.partkey) & (li.l_suppkey == ps.suppkey),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_q).cast("double") / QUANT).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_shape",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(COUNT(*) AS BIGINT) AS availqty,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), scoped AS (
+      SELECT ps.partkey,
+             CAST(SUM(CAST(floor(ps.supplycost * ps.availqty * {QUANT})
+                 AS BIGINT)) AS BIGINT) AS value_q
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_2'
+      GROUP BY ps.partkey
+    ), total AS (
+      SELECT SUM(value_q) AS tot FROM scoped
+    )
+    SELECT partkey, CAST(value_q AS DOUBLE) / {QUANT} AS value
+    FROM scoped, total
+    WHERE value_q > 0.01 * tot
+    ORDER BY value_q DESC, partkey
+    """,
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (TPC-H Q11): per-part inventory value
+    within one nation, kept when above a FRACTION OF THE GLOBAL TOTAL
+    — a scalar subquery over the same aggregate (broadcast one-row
+    join, like Q15). Inventory derives from lineitem (availqty =
+    line count, cost = min unit price) since the fixture has no
+    partsupp; the fraction threshold compares quantized BIGINTs
+    against 0.01 * total in double — one multiplication, identical
+    IEEE both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        F.count(F.lit(1)).alias("availqty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    value_q = F.floor(
+        F.col("supplycost") * F.col("availqty") * QUANT
+    ).cast("long")
+    scoped = (
+        ps.join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("partkey")
+        .agg(F.sum(value_q).alias("value_q"))
+    )
+    total = scoped.agg(F.sum("value_q").alias("tot"))
+    return (
+        scoped.join(F.broadcast(total))
+        .filter(F.col("value_q") > 0.01 * F.col("tot"))
+        .select(
+            "partkey", (F.col("value_q").cast("double") / QUANT).alias("value")
+        )
+        .orderBy(F.desc("value_q"), "partkey")
+    )
