@@ -489,3 +489,141 @@ def collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("k")).alias("segment"), "n", "n_case_variants"
         )
     )
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN tv ON tv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > tv.t0
+      GROUP BY e.user_id
+    ), tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN tc ON tc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t1
+      GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS stage, 'view' AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM tv
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM tc
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM tp
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, event_type, n_users,
+           CAST(n_users AS DOUBLE)
+             / (SELECT MAX(n_users) FROM counts WHERE stage = 1)
+             AS conv_rate
+    FROM counts ORDER BY stage
+    """,
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase): each
+    stage's earliest qualifying event must happen STRICTLY AFTER the
+    user's previous stage — the sequential-pattern analytics an event
+    engine must express, here as three cascaded min-aggregate
+    semi-joins instead of a per-user sort. Each stage is one selective
+    filter + one co-keyed join + one map-side-combined min: at 100 TB
+    every join shuffles on user_id and AQE coalesces the tiny stage
+    frames to broadcasts. conv_rate is one double division of exact
+    integers."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    counts = (
+        tv.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).cast("long").alias("stage"), F.lit("view").alias("event_type"), "n_users")
+        .unionAll(
+            tc.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).cast("long").alias("stage"),
+                F.lit("click").alias("event_type"),
+                "n_users",
+            )
+        )
+        .unionAll(
+            tp.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).cast("long").alias("stage"),
+                F.lit("purchase").alias("event_type"),
+                "n_users",
+            )
+        )
+    )
+    base = counts.filter(F.col("stage") == 1).select(
+        F.col("n_users").alias("base_n")
+    )
+    return (
+        counts.join(F.broadcast(base))
+        .select(
+            "stage",
+            "event_type",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("base_n")).alias(
+                "conv_rate"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE))
+                AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN cohort c ON c.user_id = e.user_id
+    GROUP BY c.cohort_day,
+             date_diff('day', c.cohort_day, CAST(e.ts AS DATE))
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by first-activity day,
+    distinct-active counts per (cohort, day offset) — the standard
+    cohort-retention triangle. One min-aggregate for cohorts (tiny:
+    one row per user), broadcast back onto events, then a
+    count-distinct keyed by (cohort_day, offset). The datediff is
+    whole-day integer arithmetic on UTC dates, identical in both
+    engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
