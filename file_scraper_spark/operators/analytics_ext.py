@@ -422,24 +422,49 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_sketch_merge", tags=("agg", "approx", "sketch"))
+@query(
+    "hll_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Datasketches): per-(type, day) sketches
     built with hll_sketch_agg, then re-aggregated to per-type counts
     with hll_union_agg WITHOUT touching the raw data again — the
     re-aggregatability that makes sketch columns materializable in a
     daily rollup table at 100 TB (approx_count_distinct alone cannot
-    be rolled up later). Rows-only check (sketch binaries are
-    engine-specific); the estimate-vs-exact error is pinned in
-    tests/test_llm_ops.py."""
+    be rolled up later). Sketch binaries are engine-specific, so the
+    driver-checkable projection joins the merged-sketch estimate to
+    its exact twin and ships the HLL error-bound predicate
+    ``est_ok = |est - exact| <= max(1, 0.05*exact)`` (<5% at lgK=12);
+    the oracle reproduces the exact column and the constant-TRUE bound.
+    (In the daily-rollup deployment only the sketch column ships; the
+    exact twin exists for the correctness gate.)"""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
-        .select("event_type", F.col("approx_users").cast("long").alias("approx_users"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_users"))
+        ).alias("est_ok"),
     )
 
 
@@ -517,7 +542,7 @@ def collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(stage AS BIGINT) AS stage, event_type, n_users,
            CAST(n_users AS DOUBLE)
-             / (SELECT MAX(n_users) FROM counts WHERE stage = 1)
+             / NULLIF((SELECT MAX(n_users) FROM counts WHERE stage = 1), 0)
              AS conv_rate
     FROM counts ORDER BY stage
     """,
@@ -579,9 +604,13 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             "event_type",
             "n_users",
-            (F.col("n_users").cast("double") / F.col("base_n")).alias(
-                "conv_rate"
-            ),
+            # NULLIF-guarded exactly like the oracle: an empty stage-1
+            # funnel yields NULL in BOTH engines (Spark non-ANSI double
+            # division would give NULL but DuckDB gives NaN — ADVICE r3)
+            (
+                F.col("n_users").cast("double")
+                / F.nullif(F.col("base_n"), F.lit(0))
+            ).alias("conv_rate"),
         )
         .orderBy("stage")
     )

@@ -186,15 +186,38 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", tags=("approx",))
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS est_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("approx",),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct — the 100 TB scale path (single shuffle-free
-    partial aggregate, fixed-size sketch state). Rows-only check: sketch
-    estimates are engine-specific."""
+    partial aggregate, fixed-size sketch state). Sketch estimates are
+    engine-specific, so the driver-checkable projection pairs the
+    estimate with its exact twin and emits the bounded-error predicate
+    ``est_ok = |est - exact| <= max(2, 4*rsd*exact)`` — the oracle
+    reproduces the exact columns and the constant-TRUE bound, which
+    fails loudly if the estimator ever drifts outside its guarantee.
+    (At 100 TB you ship ONLY the sketch column; the exact twin exists
+    for the correctness gate.)"""
     ev = load(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", 0.01)
+    exact = F.countDistinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        exact.alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(est - exact)
+            <= F.greatest(F.lit(2.0), F.lit(4 * 0.01) * exact)
+        ).alias("est_ok"),
     )
 
 

