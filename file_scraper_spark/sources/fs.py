@@ -57,13 +57,29 @@ def _stat_created_ns(full_path: str) -> int | None:
     """Creation time in epoch-ns: st_birthtime if the platform has it,
     else st_ctime (see module docstring); None when the file vanished
     between listing and stat (OSError) — a tolerated per-entry anomaly,
-    matching the reference walk's filter_map_ok (src/fs.rs:92)."""
+    matching the reference walk's filter_map_ok (src/fs.rs:92).
+
+    The listing path may be URI percent-encoded depending on the
+    Spark/Hadoop version (observed unencoded on Spark 4.1.2, but
+    older file-source code paths emit ``Path.toUri`` strings where a
+    space becomes ``%20``). Stat the raw path first so a file whose
+    real name contains a literal ``%`` sequence (e.g. ``per%20cent``)
+    is never mis-decoded, then retry percent-decoded on a miss so an
+    encoded listing still resolves (reference semantics: `created`
+    always set for fs, src/fs.rs:65)."""
     import os
+    from urllib.parse import unquote
 
     try:
         st = os.stat(full_path)
     except OSError:
-        return None
+        decoded = unquote(full_path)
+        if decoded == full_path:
+            return None
+        try:
+            st = os.stat(decoded)
+        except OSError:
+            return None
     bt = getattr(st, "st_birthtime_ns", None)
     if bt is not None:
         return bt

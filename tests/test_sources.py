@@ -86,6 +86,57 @@ def test_scrape_fs_created_matches_stat(spark, tmp_path):
     assert plain[0].created is None
 
 
+def test_scrape_fs_special_char_filenames(spark, tmp_path):
+    """`created` must be populated for filenames containing spaces,
+    `%`, `+`, and literal percent-escape sequences (reference
+    semantics: created always set on a readable fs tree,
+    src/fs.rs:65). Guards the URI-encoding hazard: some Spark file
+    sources emit percent-encoded listing paths, and a naive
+    path-join + stat then silently NULLs `created`."""
+    names = ["has space.txt", "100%.txt", "a+b.txt", "per%20cent.txt"]
+    for n in names:
+        (tmp_path / n).write_bytes(b"x")
+
+    rows = {r.filename: r for r in scrape_fs(spark, str(tmp_path)).collect()}
+    # filenames surface as the real OS names, not encoded forms
+    assert set(rows) == set(names)
+    for n in names:
+        assert rows[n].created is not None, n
+        assert rows[n].path == str(tmp_path)
+
+
+def test_enrich_created_decodes_encoded_listing(spark, tmp_path):
+    """If an upstream listing hands percent-ENCODED paths (older
+    Spark/Hadoop file-source behavior: space -> %20), the stat
+    fallback must decode and still fill `created` — while a file
+    whose real name contains a literal escape sequence is statted
+    as-is, never mis-decoded."""
+    from file_scraper_spark.sources.fs import enrich_created
+
+    (tmp_path / "has space.txt").write_bytes(b"x")
+    (tmp_path / "per%20cent.txt").write_bytes(b"y")
+
+    listing = spark.createDataFrame(
+        [
+            ("t", str(tmp_path), "has%20space.txt", "text/plain", None, None, 1),
+            ("t", str(tmp_path), "per%20cent.txt", "text/plain", None, None, 1),
+        ],
+        "external_source string, path string, filename string, "
+        "mime_type string, created timestamp, modified timestamp, size long",
+    )
+    rows = {r.filename: r for r in enrich_created(listing).collect()}
+    import os
+
+    # encoded name decoded to the real file
+    assert rows["has%20space.txt"].created is not None
+    # literal %20 in the real name: raw stat wins, no double-decode
+    got_ns = rows["per%20cent.txt"].created
+    assert got_ns is not None
+    st = os.stat(tmp_path / "per%20cent.txt")
+    expect = getattr(st, "st_birthtime_ns", None) or st.st_ctime_ns
+    assert abs(got_ns.timestamp() * 1e9 - expect) < 2e6
+
+
 def test_python_datasource_stat_fidelity(spark, tmp_path):
     """pyds rows must match os.stat exactly — size, mtime (UTC), and
     recursive traversal into subdirectories with pattern filtering."""
