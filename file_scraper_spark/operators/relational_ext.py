@@ -554,20 +554,51 @@ def corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantile", tags=("approx",))
+@query(
+    "approx_quantile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS est_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("approx",),
+)
 def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch (the 100 TB path: single pass, bounded
     state, no per-group sort — exact interpolation requires one; see
-    percentile_quantile). Rows-only: sketch internals are
-    engine-specific."""
+    percentile_quantile).
+
+    Driver-checkable via the est_ok exact-twin pattern
+    (agg_approx_distinct): the sketch estimate itself is
+    engine-specific, so the projection pairs it with the exact
+    percentiles and emits ``est_ok`` = every estimate lies between the
+    exact continuous percentiles at q∓0.01 — a 10x-slack envelope
+    around the accuracy=1000 rank-error guarantee (<=1/1000), valid
+    for any group with >=100 rows. The oracle reproduces the exact
+    twins and the constant-TRUE bound, failing loudly on estimator
+    drift. (At 100 TB you ship ONLY the sketch; the exact twin exists
+    for the correctness gate.)"""
     ev = load(spark, sf_dir, "events")
     sketch = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
-    # Scalar columns only (no array in the result): driver-safe.
+    lo = F.expr("percentile(value, array(0.49, 0.89, 0.98))")
+    hi = F.expr("percentile(value, array(0.51, 0.91, 1.0))")
+    exact = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    ok = (
+        (sketch[0] >= lo[0]) & (sketch[0] <= hi[0])
+        & (sketch[1] >= lo[1]) & (sketch[1] <= hi[1])
+        & (sketch[2] >= lo[2]) & (sketch[2] <= hi[2])
+    )
     return ev.groupBy("event_type").agg(
-        sketch[0].alias("approx_p50"),
-        sketch[1].alias("approx_p90"),
-        sketch[2].alias("approx_p99"),
+        exact[0].alias("p50"),
+        exact[1].alias("p90"),
+        exact[2].alias("p99"),
         F.count(F.lit(1)).alias("n"),
+        ok.alias("est_ok"),
     )
 
 

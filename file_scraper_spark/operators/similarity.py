@@ -21,8 +21,6 @@ Scale paths:
 from __future__ import annotations
 
 import hashlib
-import struct
-import zlib
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,7 +29,7 @@ from file_scraper_spark.registry import query
 from file_scraper_spark.tables import load, scoped_cache
 
 DIM = 64
-N_PLANES = 16
+N_PLANES = 8  # sign bits for ann_lsh: 256 buckets, Hamming<=1 probes 9/256
 QUERY_VEC_ID = 0
 PAIR_THRESHOLD = 0.25  # ~p99 of within-label cosine in the fixture
 DEDUP_BANDS = 4  # LSH bands for dedup_embedding
@@ -548,24 +546,84 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane(seed: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane: component d is a
-    zlib.crc32-seeded value in [-1, 1) — stable across runs/machines
-    (no RNG state, no numpy version dependence)."""
-    out = []
-    for d in range(DIM):
-        h = zlib.crc32(struct.pack("<II", seed, d))
-        out.append((h / 2**31) - 1.0)
-    return out
+# Exact-cosine rerank of a candidate set, shared by both ANN oracles:
+# identical to the similarity_topk oracle restricted to `cand`.
+_ORACLE_RERANK = f"""
+    q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), qn AS (
+      SELECT sqrt({{qsum}}) AS qnorm
+      FROM (SELECT CAST(unnest(qe) AS DOUBLE) AS x FROM q)
+    ), cflat AS (
+      SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qe) AS qv
+      FROM embeddings e, q
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+    ), cdots AS (
+      SELECT vec_id,
+             {{dsum}} AS dp,
+             sqrt({{nsum}}) AS nrm
+      FROM cflat GROUP BY vec_id
+    )
+    SELECT vec_id, dp / (nrm * qn.qnorm) AS cosine
+    FROM cdots, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
 
 
-@query("similarity_ann_ivf", tags=("ann", "ivf"))
+def _oracle_rerank() -> str:
+    return _ORACLE_RERANK.format(
+        qsum=_oracle_dec_sum("x * x"),
+        dsum=_oracle_dec_sum("CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)"),
+        nsum=_oracle_dec_sum("CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)"),
+    )
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             (CAST(SUM(CAST(floor(v * {QUANT}) AS BIGINT)) AS DOUBLE)
+              / {QUANT}) / COUNT(*) AS c
+      FROM flat GROUP BY label, pos
+    ), dots AS (
+      SELECT f.vec_id, c.label,
+             SUM(CAST(floor((f.v * c.c) * {QUANT}) AS BIGINT)) AS dp
+      FROM flat f JOIN cent c ON c.pos = f.pos
+      GROUP BY f.vec_id, c.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dp DESC, label ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT label FROM dots WHERE vec_id = {QUERY_VEC_ID}
+      ORDER BY dp DESC, label ASC LIMIT 3
+    ), cand AS (
+      SELECT vec_id FROM assigned
+      WHERE cell IN (SELECT label FROM probe)
+    ), {_oracle_rerank()}
+    """,
+    tags=("ann", "ivf"),
+)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) coarse quantization: the per-label
     centroids act as the coarse codebook; every vector is assigned to
     its nearest centroid cell; the query probes its 3 nearest cells and
-    re-ranks candidates with exact cosine. Rows-only (recall vs the
-    exact top-k asserted in tests).
+    re-ranks candidates with exact cosine.
+
+    Driver-checkable: every arithmetic step (centroid means, cell
+    argmax, probe choice, rerank) uses the exact quantized fold
+    (``_dec_fold``), so the oracle REPLAYS the whole algorithm in SQL
+    — cell assignment ties break to the lowest label on both engines.
 
     Scale shape: centroid table is tiny (cells x dims) and broadcast;
     assignment is one scan; a probe touches nprobe/ncells of the
@@ -600,7 +658,13 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_vec = F.array(*[F.lit(v) for v in qv])
 
     def pydot(a, b):
-        return sum(x * y for x, y in zip(a, b))
+        # the exact quantized fold (_dec_fold) in driver-side Python:
+        # integer sums, so probe choice is bit-identical to the
+        # oracle's ORDER BY dp DESC (Python sort is stable -> ties
+        # keep ascending-label order, matching `label ASC`)
+        import math  # noqa: PLC0415
+
+        return sum(int(math.floor(x * y * QUANT)) for x, y in zip(a, b))
 
     probe = sorted(
         labels, key=lambda lab: -pydot(qv, by_label[lab])
@@ -613,28 +677,64 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_lsh", tags=("ann", "lsh"))
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT CAST(p AS INT) AS p, CAST(d AS INT) AS pos,
+             CAST(('0x' || substring(
+                 md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                 1, 10)) AS BIGINT) / {float(2.0**39)!r} - 1.0 AS w
+      FROM range(0, {N_PLANES}) t(p), range(0, {DIM}) u(d)
+    ), flat AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), proj AS (
+      SELECT f.vec_id, pl.p,
+             {_oracle_dec_sum('f.v * pl.w')} AS s
+      FROM flat f JOIN planes pl ON pl.pos = f.pos
+      GROUP BY f.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ), qb AS (
+      SELECT bucket AS b FROM buckets WHERE vec_id = {QUERY_VEC_ID}
+    ), probe AS (
+      SELECT b AS pb FROM qb
+      UNION ALL
+      SELECT xor(b, CAST(1 AS BIGINT) << p)
+      FROM qb, range(0, {N_PLANES}) t(p)
+    ), cand AS (
+      SELECT vec_id FROM buckets
+      WHERE bucket IN (SELECT pb FROM probe)
+    ), {_oracle_rerank()}
+    """,
+    tags=("ann", "lsh"),
+)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane sign-LSH (rows-only; the scale path).
-    16 sign bits -> 16-bit bucket; query probes its own bucket and all
-    Hamming<=1 neighbors; candidates re-ranked by exact cosine.
-    Recall vs the exact top-10 is asserted structurally in tests."""
+    """ANN via random-hyperplane sign-LSH (the scale path). 8 sign
+    bits -> 256 buckets; query probes its own bucket and all
+    Hamming<=1 neighbors (9/256 of the corpus in expectation);
+    candidates re-ranked by exact cosine. At larger corpora, scale
+    bits like ``dedup_band_bits`` does to keep bucket occupancy flat.
+
+    Driver-checkable: planes come from the md5 family
+    (``_dedup_plane`` — derivable inside DuckDB, unlike a crc32 seed)
+    and every sign projection uses the exact quantized fold, so the
+    oracle REPLAYS bucketing, probing, and rerank in SQL. Recall vs
+    the exact top-10 is additionally asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
-    planes = [_plane(p) for p in range(N_PLANES)]
+    planes = [_dedup_plane(p) for p in range(N_PLANES)]
 
     def bucket_of(vec: Column) -> Column:
         bits = [
             F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(v) for v in planes[p]]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
+                dot(vec, F.array(*[F.lit(w) for w in planes[p]])) > 0,
                 F.lit(1 << p),
             ).otherwise(F.lit(0))
             for p in range(N_PLANES)

@@ -478,26 +478,68 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_heavy_hitters", tags=("approx", "text"))
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cnts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tok, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+               AS rnk
+      FROM cnts
+    )
+    SELECT tok, cnt, rnk, TRUE AS sk_ok FROM ranked WHERE rnk <= 20
+    """,
+    tags=("approx", "text"),
+)
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level frequent-token detection via approx_top_k — the
     sketch-based heavy-hitters pass a training pipeline runs to build
     stopword/boilerplate lists without a full token groupBy. One
     aggregation with O(maxItemsTracked) state per partial (vs a
     shuffle of every distinct token for the exact count): the 100 TB
-    shape. Rows-only in the driver gate (DuckDB has no sketch twin);
-    tests/test_llm_ops.py asserts top-k recall and count accuracy
-    against the exact token counts computed alongside."""
+    shape.
+
+    Driver-checkable via the est_ok exact-twin pattern: the result is
+    the EXACT top-20 tokens (count desc, token asc) with ``sk_ok`` =
+    the sketch surfaced this token with its exact count. Valid while
+    the corpus vocabulary fits maxItemsTracked (fixture: 31 distinct
+    tokens << 4096 — the sketch is then provably exact); the bound
+    fails loudly if a future fixture's tail outgrows the tracked
+    space. (At 100 TB you ship ONLY the sketch column; the exact
+    groupBy twin exists for the correctness gate.)"""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
-    sk = toks.select(
-        F.expr("approx_top_k(tok, 20, 4096)").alias("top")
-    )
-    return (
-        sk.select(F.explode("top").alias("e"))
+    sk = (
+        toks.select(F.expr("approx_top_k(tok, 100, 4096)").alias("top"))
+        .select(F.explode("top").alias("e"))
         .select(
             F.col("e.item").alias("tok"),
             F.col("e.count").alias("est_count"),
         )
-        .orderBy(F.desc("est_count"), F.asc("tok"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "tok", "cnt", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+    return (
+        exact.join(sk, "tok", "left")
+        .select(
+            "tok",
+            "cnt",
+            "rnk",
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") == F.col("cnt"))
+            ).alias("sk_ok"),
+        )
+        .orderBy("rnk")
     )
