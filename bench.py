@@ -2,23 +2,36 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <headline total sec>, "unit": "sec",
+   "queries": {name: sec, ...},            # 27 headline, median of reps
+   "families": {fam: {"n": i, "sec": s}},  # ALL registered queries,
+                                           # single smoke pass each
+   "all_total_sec": <sec>,                 # sum over the full sweep
+   "vs_prev": {...},                       # delta vs newest BENCH_r*.json
+   "sf": <sf>}
 
 Each query is materialized through the noop sink (full JVM execution,
 no driver collect, no Python serialization in the measurement path).
 
-Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_REPS passes
-(default 3), interleaved round-robin so a transient JVM hiccup (GC,
-JIT recompile) lands in one pass, not one query: single-pass timings
-on this box swing +/-25% run-to-run (NOTES.md), which the median
-kills. `value` is the sum of medians.
+Headline per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_REPS
+passes (default 3), interleaved round-robin so a transient JVM hiccup
+(GC, JIT recompile) lands in one pass, not one query: single-pass
+timings on this box swing +/-25% run-to-run (NOTES.md), which the
+median kills. `value` is the sum of medians — the cross-round
+comparable number.
+
+The family sweep runs EVERY registered query once (smoke cadence:
+regressions anywhere in the 144-query surface become driver-visible
+in BENCH_r{N}.json instead of resting on judge-side reruns). Set
+SPARK_GRAFT_BENCH_FULL=0 to skip it when iterating locally.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -61,9 +74,93 @@ HEADLINE = [
     "conditional_agg",
 ]
 
+# name -> benchmark family for the full-surface sweep. First match
+# wins; literal names before prefixes where a prefix would mislabel.
+_FAMILY_RULES: list[tuple[str, str]] = [
+    ("tpch_", "tpch"),
+    ("text_", "text"),
+    ("doc_fingerprint", "text"),
+    ("dedup_", "dedup"),
+    ("contamination_check", "dedup"),
+    ("similarity_", "similarity"),
+    ("knn_join", "similarity"),
+    ("embedding_", "similarity"),
+    ("multimodal_", "multimodal"),
+    ("stream_", "streaming"),
+    ("pylisting_stream", "streaming"),
+    ("udf_", "udf"),
+    ("udtf_", "udf"),
+    ("timeseries_", "timeseries"),
+    ("funnel_analysis", "analytics"),
+    ("retention_cohort", "analytics"),
+    ("window_", "window"),
+    ("agg_", "agg"),
+    ("hll_sketch_merge", "agg"),
+    ("bitmap_distinct", "agg"),
+    ("approx_quantile", "agg"),
+    ("percentile_quantile", "agg"),
+    ("stddev_var", "agg"),
+    ("corr_covar", "agg"),
+    ("histogram_bucket", "agg"),
+    ("salted_agg", "agg"),
+    ("conditional_agg", "agg"),
+    ("pivot_agg", "agg"),
+    ("rollup_cube", "agg"),
+    ("grouping_sets", "agg"),
+    ("csv_roundtrip", "formats"),
+    ("json_roundtrip", "formats"),
+    ("orc_roundtrip", "formats"),
+    ("xml_roundtrip", "formats"),
+    ("partitioned_write_read", "formats"),
+    ("zorder_layout", "formats"),
+    ("variant_shred", "formats"),
+    ("file_metadata_cols", "formats"),
+    ("sample_", "pipeline"),
+    ("train_test_split", "pipeline"),
+    ("corpus_mixture", "pipeline"),
+    ("sequence_packing", "pipeline"),
+    ("context_windows", "pipeline"),
+    ("pipeline_end2end", "pipeline"),
+    ("scan_project", "scrape"),
+    ("filter_predicate", "scrape"),
+    ("path_split", "scrape"),
+    ("mime_lookup", "scrape"),
+    ("scrape_", "scrape"),
+    ("merge_upsert", "scrape"),
+    ("antijoin_deleted", "scrape"),
+    ("union_seen", "scrape"),
+    ("microbatch_window", "scrape"),
+    ("python_datasource", "scrape"),
+]
+
+
+def family_of(name: str) -> str:
+    for pat, fam in _FAMILY_RULES:
+        if name == pat or name.startswith(pat):
+            return fam
+    return "relational"
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _prev_bench(repo_dir: str) -> tuple[int, dict] | None:
+    """Newest driver-recorded BENCH_r{N}.json, for the round delta."""
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.loads(f.read().strip() or "{}")
+        except (OSError, json.JSONDecodeError):
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, data)
+    return best
 
 
 def main() -> None:
@@ -90,19 +187,49 @@ def main() -> None:
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
-
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # full-surface smoke sweep, grouped by family (headline queries
+    # reuse their median instead of running a fourth pass)
+    families: dict[str, dict[str, float]] = {}
+    all_total = 0.0
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        for name in sorted(queries):
+            if name in timings:
+                sec = timings[name]
+            else:
+                t0 = time.perf_counter()
+                materialize(queries[name](spark, sf_dir))
+                sec = time.perf_counter() - t0
+            fam = families.setdefault(
+                family_of(name), {"n": 0, "sec": 0.0}
+            )
+            fam["n"] += 1
+            fam["sec"] += sec
+            all_total += sec
+        for fam in families.values():
+            fam["sec"] = round(fam["sec"], 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "families": families,
+        "all_total_sec": round(all_total, 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    if prev and prev[1].get("value"):
+        prev_total = float(prev[1]["value"])
+        out["vs_prev"] = {
+            "round": prev[0],
+            "prev_headline_total_sec": prev_total,
+            "headline_ratio": round(total / prev_total, 3),
+        }
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -348,14 +348,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.unpersist()
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, k: int = MINHASH_K, portable_hash: bool = True
+) -> DataFrame:
     """k-permutation MinHash signature per doc: sig[i] = min over
-    shingles of (h1 + i*h2) mod P — ONE md5 per shingle plus k affine
-    transforms (double hashing), not k independent string hashes. One
-    aggregation, k JVM-side min columns — signature state is O(k) per
-    doc and the shuffle carries one partial row per doc per partition
-    (map-side combine)."""
-    h1, h2 = _portable_hash2(F.col("shingle"))
+    shingles of (h1 + i*h2) mod P — ONE string hash per shingle plus k
+    affine transforms (double hashing), not k independent string
+    hashes. One aggregation, k JVM-side min columns — signature state
+    is O(k) per doc and the shuffle carries one partial row per doc
+    per partition (map-side combine).
+
+    ``portable_hash=True`` (default) derives h1/h2 from md5 halves —
+    bit-reproducible in DuckDB, which is what keeps dedup_minhash
+    oracle-checked. ``portable_hash=False`` is the production fast
+    path: two xxhash64 evaluations (plain long mixing, no hex-string
+    round-trip) masked to the same 40-bit domain, so the affine
+    family and everything downstream is unchanged. Same recall
+    properties (tests assert identical planted-pair sets); not
+    cross-engine checkable."""
+    if portable_hash:
+        h1, h2 = _portable_hash2(F.col("shingle"))
+    else:
+        mask = (1 << 40) - 1
+        h1 = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(mask))
+        h2 = F.xxhash64(F.lit(1), F.col("shingle")).bitwiseAND(F.lit(mask))
     hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     mins = [
         F.min((F.col("h1") + i * F.col("h2")) % MINHASH_P).alias(f"h{i}")
@@ -483,21 +499,155 @@ _MINHASH_ORACLE = (
 )
 
 
-@query("dedup_minhash", oracle=_MINHASH_ORACLE, tags=("near-dup", "lsh"))
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection. Pipeline: shingle ->
-    k=32 minhash signature (double-hash family over md5 halves, see
-    ``_portable_hash2``) -> 8 bands of 4 -> equi-join on (band,
-    band-key) -> estimate Jaccard as signature agreement -> threshold.
+def _minhash_pairs_fast(docs: DataFrame) -> DataFrame:
+    """Production MinHash flow (xxhash64 family; same LSH geometry as
+    the portable flow, not cross-engine checkable). Three mechanical
+    differences, each removing a measured 100x-probe bottleneck:
 
-    Oracle-checked bit-exactly against DuckDB computing the identical
-    hash family (est_jaccard = n/32 is always a dyadic rational —
-    exact in binary). Expected result: each perturbed doc pairs with
-    its original (est_jaccard ~ 0.8); also verified structurally in
-    tests against the exact dedup_ngram_jaccard pairs."""
-    docs = load(spark, sf_dir, "documents")
+    - shingle hashes come from ONE xxhash64 over the three word
+      strings (zip of slices) — no 3-word concat string is ever
+      built, no md5, no hex->bigint round-trip; distinctness is
+      array_distinct over the 8-byte hashes (collision odds ~n^2/2^64
+      — irrelevant next to the minhash estimate's own variance);
+    - h1/h2 derive from two long-input xxhash64 calls over that
+      8-byte value, not two string hashes;
+    - band keys are xxhash64 over the band's signature slots (a
+      long, not a concat string), the candidate distinct dedupes
+      (doc_a, doc_b) id pairs ONLY (~24 B/row through the shuffle
+      instead of 2x256 B signature payloads), and signatures rejoin
+      afterwards from the scoped-cached sigs frame (tiny: one
+      256 B row per doc)."""
+    corpus = near_dup_corpus(docs)
+    words = F.col("words")
+    n_grams = F.size(words) - 2
+    zipped = F.arrays_zip(
+        F.slice(words, 1, n_grams).alias("g0"),
+        F.slice(words, 2, n_grams).alias("g1"),
+        F.slice(words, 3, n_grams).alias("g2"),
+    )
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            zipped, lambda s: F.xxhash64(s["g0"], s["g1"], s["g2"])
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # no array_distinct: min over a multiset == min over its set, so
+    # duplicate shingles cannot move any signature slot — the portable
+    # path keeps DISTINCT only because its oracle SQL is written over
+    # distinct shingle sets. Skipping it drops a per-doc hash-set pass.
+    sh = corpus.select("doc_id", F.explode(grams).alias("sh"))
+    mask = (1 << 40) - 1
+    hashed = sh.select(
+        "doc_id",
+        F.xxhash64("sh").bitwiseAND(F.lit(mask)).alias("h1"),
+        F.xxhash64(F.lit(1), "sh").bitwiseAND(F.lit(mask)).alias("h2"),
+    )
+
+    # The k=32 affine mins are the hot loop (32 mul/add/mod/min per
+    # shingle row — measured dominant at the 100x probe even after the
+    # hashing fixes). Same cure as _band_rows_fn: numpy-vectorized
+    # partial mins per Arrow batch (explode keeps a doc's shingles
+    # contiguous, so batches yield ~one partial row per doc), then a
+    # cheap 32-column min merge over the per-batch partials.
+    part_schema = "doc_id long, " + ", ".join(
+        f"h{i} long" for i in range(MINHASH_K)
+    )
+
+    def partial_mins(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        coeff = np.arange(MINHASH_K, dtype=np.int64)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            h1 = pdf["h1"].to_numpy()[:, None]
+            h2 = pdf["h2"].to_numpy()[:, None]
+            # h1 + i*h2 < 2^45 — exact in int64, same family as the
+            # portable path (just a different base hash)
+            A = (h1 + coeff * h2) % MINHASH_P
+            starts = np.flatnonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1]))
+            )
+            M = np.minimum.reduceat(A, starts, axis=0)
+            out = pd.DataFrame(
+                M, columns=[f"h{i}" for i in range(MINHASH_K)]
+            )
+            out.insert(0, "doc_id", ids[starts])
+            yield out
+
+    partials = hashed.mapInPandas(partial_mins, part_schema)
+    mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
+    # eager localCheckpoint, not cache(): sigs has THREE consumers
+    # (banding + two rejoin sides) inside one job, and a lazy cache
+    # races — each consumer stage recomputes the expensive signature
+    # scan before the cache is populated (observed: 3x duplicated
+    # stages at the 100x probe). One materialization, tiny footprint
+    # (one 256 B row per doc).
+    sigs = (
+        partials.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias(
+                "sig"
+            ),
+        )
+        .localCheckpoint()
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    joined = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.4)
+
+
+def minhash_pairs(docs: DataFrame, portable_hash: bool = True) -> DataFrame:
+    """The dedup_minhash dataflow over an arbitrary documents frame;
+    ``portable_hash=False`` selects the xxhash64 fast path
+    (``_minhash_pairs_fast``)."""
+    if not portable_hash:
+        return _minhash_pairs_fast(docs)
     sh = shingles(near_dup_corpus(docs))
-    sigs = minhash_signatures(sh)
+    sigs = minhash_signatures(sh, portable_hash=portable_hash)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -551,6 +701,26 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= 0.4)
     )
+
+
+@query("dedup_minhash", oracle=_MINHASH_ORACLE, tags=("near-dup", "lsh"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection. Pipeline: shingle ->
+    k=32 minhash signature (double-hash family over md5 halves, see
+    ``_portable_hash2``) -> 8 bands of 4 -> equi-join on (band,
+    band-key) -> estimate Jaccard as signature agreement -> threshold.
+
+    Oracle-checked bit-exactly against DuckDB computing the identical
+    hash family (est_jaccard = n/32 is always a dyadic rational —
+    exact in binary). Expected result: each perturbed doc pairs with
+    its original (est_jaccard ~ 0.8); also verified structurally in
+    tests against the exact dedup_ngram_jaccard pairs. Production
+    runs that don't need the cross-engine gate should call
+    ``minhash_pairs(docs, portable_hash=False)`` — same pipeline on
+    the xxhash64 family, skipping the md5 hex round-trip that
+    dominates this query's cost."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_pairs(docs, portable_hash=True)
 
 
 _SIMHASH_ORACLE = (

@@ -32,6 +32,34 @@ def test_minhash_finds_planted_pairs(spark, sf_dir):
         assert abs(est[pair] - exact[pair]) < 0.35
 
 
+def test_minhash_fast_path_equivalent_recall(spark, sf_dir):
+    """The xxhash64 fast path (portable_hash=False) must find the
+    same planted near-dup pairs as the oracle-portable md5 family —
+    the hash family changes, the LSH recall contract doesn't. Band
+    collisions of UNRELATED docs are hash-family luck either way, so
+    the assertion is on planted pairs plus estimate agreement on the
+    shared detections, not on exact set equality."""
+    from file_scraper_spark.operators.dedup import minhash_pairs
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    slow = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_pairs(docs, portable_hash=True).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_pairs(docs, portable_hash=False).collect()
+    }
+    planted_slow = {p for p in slow if p[0] == -(p[1] + 1)}
+    planted_fast = {p for p in fast if p[0] == -(p[1] + 1)}
+    assert planted_slow, "no planted pairs found on the portable path"
+    assert len(planted_fast & planted_slow) / len(planted_slow) >= 0.9
+    for p in planted_fast & planted_slow:
+        # independent 32-sample estimates of the same Jaccard
+        assert abs(fast[p] - slow[p]) <= 0.35, (p, fast[p], slow[p])
+
+
 def test_simhash_finds_planted_pairs(spark, sf_dir):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
