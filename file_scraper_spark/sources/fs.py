@@ -53,7 +53,16 @@ def list_files(spark: SparkSession, root: str) -> DataFrame:
     return raw
 
 
-def _stat_created_ns(full_path: str) -> int | None:
+class BirthtimeUnavailableError(OSError):
+    """Strict-mode parity with the reference's ``metadata.created()?``
+    (src/fs.rs:65): raised when the platform/filesystem exposes no
+    file-creation time. The default (relaxed) mode falls back to
+    st_ctime instead — erroring a 1000-executor job over a missing
+    btime is wrong at scale, but the flag lets users who rely on the
+    reference's fail-fast contract keep it."""
+
+
+def _stat_created_ns(full_path: str, strict: bool = False) -> int | None:
     """Creation time in epoch-ns: st_birthtime if the platform has it,
     else st_ctime (see module docstring); None when the file vanished
     between listing and stat (OSError) — a tolerated per-entry anomaly,
@@ -86,16 +95,30 @@ def _stat_created_ns(full_path: str) -> int | None:
     bt = getattr(st, "st_birthtime", None)
     if bt is not None:
         return int(bt * 1_000_000_000)
+    if strict:
+        # reference behavior: error, don't fall back (src/fs.rs:65).
+        # A *vanished* file is still tolerated above even in strict
+        # mode — the reference walk drops unreadable entries before
+        # ever calling metadata.created() (filter_map_ok, fs.rs:92).
+        raise BirthtimeUnavailableError(
+            f"no file-creation time available for {full_path!r} "
+            "(platform exposes no st_birthtime); use "
+            "strict_created=False for the st_ctime fallback"
+        )
     return st.st_ctime_ns
 
 
-def enrich_created(projected: DataFrame) -> DataFrame:
+def enrich_created(projected: DataFrame, strict: bool = False) -> DataFrame:
     """Fill the `created` column by stat-ing each file on executors.
 
     Arrow-batched mapInPandas (never row-at-a-time serialization); the
     per-file os.stat is the same syscall the reference's walk performs
     per entry. Schema is unchanged, so batch and streaming paths can
-    both layer this on top of ``project_listing``."""
+    both layer this on top of ``project_listing``.
+
+    ``strict=True`` reproduces the reference's error-on-missing-btime
+    (src/fs.rs:65): the job fails with BirthtimeUnavailableError
+    instead of falling back to st_ctime."""
     schema = projected.schema
 
     def add_created(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -105,7 +128,7 @@ def enrich_created(projected: DataFrame) -> DataFrame:
             us = [
                 None if ns is None else ns // 1_000
                 for ns in (
-                    _stat_created_ns(f"{p}/{f}")
+                    _stat_created_ns(f"{p}/{f}", strict=strict)
                     for p, f in zip(pdf["path"], pdf["filename"])
                 )
             ]
@@ -154,15 +177,19 @@ def scrape_fs(
     root: str,
     identifier: str | None = None,
     created_from_stat: bool = True,
+    strict_created: bool = False,
 ) -> DataFrame:
     """Full fs scrape dataflow: list -> project FileInfo -> mime join
     -> created stat enrichment.
 
     Equivalent of the reference walk pipeline minus the sink
     (src/fs.rs:98-117); feed the result to sinks.merge_sink.
+    ``strict_created=True`` keeps the reference's error-on-missing-
+    btime contract (see enrich_created); the default relaxes it to
+    the st_ctime fallback.
     """
     identifier = identifier or default_fs_identifier(root)
     out = project_listing(list_files(spark, root), spark, identifier)
     if created_from_stat:
-        out = enrich_created(out)
+        out = enrich_created(out, strict=strict_created)
     return out

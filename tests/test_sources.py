@@ -4,6 +4,8 @@ the edge cases the reference gets wrong on purpose."""
 
 from __future__ import annotations
 
+import pytest
+
 from file_scraper_spark.sources.dispatch import source_for_path
 from file_scraper_spark.sources.fs import list_files, scrape_fs
 from file_scraper_spark.sources.url import parse_s3_url, split_key
@@ -84,6 +86,43 @@ def test_scrape_fs_created_matches_stat(spark, tmp_path):
         spark, str(tmp_path), identifier="t", created_from_stat=False
     ).collect()
     assert plain[0].created is None
+
+
+def test_scrape_fs_strict_created_modes(spark, tmp_path):
+    """strict_created=True reproduces the reference's
+    error-on-missing-btime (src/fs.rs:65); the default falls back to
+    st_ctime. On a btime-less platform (Linux) strict must FAIL the
+    job; where btime exists, both modes agree."""
+    import os
+
+    from file_scraper_spark.sources.fs import _stat_created_ns
+
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"\x00")
+
+    # default mode always fills created
+    rows = scrape_fs(spark, str(tmp_path)).collect()
+    assert rows[0].created is not None
+
+    has_btime = hasattr(os.stat(f), "st_birthtime") or hasattr(
+        os.stat(f), "st_birthtime_ns"
+    )
+    if has_btime:
+        strict_rows = scrape_fs(
+            spark, str(tmp_path), strict_created=True
+        ).collect()
+        assert strict_rows[0].created == rows[0].created
+    else:
+        from file_scraper_spark.sources.fs import BirthtimeUnavailableError
+
+        # unit level: the stat helper raises the typed error
+        with pytest.raises(BirthtimeUnavailableError):
+            _stat_created_ns(str(f), strict=True)
+        # job level: the failure propagates out of the executor
+        with pytest.raises(Exception, match="BirthtimeUnavailable"):
+            scrape_fs(spark, str(tmp_path), strict_created=True).collect()
+    # strict never affects the vanished-file tolerance
+    assert _stat_created_ns(str(tmp_path / "gone.bin"), strict=True) is None
 
 
 def test_scrape_fs_special_char_filenames(spark, tmp_path):
