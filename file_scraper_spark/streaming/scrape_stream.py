@@ -60,7 +60,28 @@ def scrape_stream(
 
         raise translate_s3a_error(e) from e
     found = project_listing(listed, spark, identifier)
+    _fold_stream_into_sink(
+        found, sink, identifier, scrape_time, available_now=True
+    )
+    return identifier
 
+
+def _fold_stream_into_sink(
+    found: DataFrame,
+    sink: MergeSink,
+    identifier: str,
+    scrape_time: datetime,
+    available_now: bool,
+) -> None:
+    """Fold every micro-batch of ``found`` (FileInfo rows) into ONE
+    open sink transaction; commit only after the stream drains, abort
+    on any failure — the one-visible-snapshot guarantee (A15) shared
+    by every streaming scrape source.
+
+    ``available_now=True`` uses trigger(availableNow) (file sources);
+    ``False`` drives with processAllAvailable + stop — the pattern
+    the Python DataSource stream reader needs (its mtime-watermark
+    source is unbounded, so availableNow semantics don't apply)."""
     session = sink.open_scrape(identifier, scrape_time)
 
     def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
@@ -68,13 +89,68 @@ def scrape_stream(
             tuple(r) for r in batch_df.select(*FILE_COLUMNS).toLocalIterator()
         )
 
-    q = found.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    writer = found.writeStream.foreachBatch(merge_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     try:
-        q.awaitTermination()
+        if available_now:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
+            q.stop()
         session.finalize()
     except Exception:
+        q.stop()
         session.abort()
         raise
     finally:
         session.con.close()
+
+
+def scrape_stream_pylisting(
+    spark: SparkSession,
+    root: str,
+    sink: MergeSink,
+    identifier: str | None = None,
+    scrape_time: datetime | None = None,
+    pattern: str = "*",
+) -> str:
+    """Streaming scrape through the Python DataSource listing
+    (sources/pyds.py: executor-side recursive walk + stat, the
+    reference walk as a first-class source) instead of the JVM
+    binaryFile stream — same FileInfo projection, same one-
+    transaction merge semantics as ``scrape_stream``.
+
+    The pyds row schema has no created/mime columns; mime joins from
+    the broadcast extension table (with_mime_type) and created stays
+    NULL (callers wanting it layer ``sources.fs.enrich_created``)."""
+    from file_scraper_spark.sources import pyds  # noqa: PLC0415
+    from file_scraper_spark.sources.mime import with_mime_type  # noqa: PLC0415
+
+    identifier = identifier or default_fs_identifier(root)
+    scrape_time = scrape_time or datetime.now(timezone.utc).replace(tzinfo=None)
+    sink.ensure_target()
+
+    pyds.register_stream(spark)
+    listed = (
+        spark.readStream.format("pylisting_stream")
+        .option("path", root)
+        .option("pattern", pattern)
+        .load()
+    )
+    found = with_mime_type(
+        listed.select(
+            F.lit(identifier).alias("external_source"),
+            "path",
+            "filename",
+            F.lit(None).cast("timestamp").alias("created"),
+            "modified",
+            F.col("size").cast("long").alias("size"),
+        ),
+        spark,
+    ).select(*FILE_COLUMNS)
+    _fold_stream_into_sink(
+        found, sink, identifier, scrape_time, available_now=False
+    )
     return identifier
