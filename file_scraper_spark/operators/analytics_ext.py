@@ -458,8 +458,13 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    return merged.join(exact, "event_type").select(
-        "event_type",
+    # null-safe join: both sides group by event_type, so a NULL group
+    # exists on both or neither — a plain inner equi-join would drop
+    # it while the oracle's GROUP BY keeps it
+    return merged.join(
+        exact, merged["event_type"].eqNullSafe(exact["event_type"])
+    ).select(
+        merged["event_type"].alias("event_type"),
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))

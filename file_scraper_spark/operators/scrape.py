@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_scraper_spark.registry import query
-from file_scraper_spark.tables import load
+from file_scraper_spark.tables import ORACLE_SF_DIR, load
 
 #: constant soft-delete stamp (not now()) so results are hash-stable
 DELETED_AT = "2024-02-01 00:00:00"
@@ -40,10 +40,10 @@ DELETED_AT = "2024-02-01 00:00:00"
 
 @query(
     "scrape_fs",
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(file, '([^/]*)$', 1) AS filename,
            'application/vnd.apache.parquet' AS mime_type
-    FROM glob('/root/testdata/sf0.01/*.parquet')
+    FROM glob('{ORACLE_SF_DIR}/*.parquet')
     """,
 )
 def scrape_fs_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,10 +232,10 @@ def scrape_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "python_datasource",
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(file, '([^/]*)$', 1) AS filename,
            CAST(1 AS INT) AS listed
-    FROM glob('/root/testdata/sf0.01/*.parquet')
+    FROM glob('{ORACLE_SF_DIR}/*.parquet')
     """,
     tags=("source",),
 )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from file_scraper_spark.functions.exact import dsum, oracle_dsum
 from file_scraper_spark.registry import query
-from file_scraper_spark.tables import load
+from file_scraper_spark.tables import ORACLE_SF_DIR, load
 
 WATERMARK = "1 hour"
 
@@ -468,9 +468,9 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pylisting_stream",
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(file, '([^/]*)$', 1) AS filename
-    FROM glob('/root/testdata/sf0.01/*.parquet')
+    FROM glob('{ORACLE_SF_DIR}/*.parquet')
     """,
     tags=("streaming", "source"),
 )

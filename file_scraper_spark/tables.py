@@ -14,6 +14,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: The fixture directory the driver's correctness gate runs at. A few
+#: oracles (scrape_fs, python_datasource, pylisting_stream) must name
+#: the fixture tree by LITERAL path (driver oracles receive no sf_dir
+#: parameter), so they derive it from this constant and the local
+#: harness (tools/check_correctness.py) retargets the same constant
+#: when checking another fixture — one definition, no drift.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 TABLE_NAMES = (
     "region",
     "nation",

@@ -27,7 +27,33 @@ import duckdb
 
 from file_scraper_spark import registry
 from file_scraper_spark.session import get_spark
-from file_scraper_spark.tables import TABLE_NAMES, table_path
+from file_scraper_spark.tables import ORACLE_SF_DIR, TABLE_NAMES, table_path
+
+#: Queries whose STATIC oracle bakes the 8-bit LSH band family that
+#: the Spark side auto-scales away above DEDUP_BASE_N vectors
+#: (operators/similarity.dedup_band_bits). Comparing them against a
+#: bigger fixture would hash-mismatch BY DESIGN; fail loudly with the
+#: real reason instead.
+_STATIC_BAND_QUERIES = ("dedup_embedding", "knn_join")
+
+
+def _guard_static_band_oracle(spark, sf_dir: str, name: str) -> None:
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        DEDUP_BASE_N,
+    )
+    from file_scraper_spark.tables import load  # noqa: PLC0415
+
+    # the widest corpus either query derives (dedup_embedding mirrors
+    # ~5% of vectors: emb.count() * 21 // 20)
+    n = load(spark, sf_dir, "embeddings").count() * 21 // 20
+    if n > DEDUP_BASE_N:
+        raise AssertionError(
+            f"{name}: fixture corpus ~{n} vectors exceeds DEDUP_BASE_N="
+            f"{DEDUP_BASE_N}; the Spark plan auto-scales its LSH band "
+            "bits there, so the pinned 8-bit oracle no longer describes "
+            "it — any hash mismatch would be this, not a logic bug. "
+            "Gate this query at a fixture <= DEDUP_BASE_N vectors."
+        )
 
 
 def _canon_cell(v) -> str:
@@ -77,16 +103,20 @@ def duckdb_run(sf_dir: str, sql: str):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ORACLE_SF_DIR
     only = set(sys.argv[2:])
     spark = get_spark("check_correctness")
     registry._ensure_loaded()
     failures = []
+    attempted = 0
     for name, spec in sorted(registry.REGISTRY.items()):
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
+            if name in _STATIC_BAND_QUERIES:
+                _guard_static_band_oracle(spark, sf_dir, name)
             sdf = spec.fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
@@ -103,12 +133,13 @@ def main() -> int:
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            # A few oracles (scrape_fs, python_datasource) glob() the
-            # fixture directory by literal path, pinned to sf0.01 (the
-            # driver's t2 scale — driver oracles cannot receive sf_dir).
-            # Locally, retarget them at the directory under test so a
-            # run against another fixture compares the right tree.
-            osql = spec.oracle.replace("/root/testdata/sf0.01", sf_dir)
+            # A few oracles (scrape_fs, python_datasource,
+            # pylisting_stream) glob() the fixture directory by literal
+            # path, derived from tables.ORACLE_SF_DIR (driver oracles
+            # cannot receive sf_dir). Locally, retarget the same
+            # constant at the directory under test so a run against
+            # another fixture compares the right tree.
+            osql = spec.oracle.replace(ORACLE_SF_DIR, sf_dir)
             d_cols, d_rows = duckdb_run(sf_dir, osql)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
@@ -139,7 +170,7 @@ def main() -> int:
         else:
             failures.append(name)
     print(
-        f"\n{len(registry.REGISTRY) - len(failures)}/{len(registry.REGISTRY)} pass"
+        f"\n{attempted - len(failures)}/{attempted} pass"
         + (f"; FAILURES: {sorted(failures)}" if failures else "")
     )
     return 1 if failures else 0
