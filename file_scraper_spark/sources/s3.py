@@ -20,26 +20,33 @@ ListObjectsV2 exposes no creation time.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+if TYPE_CHECKING:
+    from typing import NoReturn
+
 from file_scraper_spark.sources.mime import with_mime_type
 from file_scraper_spark.sources.url import S3Location
 
-def translate_s3a_error(e: Exception) -> Exception:
-    """Missing-s3a-jar failures get an actionable message; everything
-    else (credentials, permissions) passes through unchanged."""
+def raise_translated_s3a_error(e: Exception) -> "NoReturn":
+    """Re-raise ``e``, upgrading missing-s3a-jar failures to an
+    actionable NotImplementedError; everything else (credentials,
+    permissions) re-raises unchanged. (Raises rather than returns the
+    exception so a call site can never silently drop it.)"""
     msg = str(e)
     if "org.apache.hadoop.fs.s3a" in msg or "ClassNotFound" in msg or (
         "No FileSystem for scheme" in msg and "s3" in msg
     ):
-        return NotImplementedError(
+        raise NotImplementedError(
             "s3a:// filesystem not on the classpath (hadoop-aws + "
             "aws-sdk jars required); alternatively install boto3 "
             "and call scrape_s3(..., use_s3a=False)"
-        )
-    return e
+        ) from e
+    raise e
 
 
 _LIST_SCHEMA = T.StructType(
@@ -141,7 +148,7 @@ def scrape_s3(
                 F.col("length").cast("long").alias("size"),
             )
         except Exception as e:
-            raise translate_s3a_error(e) from e
+            raise_translated_s3a_error(e)
     else:
         listed = list_objects_boto3(spark, loc, client=client)
     return project_objects(spark, listed, identifier)

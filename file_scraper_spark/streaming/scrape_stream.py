@@ -56,9 +56,11 @@ def scrape_stream(
             .select("path", "modificationTime", "length")  # content pruned
         )
     except Exception as e:
-        from file_scraper_spark.sources.s3 import translate_s3a_error  # noqa: PLC0415
+        from file_scraper_spark.sources.s3 import (  # noqa: PLC0415
+            raise_translated_s3a_error,
+        )
 
-        raise translate_s3a_error(e) from e
+        raise_translated_s3a_error(e)
     found = project_listing(listed, spark, identifier)
     _fold_stream_into_sink(
         found, sink, identifier, scrape_time, available_now=True

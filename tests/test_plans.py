@@ -264,3 +264,31 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_locf_bounded_build_side(spark, sf_dir):
+    """locf_dense_fill's physical plan must be the grouped-dense-spine
+    shape that survives a 10^9-user observations table:
+    - NO broadcast of any data-dependent side (the old plan broadcast
+      the hourly aggregate — unbounded at scale); the only broadcast
+      is the 1-row bounds (IdentityBroadcastMode nested loop);
+    - the running-last Window introduces NO exchange of its own — it
+      reuses the groupBy(user_id) partitioning through the explode."""
+    from file_scraper_spark import registry
+
+    registry._ensure_loaded()
+    df = registry.REGISTRY["timeseries_locf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds only
+    assert plan.count("BroadcastExchange") == 1
+    assert "IdentityBroadcastMode" in plan
+    # two hash exchanges total: the (user_id, bucket) pre-agg and the
+    # (user_id) map fold; none above the window
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the window must sit ABOVE every hash exchange in the tree string
+    # (executedPlan prints root first): no exchange line precedes it
+    window_pos = plan.index("Window ")
+    first_ex = plan.index("Exchange hashpartitioning")
+    assert window_pos < first_ex

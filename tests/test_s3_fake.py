@@ -1,8 +1,9 @@
-"""End-to-end S3 fallback path against a fake boto3-shaped client
-(VERDICT r2 #5 — no S3/moto/minio in the sandbox): ListObjectsV2
-pagination across >1 page, the created-NULL quirk (src/s3.rs:123),
-the missing-IsTruncated error path (src/s3.rs:145), and the full
-scrape -> merge -> soft-delete flow."""
+"""End-to-end S3 fallback path against a fake boto3-shaped client:
+ListObjectsV2 pagination across >1 page, the created-NULL quirk
+(src/s3.rs:123), the missing-IsTruncated error path (src/s3.rs:145),
+and the full scrape -> merge -> soft-delete flow. The fake keeps the
+error-injection cases (omitted IsTruncated) a real server won't
+serve; the REAL-endpoint twin lives in test_s3_moto.py."""
 
 from __future__ import annotations
 
