@@ -499,56 +499,82 @@ _MINHASH_ORACLE = (
 )
 
 
-def _minhash_pairs_fast(docs: DataFrame) -> DataFrame:
-    """Production MinHash flow (xxhash64 family; same LSH geometry as
-    the portable flow, not cross-engine checkable). Three mechanical
-    differences, each removing a measured 100x-probe bottleneck:
+def minhash_pairs(docs: DataFrame, portable_hash: bool = True) -> DataFrame:
+    """The dedup_minhash dataflow over an arbitrary documents frame.
 
-    - shingle hashes come from ONE xxhash64 over the three word
-      strings (zip of slices) — no 3-word concat string is ever
-      built, no md5, no hex->bigint round-trip; distinctness is
-      array_distinct over the 8-byte hashes (collision odds ~n^2/2^64
-      — irrelevant next to the minhash estimate's own variance);
-    - h1/h2 derive from two long-input xxhash64 calls over that
-      8-byte value, not two string hashes;
+    The two variants differ ONLY in the base hash producing (h1, h2)
+    per shingle; everything downstream is shared and oracle-neutral
+    (the oracle sees only (doc_a, doc_b, est_jaccard), and est comes
+    from the signature values, which depend on h1/h2 alone):
+
+    - ``portable_hash=True`` (default, the gated path): md5 halves of
+      the 3-word shingle STRING — bit-reproducible in DuckDB.
+    - ``portable_hash=False`` (production): one xxhash64 over the
+      word triple (no concat string, no hex round-trip), h1/h2 from
+      two long-input xxhash64 calls. ~2x cheaper at the 100x probe;
+      not cross-engine checkable.
+
+    Shared machinery, each piece a measured 100x-probe fix:
+    - numpy partial mins per Arrow batch for the k=32 affine family
+      (np.minimum.reduceat — the 32 mul/add/mod/min per shingle row
+      was the hot loop as Catalyst expressions; exact: h1 + i*h2 <
+      2^45 in int64), merged by a cheap 32-column min over per-batch
+      partials;
+    - eager localCheckpoint of the sigs frame (256 B/doc): THREE
+      consumers in one job, and a lazy cache races — each consumer
+      stage recomputed the signature scan before the cache filled;
     - band keys are xxhash64 over the band's signature slots (a
-      long, not a concat string), the candidate distinct dedupes
-      (doc_a, doc_b) id pairs ONLY (~24 B/row through the shuffle
-      instead of 2x256 B signature payloads), and signatures rejoin
-      afterwards from the scoped-cached sigs frame (tiny: one
-      256 B row per doc)."""
+      long, not a concat string) — any deterministic key works, the
+      oracle never sees it;
+    - the candidate distinct dedupes (doc_a, doc_b) id pairs ONLY
+      (~24 B/row through the shuffle instead of 2x256 B signature
+      payloads); signatures rejoin from the checkpointed frame.
+
+    Duplicate shingles are NOT removed first (min over a multiset ==
+    min over its set, so distinctness cannot move a signature slot —
+    the oracle's DISTINCT exists only because its SQL is written over
+    shingle sets); skipping array_distinct drops a per-doc hash-set
+    pass.
+    """
     corpus = near_dup_corpus(docs)
     words = F.col("words")
     n_grams = F.size(words) - 2
-    zipped = F.arrays_zip(
-        F.slice(words, 1, n_grams).alias("g0"),
-        F.slice(words, 2, n_grams).alias("g1"),
-        F.slice(words, 3, n_grams).alias("g2"),
-    )
-    grams = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            zipped, lambda s: F.xxhash64(s["g0"], s["g1"], s["g2"])
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # no array_distinct: min over a multiset == min over its set, so
-    # duplicate shingles cannot move any signature slot — the portable
-    # path keeps DISTINCT only because its oracle SQL is written over
-    # distinct shingle sets. Skipping it drops a per-doc hash-set pass.
-    sh = corpus.select("doc_id", F.explode(grams).alias("sh"))
-    mask = (1 << 40) - 1
-    hashed = sh.select(
-        "doc_id",
-        F.xxhash64("sh").bitwiseAND(F.lit(mask)).alias("h1"),
-        F.xxhash64(F.lit(1), "sh").bitwiseAND(F.lit(mask)).alias("h2"),
-    )
+    if portable_hash:
+        zipped = F.arrays_zip(
+            F.slice(words, 1, n_grams).alias("g0"),
+            F.slice(words, 2, n_grams).alias("g1"),
+            F.slice(words, 3, n_grams).alias("g2"),
+        )
+        grams = F.when(
+            F.size(words) >= 3,
+            F.transform(
+                zipped,
+                lambda t: F.concat_ws(" ", t["g0"], t["g1"], t["g2"]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = corpus.select("doc_id", F.explode(grams).alias("sh"))
+        h1c, h2c = _portable_hash2(F.col("sh"))
+        hashed = sh.select("doc_id", h1c.alias("h1"), h2c.alias("h2"))
+    else:
+        zipped = F.arrays_zip(
+            F.slice(words, 1, n_grams).alias("g0"),
+            F.slice(words, 2, n_grams).alias("g1"),
+            F.slice(words, 3, n_grams).alias("g2"),
+        )
+        grams = F.when(
+            F.size(words) >= 3,
+            F.transform(
+                zipped, lambda t: F.xxhash64(t["g0"], t["g1"], t["g2"])
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        sh = corpus.select("doc_id", F.explode(grams).alias("sh"))
+        mask = (1 << 40) - 1
+        hashed = sh.select(
+            "doc_id",
+            F.xxhash64("sh").bitwiseAND(F.lit(mask)).alias("h1"),
+            F.xxhash64(F.lit(1), "sh").bitwiseAND(F.lit(mask)).alias("h2"),
+        )
 
-    # The k=32 affine mins are the hot loop (32 mul/add/mod/min per
-    # shingle row — measured dominant at the 100x probe even after the
-    # hashing fixes). Same cure as _band_rows_fn: numpy-vectorized
-    # partial mins per Arrow batch (explode keeps a doc's shingles
-    # contiguous, so batches yield ~one partial row per doc), then a
-    # cheap 32-column min merge over the per-batch partials.
     part_schema = "doc_id long, " + ", ".join(
         f"h{i} long" for i in range(MINHASH_K)
     )
@@ -564,8 +590,6 @@ def _minhash_pairs_fast(docs: DataFrame) -> DataFrame:
             ids = pdf["doc_id"].to_numpy()
             h1 = pdf["h1"].to_numpy()[:, None]
             h2 = pdf["h2"].to_numpy()[:, None]
-            # h1 + i*h2 < 2^45 — exact in int64, same family as the
-            # portable path (just a different base hash)
             A = (h1 + coeff * h2) % MINHASH_P
             starts = np.flatnonzero(
                 np.concatenate(([True], ids[1:] != ids[:-1]))
@@ -579,12 +603,6 @@ def _minhash_pairs_fast(docs: DataFrame) -> DataFrame:
 
     partials = hashed.mapInPandas(partial_mins, part_schema)
     mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
-    # eager localCheckpoint, not cache(): sigs has THREE consumers
-    # (banding + two rejoin sides) inside one job, and a lazy cache
-    # races — each consumer stage recomputes the expensive signature
-    # scan before the cache is populated (observed: 3x duplicated
-    # stages at the 100x probe). One materialization, tiny footprint
-    # (one 256 B row per doc).
     sigs = (
         partials.groupBy("doc_id")
         .agg(*mins)
@@ -638,69 +656,6 @@ def _minhash_pairs_fast(docs: DataFrame) -> DataFrame:
         "doc_b",
         (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= 0.4)
-
-
-def minhash_pairs(docs: DataFrame, portable_hash: bool = True) -> DataFrame:
-    """The dedup_minhash dataflow over an arbitrary documents frame;
-    ``portable_hash=False`` selects the xxhash64 fast path
-    (``_minhash_pairs_fast``)."""
-    if not portable_hash:
-        return _minhash_pairs_fast(docs)
-    sh = shingles(near_dup_corpus(docs))
-    sigs = minhash_signatures(sh, portable_hash=portable_hash)
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + j + 1).cast(
-                                "string"
-                            )
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
-    # signatures ride THROUGH the candidate join + distinct (256B/row)
-    # rather than rejoining after an id-only dedup: the sigs frame is
-    # an expensive md5 aggregation and Spark does not reuse the
-    # subplan across three consumers (measured: md5 work triplicated,
-    # no ReusedExchange) — the wider shuffle is the cheaper side of
-    # that trade, unlike the editdistance texts rejoin below where the
-    # re-read is a plain parquet scan.
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_key"
-    )
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= 0.4)
-    )
 
 
 @query("dedup_minhash", oracle=_MINHASH_ORACLE, tags=("near-dup", "lsh"))
