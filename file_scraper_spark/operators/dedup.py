@@ -186,7 +186,20 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe). Materializing the cache with a count() first gets both:
     # one explode pass, columnar scans after. The cache is scoped
     # (at most one held per process — see tables.scoped_cache).
-    sh = scoped_cache(cap_hot_shingles(shingles(near_dup_corpus(docs))))
+    # join on xxhash64(shingle), not the ~17-char shingle string: the
+    # inverted-index self-join only compares keys for EQUALITY and the
+    # Jaccard uses match COUNTS, so an 8-byte key computes the same
+    # result (a 64-bit collision would take ~2^32 distinct shingles to
+    # expect once; the oracle joins on strings, so a collision would
+    # fail the gate loudly rather than pass silently) while the
+    # shuffle carries ~60% fewer bytes.
+    sh = scoped_cache(
+        cap_hot_shingles(
+            shingles(near_dup_corpus(docs)).select(
+                "doc_id", F.xxhash64("shingle").alias("shingle")
+            )
+        )
+    )
     sh.count()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
