@@ -446,8 +446,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-capped before the join (see SHINGLE_DF_CAP) — the same
     df^2 blowup guard as the near-dup inverted index."""
     docs = load(spark, sf_dir, "documents")
+    # hashed join key — same equality-only/count-only argument as
+    # jaccard_pairs above
     sh = cap_hot_shingles(
-        shingles(docs.select("doc_id", F.split("text", " ").alias("words")))
+        shingles(
+            docs.select("doc_id", F.split("text", " ").alias("words"))
+        ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     )
     eval_sh = sh.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("eval_id"), "shingle"
