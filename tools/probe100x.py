@@ -38,6 +38,8 @@ SUBSET = [
     "dedup_embedding",
     "similarity_topk",
     "merge_upsert",
+    "hll_sketch_only",
+    "approx_quantile_sketch_only",
 ]
 
 
@@ -51,7 +53,45 @@ def _dedup_minhash_fast(spark, sf_dir):
     return minhash_pairs(load(spark, sf_dir, "documents"), portable_hash=False)
 
 
-EXTRA = {"dedup_minhash_fast": _dedup_minhash_fast}
+def _hll_sketch_only(spark, sf_dir):
+    """hll_sketch_merge WITHOUT the exact countDistinct twin — the
+    actual 100 TB rollup path (the registered query carries the twin
+    for the correctness gate, which changes its cost profile; this
+    variant keeps the sketch-only cost measured)."""
+    from pyspark.sql import functions as F
+    from file_scraper_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_users")
+    )
+
+
+def _approx_quantile_sketch_only(spark, sf_dir):
+    """approx_percentile without the exact-percentile twin — the
+    single-pass bounded-state path whose cost the registered
+    est_ok-gated query no longer reflects."""
+    from pyspark.sql import functions as F
+    from file_scraper_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    sk = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+    return ev.groupBy("event_type").agg(
+        sk[0].alias("p50"), sk[1].alias("p90"), sk[2].alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EXTRA = {
+    "dedup_minhash_fast": _dedup_minhash_fast,
+    "hll_sketch_only": _hll_sketch_only,
+    "approx_quantile_sketch_only": _approx_quantile_sketch_only,
+}
 
 
 def main() -> None:
