@@ -117,10 +117,11 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     ("file_metadata_cols", "formats"),
     ("sample_", "pipeline"),
     ("train_test_split", "pipeline"),
-    ("corpus_mixture", "pipeline"),
+    ("corpus_", "pipeline"),
     ("sequence_packing", "pipeline"),
     ("context_windows", "pipeline"),
     ("pipeline_end2end", "pipeline"),
+    ("quality_funnel", "text"),
     ("scan_project", "scrape"),
     ("filter_predicate", "scrape"),
     ("path_split", "scrape"),

@@ -273,9 +273,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(spark, sf_dir)
 
 
-@query(
-    "dedup_clusters",
-    oracle="WITH RECURSIVE "
+#: the clusters fixpoint as a reusable oracle fragment (recursive CTE
+#: min-label propagation) — shared by dedup_clusters and
+#: dedup_cluster_cap so the two can never drift.
+_CLUSTERS_CTE_SQL = (
+    "WITH RECURSIVE "
     + _CORPUS_SQL.replace("WITH base", "base", 1)
     + _CAPPED_SQL
     + f"""
@@ -304,10 +306,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.a, l.label
       FROM sym s JOIN lp l ON s.b = l.node
       WHERE l.label < s.a
+    ), clusters AS (
+      SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+      FROM lp GROUP BY node
     )
-    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
-    FROM lp GROUP BY node
-    """,
+    """
+)
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_CTE_SQL + "SELECT doc_id, cluster FROM clusters",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: connected components over the
@@ -359,6 +368,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels  # checkpointed: safe to unpersist sym
     finally:
         sym.unpersist()
+
+
+#: keep at most this many docs per near-dup cluster (the downsample
+#: action a training pipeline takes on detected duplicate clusters)
+CLUSTER_CAP = 2
+
+
+@query(
+    "dedup_cluster_cap",
+    oracle=_CLUSTERS_CTE_SQL
+    + f"""
+    SELECT doc_id, cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize,
+           (ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY doc_id))
+             <= {CLUSTER_CAP} AS kept
+    FROM clusters
+    """,
+    tags=("near-dup", "pipeline"),
+)
+def dedup_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Act on near-dup clusters: keep at most CLUSTER_CAP docs per
+    cluster (lowest doc_id wins — deterministic, not sampled) and
+    report cluster size alongside — the downsample step that turns
+    duplicate DETECTION into a smaller corpus, preserving bounded
+    per-cluster diversity instead of keep-exactly-one.
+
+    Scale shape: the expensive part is cluster formation
+    (dedup_clusters); the cap itself is one window over the labels
+    partitioned by cluster — a single shuffle keyed on the cluster
+    label, state O(1) per row. Singleton clusters pass through with
+    kept=true, so the output is a full per-doc keep/drop decision
+    table, filterable downstream with `WHERE kept`."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    labels = dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy("doc_id")
+    wc = Window.partitionBy("cluster")
+    return labels.select(
+        "doc_id",
+        "cluster",
+        F.count(F.lit(1)).over(wc).cast("long").alias("csize"),
+        (F.row_number().over(w) <= CLUSTER_CAP).alias("kept"),
+    )
 
 
 def minhash_signatures(

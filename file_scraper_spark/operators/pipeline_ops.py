@@ -360,3 +360,55 @@ def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("words", (start + 1).cast("int")).alias("first_tok"),
         F.element_at("words", (start + win_len).cast("int")).alias("last_tok"),
     )
+
+
+#: shards for the deterministic corpus shuffle (a real pipeline sizes
+#: this to its writer parallelism; small here so the oracle result is
+#: readable)
+SHUFFLE_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS skey,
+             CAST({_oracle_bucket('doc_id')} % {SHUFFLE_SHARDS} AS BIGINT)
+               AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY skey, doc_id
+           ) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    tags=("pipeline",),
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    pseudo-random but REPRODUCIBLE position — md5(doc_id) as the sort
+    key — sharded so no global sort exists. The property a training
+    run needs is not randomness quality but stability: a re-run (or a
+    resumed failed stage) must produce the identical order, which
+    RNG-based orderBy(rand()) does not.
+
+    Scale shape: shard assignment is a per-row hash (no shuffle);
+    within-shard positions are one window per shard — a single
+    hash-partition exchange on the shard key, each shard sorted
+    independently (writer-parallel, like the shard files a data
+    loader consumes). No single-partition global window at any
+    scale."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+        (hash_bucket(F.col("doc_id")) % SHUFFLE_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

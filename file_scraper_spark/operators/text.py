@@ -543,3 +543,81 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+#: quality_funnel stage thresholds (the cleaning cascade a corpus
+#: build applies; values tuned to the fixture so every stage drops
+#: SOMETHING and the funnel shape is visible)
+FUNNEL_MIN_WORDS = 20
+FUNNEL_MIN_STOP_RATIO = 0.05
+
+
+@query(
+    "quality_funnel",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST({_oracle_marker_count(STOPWORDS)} AS BIGINT) AS stop_cnt,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY text)) AS keeper
+      FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             (n_words >= {FUNNEL_MIN_WORDS}) AS f_len,
+             (CAST(stop_cnt AS DOUBLE) / n_words
+                >= {FUNNEL_MIN_STOP_RATIO}) AS f_stop,
+             keeper AS f_dedup
+      FROM feat
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_len,
+           CAST(SUM(CASE WHEN f_len AND f_stop THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_after_stop,
+           CAST(SUM(CASE WHEN f_len AND f_stop AND f_dedup THEN 1 ELSE 0
+             END) AS BIGINT) AS n_after_dedup
+    FROM flags
+    """,
+    tags=("text", "pipeline"),
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade survival report: how many docs remain after each
+    stage of a cleaning pipeline (length floor -> stopword-ratio floor
+    -> exact-dedup keeper) — the observability query a corpus build
+    runs to see WHERE its data went; a stage that silently drops 90%
+    shows up here, not in a downstream eval.
+
+    Scale shape: per-doc flags are one pass of JVM expressions; the
+    dedup-keeper flag is a window over the text key (one shuffle, the
+    same key exact dedup groups on — at 100 TB group on xxhash64(text)
+    instead); the funnel itself is a single global aggregate of four
+    conditional sums (one partial-agg row per partition)."""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    keeper_w = Window.partitionBy("text")
+    feat = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        _marker_count(words, STOPWORDS).cast("long").alias("stop_cnt"),
+        (F.col("doc_id") == F.min("doc_id").over(keeper_w)).alias("f_dedup"),
+    )
+    flags = feat.select(
+        (F.col("n_words") >= FUNNEL_MIN_WORDS).alias("f_len"),
+        (
+            F.col("stop_cnt").cast("double") / F.col("n_words")
+            >= FUNNEL_MIN_STOP_RATIO
+        ).alias("f_stop"),
+        "f_dedup",
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("f_len"), 1).otherwise(0)).alias("n_after_len"),
+        F.sum(
+            F.when(F.col("f_len") & F.col("f_stop"), 1).otherwise(0)
+        ).alias("n_after_stop"),
+        F.sum(
+            F.when(
+                F.col("f_len") & F.col("f_stop") & F.col("f_dedup"), 1
+            ).otherwise(0)
+        ).alias("n_after_dedup"),
+    )
