@@ -635,27 +635,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_label.setdefault(r["label"], [0.0] * DIM)[r["pos"]] = r["centroid"]
     labels = sorted(by_label)
 
-    def cell_of(vec: Column) -> Column:
-        # nearest centroid by dot-product distance argmax (centroids
-        # are near-normalized here; ties broken by lowest label)
-        dots = [
-            dot(vec, F.array(*[F.lit(v) for v in by_label[lab]]))
-            for lab in labels
-        ]
-        best = F.greatest(*dots)
-        out = F.lit(labels[-1])
-        for lab, d in zip(reversed(labels), reversed(dots)):
-            out = F.when(d >= best, F.lit(lab)).otherwise(out)
-        return out
-
-    assigned = emb.select("vec_id", "embedding", cell_of(F.col("embedding")).alias("cell"))
-    # one driver-side fetch serves both the literal query column and
-    # the codebook probe selection
+    # one driver-side fetch serves both the query vector and the
+    # codebook probe selection
     qrow = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     )
     qv = [float(x) for x in qrow[0]]
-    q_vec = F.array(*[F.lit(v) for v in qv])
 
     def pydot(a, b):
         # the exact quantized fold (_dec_fold) in driver-side Python:
@@ -666,15 +651,65 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return sum(int(math.floor(x * y * QUANT)) for x, y in zip(a, b))
 
-    probe = sorted(
-        labels, key=lambda lab: -pydot(qv, by_label[lab])
-    )[:3]
-    return (
-        assigned.filter(F.col("cell").isin(probe))
-        .select("vec_id", cosine(F.col("embedding"), q_vec).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
+    probe = set(
+        sorted(labels, key=lambda lab: -pydot(qv, by_label[lab]))[:3]
     )
+
+    # Cell assignment + candidate rerank in ONE numpy mapInPandas pass.
+    # Bit-identical to the expression form (the _band_rows_fn
+    # argument): v*c and (v*c)*1e9 are the same IEEE float64 ops
+    # Catalyst runs, np.floor == F.floor, and every accumulated value
+    # is an integer-valued float64 below 2^53, so summation order
+    # cannot perturb it; argmax takes the FIRST maximum, which with
+    # ascending labels is the same lowest-label tie rule as the
+    # oracle's ROW_NUMBER ... ORDER BY dp DESC, label ASC. Replaces
+    # per-row interpreted higher-order folds (aggregate/zip_with are
+    # not whole-stage-codegen'd) with two matmul-shaped passes.
+    labels_arr = list(labels)
+    cent_rows = [by_label[lab] for lab in labels_arr]
+
+    def assign_and_rerank(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cent_rows, dtype=np.float64)  # (L, D)
+        L = np.array(labels_arr, dtype=np.int64)
+        probe_mask_labels = np.array(
+            [lab in probe for lab in labels_arr]
+        )
+        Q = np.array(qv, dtype=np.float64)  # (D,)
+        qn = np.sqrt(np.floor((Q * Q) * float(QUANT)).sum() / QUANT)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            for s in range(0, len(V), 2048):
+                chunk = V[s : s + 2048]
+                prod = chunk[:, None, :] * C[None, :, :]  # (n, L, D)
+                dots = np.floor(prod * float(QUANT)).sum(axis=2)
+                cell_idx = np.argmax(dots, axis=1)
+                keep = probe_mask_labels[cell_idx]
+                if not keep.any():
+                    continue
+                kv = chunk[keep]
+                dp = np.floor((kv * Q[None, :]) * float(QUANT)).sum(
+                    axis=1
+                ) / QUANT
+                nrm = np.sqrt(
+                    np.floor((kv * kv) * float(QUANT)).sum(axis=1) / QUANT
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[s : s + 2048][keep],
+                        "cosine": dp / (nrm * qn),
+                    }
+                )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        assign_and_rerank, "vec_id long, cosine double"
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
 
 @query(
