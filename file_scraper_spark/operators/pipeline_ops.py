@@ -362,20 +362,52 @@ def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: shards for the deterministic corpus shuffle (a real pipeline sizes
-#: this to its writer parallelism; small here so the oracle result is
-#: readable)
-SHUFFLE_SHARDS = 8
+#: base shard count for the deterministic corpus shuffle, and the
+#: corpus size up to which it holds. Above SHUFFLE_BASE_N docs the
+#: shard count doubles per corpus doubling (see shuffle_shards), so a
+#: shard never holds more than ~SHUFFLE_BASE_N / SHUFFLE_BASE_SHARDS
+#: (~131k) rows — the per-task sort stays bounded at ANY scale instead
+#: of degrading to a >10^9-row single-task sort at 100 TB. Every
+#: driver fixture is far below SHUFFLE_BASE_N, so the step function is
+#: a constant 8 wherever the driver checks correctness, and the oracle
+#: replays the same step function from COUNT(*) anyway.
+SHUFFLE_BASE_SHARDS = 8
+SHUFFLE_BASE_N = 1 << 20
+
+
+def shuffle_shards(n_corpus: int) -> int:
+    """Auto-scaled shard count: 8 up to SHUFFLE_BASE_N (2^20) docs,
+    then 8 * 2^ceil(log2(n / 2^20)) — rows-per-shard bounded by ~131k
+    at any corpus size. At 10^10 docs this is 131072 shards of ~76k
+    rows each: writer-parallel, spill-free, and still a cheap BIGINT
+    key. A step function of the corpus size (not of partitioning or
+    cluster shape), so the assignment — and therefore every doc's
+    (shard, pos) — is deterministic for a given corpus."""
+    import math  # noqa: PLC0415
+
+    if n_corpus <= SHUFFLE_BASE_N:
+        return SHUFFLE_BASE_SHARDS
+    return SHUFFLE_BASE_SHARDS * (
+        1 << math.ceil(math.log2(n_corpus / SHUFFLE_BASE_N))
+    )
 
 
 @query(
     "corpus_shuffle",
     oracle=f"""
-    WITH keyed AS (
+    WITH s AS (
+      SELECT CASE WHEN COUNT(*) <= {SHUFFLE_BASE_N}
+                  THEN {SHUFFLE_BASE_SHARDS}
+                  ELSE CAST({SHUFFLE_BASE_SHARDS} * POWER(2,
+                       CEIL(LOG2(COUNT(*) / {float(SHUFFLE_BASE_N)})))
+                       AS BIGINT)
+             END AS shards
+      FROM documents
+    ), keyed AS (
       SELECT doc_id,
              md5(CAST(doc_id AS VARCHAR)) AS skey,
-             CAST({_oracle_bucket('doc_id')} % {SHUFFLE_SHARDS} AS BIGINT)
-               AS shard
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % (SELECT shards FROM s) AS shard
       FROM documents
     )
     SELECT doc_id, shard,
@@ -394,17 +426,40 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumed failed stage) must produce the identical order, which
     RNG-based orderBy(rand()) does not.
 
-    Scale shape: shard assignment is a per-row hash (no shuffle);
-    within-shard positions are one window per shard — a single
-    hash-partition exchange on the shard key, each shard sorted
-    independently (writer-parallel, like the shard files a data
-    loader consumes). No single-partition global window at any
+    Scale shape: shard count auto-scales with the corpus
+    (shuffle_shards: 8 below 2^20 docs, then doubling per corpus
+    doubling, capping each shard's sort at ~131k rows), sized from a
+    parquet-metadata-only count (footer row counts; no column read).
+    Shard assignment is then a per-row hash; within-shard positions
+    are one window per shard — a single hash-partition exchange on
+    the shard key, each shard sorted independently (writer-parallel,
+    like the shard files a data loader consumes). No single-partition
+    global window — and no super-linear per-task sort — at any
     scale."""
     docs = load(spark, sf_dir, "documents")
+    return corpus_shuffle_frame(docs)
+
+
+def corpus_shuffle_frame(
+    docs: DataFrame, n_docs: int | None = None
+) -> DataFrame:
+    """Core of corpus_shuffle over an arbitrary documents frame;
+    ``n_docs`` overrides the control-plane count (tests use it to
+    exercise the >8-shard regime without a 2^20-row fixture)."""
+    if n_docs is None:
+        n_docs = docs.count()
+    shards = shuffle_shards(n_docs)
     keyed = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("skey"),
-        (hash_bucket(F.col("doc_id")) % SHUFFLE_SHARDS).alias("shard"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % shards
+        ).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     return keyed.select(

@@ -60,3 +60,66 @@ def test_observe_metrics(spark, sf_dir):
     assert got["n_rows"] == total  # observed BEFORE the filter
     assert 0 < n_f < total
     assert got["n_big"] >= 0
+
+
+def test_shuffle_shards_autoscale():
+    """Shard count is 8 at fixture scale, doubles per corpus doubling
+    above 2^20 docs, and bounds rows-per-shard at every scale — the
+    guard against the fixed-8-shard single-task-sort ceiling."""
+    from file_scraper_spark.operators.pipeline_ops import (
+        SHUFFLE_BASE_N,
+        SHUFFLE_BASE_SHARDS,
+        shuffle_shards,
+    )
+
+    assert shuffle_shards(0) == SHUFFLE_BASE_SHARDS
+    assert shuffle_shards(5_000) == SHUFFLE_BASE_SHARDS
+    assert shuffle_shards(SHUFFLE_BASE_N) == SHUFFLE_BASE_SHARDS
+    assert shuffle_shards(SHUFFLE_BASE_N + 1) == 2 * SHUFFLE_BASE_SHARDS
+    assert shuffle_shards(4 * SHUFFLE_BASE_N) == 4 * SHUFFLE_BASE_SHARDS
+    # 100 TB regime: ~10^10 docs -> ~131k shards of ~76k rows each
+    big = shuffle_shards(10_000_000_000)
+    assert big == 131072
+    # monotone and rows/shard bounded by ~2x the base shard size
+    prev = 0
+    for n in (1, 10**6, 10**7, 10**8, 10**9, 10**10, 10**11):
+        s = shuffle_shards(n)
+        assert s >= prev
+        prev = s
+        assert n / s <= 2 * (SHUFFLE_BASE_N / SHUFFLE_BASE_SHARDS)
+
+
+def test_corpus_shuffle_shard_count_grows(spark):
+    """Above SHUFFLE_BASE_N the plan really fans out to more than the
+    base 8 shards (forced via the n_docs override so the test does not
+    need a 2^20-row fixture), positions stay dense per shard, and the
+    window exchange partitions on the shard key."""
+    from pyspark.sql import functions as F
+
+    from file_scraper_spark.operators.pipeline_ops import (
+        SHUFFLE_BASE_N,
+        corpus_shuffle_frame,
+    )
+
+    docs = spark.range(4000).select(
+        F.col("id").cast("string").alias("doc_id")
+    )
+    out = corpus_shuffle_frame(docs, n_docs=8 * SHUFFLE_BASE_N)
+    rows = out.collect()
+    shards = {r["shard"] for r in rows}
+    assert len(shards) > 8  # fanned out past the old fixed ceiling
+    assert max(shards) < 64 and min(shards) >= 0  # 8 * 2^3 shards
+    # per-shard positions are dense 1..k
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # determinism: re-run is bit-identical
+    again = corpus_shuffle_frame(docs, n_docs=8 * SHUFFLE_BASE_N).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    # plan: the only exchange for the window hash-partitions on shard
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
