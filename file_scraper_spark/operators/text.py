@@ -588,18 +588,30 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows up here, not in a downstream eval.
 
     Scale shape: per-doc flags are one pass of JVM expressions; the
-    dedup-keeper flag is a window over the text key (one shuffle, the
-    same key exact dedup groups on — at 100 TB group on xxhash64(text)
-    instead); the funnel itself is a single global aggregate of four
-    conditional sums (one partial-agg row per partition)."""
+    dedup-keeper flag shuffles on xxhash64(text) — an 8-byte exchange
+    key, not the full document text — by repartitioning on the hash
+    and windowing over (hash, text): HashPartitioning(h) already
+    satisfies the (h, text) window's clustering requirement, so no
+    second exchange appears (plan-tested), and keeping the raw text in
+    the window partition IS the collision re-verify — two distinct
+    texts that collide on the hash land in the same Spark partition
+    but different window groups, so semantics stay exact. The funnel
+    itself is a single global aggregate of four conditional sums (one
+    partial-agg row per partition)."""
     docs = load(spark, sf_dir, "documents")
     words = _words()
-    keeper_w = Window.partitionBy("text")
-    feat = docs.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        _marker_count(words, STOPWORDS).cast("long").alias("stop_cnt"),
-        (F.col("doc_id") == F.min("doc_id").over(keeper_w)).alias("f_dedup"),
+    keeper_w = Window.partitionBy("h", "text")
+    feat = (
+        docs.withColumn("h", F.xxhash64("text"))
+        .repartition(F.col("h"))
+        .select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            _marker_count(words, STOPWORDS).cast("long").alias("stop_cnt"),
+            (F.col("doc_id") == F.min("doc_id").over(keeper_w)).alias(
+                "f_dedup"
+            ),
+        )
     )
     flags = feat.select(
         (F.col("n_words") >= FUNNEL_MIN_WORDS).alias("f_len"),

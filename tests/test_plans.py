@@ -292,3 +292,17 @@ def test_locf_bounded_build_side(spark, sf_dir):
     window_pos = plan.index("Window ")
     first_ex = plan.index("Exchange hashpartitioning")
     assert window_pos < first_ex
+
+
+def test_quality_funnel_hash_keyed_dedup_window(spark, sf_dir):
+    """The dedup-keeper window must shuffle on xxhash64(text) — an
+    8-byte key — never on the full document text, and the (h, text)
+    window must reuse the h-partitioning instead of adding a second
+    exchange (HashPartitioning(h) satisfies the window's clustering)."""
+    plan = plan_of("quality_funnel", spark, sf_dir)
+    assert "hashpartitioning(text" not in plan
+    assert re.search(r"hashpartitioning\(h#\d+L", plan)
+    # exactly one data exchange: the h repartition (the final 1-row agg
+    # adds a SinglePartition exchange, which carries 4 longs)
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1
