@@ -747,6 +747,165 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(docs, portable_hash=True)
 
 
+#: dedup_minhash_fast gate thresholds. The xxhash64 signature family
+#: has no DuckDB twin, so the oracle cannot replay the LSH — instead
+#: the query VERIFIES the fast path against exactly-computable ground
+#: truth and projects the result to bounded booleans the oracle pins
+#: to TRUE. Planted pairs make the ground truth join-free: the
+#: perturbed doc's shingle set is a PREFIX SUBSET of its original's,
+#: so exact Jaccard = n_trunc / n_full — two per-doc distinct counts,
+#: no pair join in either engine. Bounds carry margin over the
+#: measured deterministic rates (recall >= 0.93, precision >= 0.997
+#: at every fixture; xxhash64 and the fixtures are both fixed, so the
+#: rates cannot drift between runs).
+MINHASH_FAST_STRONG_J = 0.5
+MINHASH_FAST_RECALL_BOUND = 0.9
+MINHASH_FAST_PRECISION_BOUND = 0.95
+
+_MINHASH_FAST_ORACLE = f"""
+    WITH planted AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id % 5 = 0
+    ), sized AS (
+      SELECT doc_id,
+             len(list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+               AS n_full,
+             len(list_distinct(list_transform(
+               range(1, CAST(floor(len(words) * 0.8) AS BIGINT) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+               AS n_trunc
+      FROM planted
+    ), strong AS (
+      SELECT CAST(n_trunc AS DOUBLE) / n_full AS jac FROM sized
+      WHERE n_full > 0
+        AND CAST(n_trunc AS DOUBLE) / n_full >= {MINHASH_FAST_STRONG_J}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strong,
+           MIN(jac) AS min_strong_j,
+           MAX(jac) AS max_strong_j,
+           TRUE AS recall_ok,
+           TRUE AS precision_ok
+    FROM strong
+"""
+
+
+@query("dedup_minhash_fast", oracle=_MINHASH_FAST_ORACLE, tags=("near-dup", "lsh"))
+def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the PRODUCTION minhash path — ``minhash_pairs(docs,
+    portable_hash=False)``, the xxhash64+numpy variant a 100 TB run
+    would actually use (~2x cheaper than the md5 portable family; see
+    dedup_minhash's docstring). xxhash64 has no DuckDB twin, so the
+    oracle can't replay the signatures; this query instead runs the
+    full fast pipeline and VERIFIES it two ways against ground truth
+    both engines compute exactly:
+
+    - recall_ok: of the planted strong pairs (exact Jaccard >=
+      MINHASH_FAST_STRONG_J; join-free ground truth — a perturbed
+      doc's shingle set is a prefix subset of its original's, so
+      J = n_trunc/n_full from two per-doc distinct counts), the
+      fraction emitted by the fast LSH is >= MINHASH_FAST_RECALL_BOUND.
+    - precision_ok: of ALL emitted pairs, the fraction whose exact
+      Jaccard (array_intersect/union over per-doc shingle-hash sets,
+      computed only for candidate docs — the standard candidate-verify
+      join, bounded by LSH output size) clears the same threshold is
+      >= MINHASH_FAST_PRECISION_BOUND.
+
+    n_strong / min_strong_j / max_strong_j are exact values the oracle
+    recomputes bit-identically (int64 counts and their IEEE quotients);
+    the two booleans are Spark-side verification results the oracle
+    pins to TRUE — a broken hash family, banding, or est filter drops
+    the deterministic rates below the bounds and fails the gate."""
+    docs = load(spark, sf_dir, "documents")
+    emitted = minhash_pairs(docs, portable_hash=False).localCheckpoint()
+    sh = shingles(near_dup_corpus(docs)).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    strong = (
+        planted.join(
+            counts.select(F.col("doc_id").alias("id"), F.col("n").alias("n_full")),
+            "id",
+        )
+        .join(
+            counts.select(
+                (-F.col("doc_id") - 1).alias("id"), F.col("n").alias("n_trunc")
+            ),
+            "id",
+        )
+        .select(
+            "id",
+            (F.col("n_trunc").cast("double") / F.col("n_full")).alias("jac"),
+        )
+        .filter(F.col("jac") >= MINHASH_FAST_STRONG_J)
+    )
+    # planted pairs appear in emitted as (doc_a, doc_b) = (-(id+1), id)
+    found = strong.join(
+        emitted.select(
+            F.col("doc_b").alias("id"),
+            (-F.col("doc_a") - 1).alias("id_chk"),
+        ).filter(F.col("id") == F.col("id_chk")).select(
+            "id", F.lit(True).alias("found")
+        ),
+        "id",
+        "left",
+    )
+    recall_row = found.agg(
+        F.count(F.lit(1)).alias("n_strong"),
+        F.min("jac").alias("min_strong_j"),
+        F.max("jac").alias("max_strong_j"),
+        (
+            F.count_if(F.col("found")).cast("double") / F.count(F.lit(1))
+            >= MINHASH_FAST_RECALL_BOUND
+        ).alias("recall_ok"),
+    )
+    # exact-verify only the docs that appear in emitted pairs (the
+    # candidate-verify pattern: state is bounded by LSH output, not
+    # corpus size)
+    cand_ids = emitted.select(F.col("doc_a").alias("doc_id")).unionAll(
+        emitted.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    arrs = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("s"))
+    )
+    ep = (
+        emitted.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("ej")
+        )
+    )
+    prec_row = ep.agg(
+        F.coalesce(
+            F.count_if(F.col("ej") >= MINHASH_FAST_STRONG_J).cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0))
+            >= MINHASH_FAST_PRECISION_BOUND,
+            F.lit(True),
+        ).alias("precision_ok")
+    )
+    return recall_row.crossJoin(F.broadcast(prec_row)).select(
+        "n_strong",
+        "min_strong_j",
+        "max_strong_j",
+        "recall_ok",
+        "precision_ok",
+    )
+
+
 _SIMHASH_ORACLE = (
     _CORPUS_SQL
     + f"""
