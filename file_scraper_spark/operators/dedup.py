@@ -24,7 +24,7 @@ derivation in Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_scraper_spark.registry import query
@@ -124,6 +124,100 @@ def near_dup_corpus(docs: DataFrame) -> DataFrame:
         ).alias("words"),
     )
     return base.unionAll(perturbed)
+
+
+def exact_collapse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate docs to one min-id representative each,
+    BEFORE near-dup sketching — the guard against degenerate band
+    buckets. k identical docs share every signature, so every LSH band
+    puts all k in one bucket and the banded self-join emits C(k,2)
+    candidates per band (k can be 10^6+ on boilerplate-heavy web data:
+    8 bands x 10^12 pairs through the join + distinct). Collapsing
+    first means the band join ever sees one doc per distinct content;
+    identical-doc pairs are reconstructed OUTPUT-side (one join, no
+    distinct, exactly output-sized) by ``expand_pairs``.
+
+    Returns ``(reps, members)``: ``reps`` is a (doc_id, words) corpus
+    with one row per distinct content; ``members`` maps every doc to
+    its group representative (doc_id, rep).
+
+    The group key is a 128-bit composite (two independent xxhash64
+    seeds over the words array) so the exchange carries 16 bytes, not
+    document text. A collision collapsing two distinct docs needs both
+    64-bit hashes to collide (~2^-128 per pair) — and would fail the
+    cross-engine gate loudly, same argument as the hashed shingle join
+    keys. Semantics are EXACTLY preserved (not an approximation):
+    identical docs have identical signatures, so the uncapped
+    algorithm emits every intra-group pair at full agreement and
+    cross-group member pairs at their reps' estimate — precisely what
+    expansion reconstructs."""
+    keyed = corpus.select(
+        "doc_id",
+        "words",
+        F.xxhash64("words").alias("g1"),
+        F.xxhash64(F.lit(1), "words").alias("g2"),
+    )
+    w = Window.partitionBy("g1", "g2")
+    tagged = keyed.select(
+        "doc_id", "words", F.min("doc_id").over(w).alias("rep")
+    )
+    reps = tagged.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "words"
+    )
+    # members has four consumers (intra x/y, cross a/b) but stays
+    # lazy: the identical subtrees collapse into ReusedExchange in the
+    # physical plan, and an eager localCheckpoint measured SLOWER at
+    # sf0.1 (extra job + row-format scan vs the reused shuffle)
+    members = tagged.select("doc_id", "rep")
+    return reps, members
+
+
+def expand_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    sketched_reps: DataFrame,
+    identical_score: Column,
+    score_col: str,
+) -> DataFrame:
+    """Re-expand representative-level near-dup pairs to member-level
+    pairs after ``exact_collapse``.
+
+    - Cross-group: each (rep_a, rep_b, score) pair fans out to all
+      member combinations; members share their rep's signature, so the
+      score is unchanged. Canonicalized with least/greatest (groups
+      are disjoint, so no pair can arise twice — no distinct needed).
+    - Intra-group: identical docs pair at ``identical_score`` (full
+      signature agreement), but only when the group's rep was actually
+      sketched (``sketched_reps``, one `rep` column) — docs too short
+      to produce a signature emit nothing, exactly as uncapped."""
+    x = members.select(F.col("doc_id").alias("ma"), "rep")
+    y = members.select(F.col("doc_id").alias("mb"), "rep")
+    intra = (
+        x.join(y, "rep")
+        .filter(F.col("ma") < F.col("mb"))
+        .join(sketched_reps, "rep", "left_semi")
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            identical_score.alias(score_col),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            score_col,
+        )
+    )
+    return cross.unionAll(intra)
 
 
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
@@ -593,8 +687,12 @@ def minhash_pairs(docs: DataFrame, portable_hash: bool = True) -> DataFrame:
       consumers in one job, and a lazy cache races — each consumer
       stage recomputed the signature scan before the cache filled;
     - band keys are xxhash64 over the band's signature slots (a
-      long, not a concat string) — any deterministic key works, the
-      oracle never sees it;
+      long, not a concat string). Caveat (same as jaccard_pairs'
+      hashed shingle keys): the oracle joins on true slot-sequence
+      equality, so a 64-bit band-key collision would add a candidate
+      pair the oracle lacks — observable at the gate iff that pair's
+      est_jaccard clears the threshold. ~2^-64 per pair, and it fails
+      LOUDLY (gate mismatch), never silently;
     - the candidate distinct dedupes (doc_a, doc_b) id pairs ONLY
       (~24 B/row through the shuffle instead of 2x256 B signature
       payloads); signatures rejoin from the checkpointed frame.
@@ -604,8 +702,14 @@ def minhash_pairs(docs: DataFrame, portable_hash: bool = True) -> DataFrame:
     the oracle's DISTINCT exists only because its SQL is written over
     shingle sets); skipping array_distinct drops a per-doc hash-set
     pass.
+
+    Exact duplicates are collapsed to representatives before
+    sketching and re-expanded output-side (``exact_collapse`` /
+    ``expand_pairs``) — identical results, but a corpus with k copies
+    of one doc costs one signature instead of k and never lands k docs
+    in one band bucket.
     """
-    corpus = near_dup_corpus(docs)
+    corpus, members = exact_collapse(near_dup_corpus(docs))
     words = F.col("words")
     n_grams = F.size(words) - 2
     if portable_hash:
@@ -720,11 +824,18 @@ def minhash_pairs(docs: DataFrame, portable_hash: bool = True) -> DataFrame:
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     )
-    return joined.select(
+    rep_pairs = joined.select(
         "doc_a",
         "doc_b",
         (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= 0.4)
+    return expand_pairs(
+        rep_pairs,
+        members,
+        sigs.select(F.col("doc_id").alias("rep")),
+        F.lit(1.0),
+        "est_jaccard",
+    )
 
 
 @query("dedup_minhash", oracle=_MINHASH_ORACLE, tags=("near-dup", "lsh"))
@@ -954,9 +1065,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates via 4 15-bit band collisions; verified by Hamming
     distance <= 4. All JVM bit arithmetic (shiftright, bit_count), no
     UDFs; oracle-checked bit-exactly against DuckDB running the same
-    integer pipeline."""
+    integer pipeline.
+
+    Exact duplicates are collapsed to representatives before hashing
+    and re-expanded output-side (intra pairs at hamming 0 — identical
+    docs share the simhash exactly; see ``exact_collapse``), bounding
+    every band bucket at one doc per distinct content."""
     docs = load(spark, sf_dir, "documents")
-    corpus = near_dup_corpus(docs).filter(F.size("words") > 0)
+    corpus, members = exact_collapse(
+        near_dup_corpus(docs).filter(F.size("words") > 0)
+    )
 
     # Explode-then-hash-aggregate, NOT nested higher-order lambdas:
     # measured 1.6-5x faster for the minhash sketch (hash aggregation
@@ -1013,8 +1131,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 4
+    rep_pairs = cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= 4)
+    # every rep in corpus has >= 1 token (size>0 filter above), hence a
+    # simhash row — so corpus ids ARE the sketched set, without
+    # recomputing the 60-aggregate frame for the semi-join
+    return expand_pairs(
+        rep_pairs,
+        members,
+        corpus.select(F.col("doc_id").alias("rep")),
+        F.lit(0).cast("int"),
+        "hamming",
     )
 
 

@@ -16,6 +16,7 @@ from file_scraper_spark.operators.dedup import (
     EDIT_PREFIX,
     SHINGLE_DF_CAP,
     cap_hot_shingles,
+    exact_collapse,
     near_dup_corpus,
     shingles,
 )
@@ -135,6 +136,75 @@ def test_editdistance_recall_across_band_boundary(spark, tmp_path_factory):
     }
     planted = {(-(i + 1), i) for i in range(0, 50, 5)}
     assert planted <= got, f"band boundary dropped {sorted(planted - got)[:5]}"
+
+
+@pytest.fixture(scope="module")
+def identical_dir(spark, tmp_path_factory):
+    """Degenerate corpus: 1000 byte-identical docs (the hot-band-bucket
+    hazard — uncapped, every LSH band would bucket all 1000 together
+    and the banded self-join would push 8 x C(1000,2) ~ 4M candidate
+    rows through the distinct) plus 5 unique docs. near_dup_corpus
+    additionally perturbs every id%5==0 doc, and all 200 perturbed
+    copies of the identical docs are themselves identical."""
+    same = " ".join(f"dup{j}" for j in range(30))
+    rows = [(i, same) for i in range(1000)]
+    rows += [
+        (1001 + 5 * i, " ".join(f"u{i}q{j}" for j in range(30)))
+        for i in range(5)
+    ]
+    return _write_docs(spark, tmp_path_factory.mktemp("ident"), rows)
+
+
+def test_exact_collapse_bounds_band_buckets(spark, identical_dir):
+    """The sketch pipeline must only ever see one doc per distinct
+    content: reps is ~a dozen docs, so no band bucket can exceed that
+    regardless of how many exact copies exist."""
+    docs = spark.read.parquet(f"{identical_dir}/documents.parquet")
+    corpus = near_dup_corpus(docs)
+    reps, members = exact_collapse(corpus)
+    n_reps = reps.count()
+    n_docs = corpus.count()
+    assert n_docs == 1005 + 200  # ids 0,5,..,995 get perturbed copies
+    # groups: identical-full (1000 members), identical-trunc (200),
+    # 5 singleton uniques (ids 1001+5i are never %5==0) -> 7 reps
+    assert n_reps <= 8, f"collapse failed: {n_reps} reps of {n_docs}"
+    assert members.count() == n_docs
+
+
+def test_minhash_identical_corpus_exact_output(spark, identical_dir):
+    """dedup_minhash on the degenerate corpus must emit EXACTLY the
+    uncapped algorithm's pairs: every intra-group pair at est 1.0 and
+    every (original, truncated) cross pair — while the band join only
+    processed the handful of reps."""
+    df = registry.REGISTRY["dedup_minhash"].fn(spark, identical_dir)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("est_jaccard") == 1.0).alias("n_ident"),
+        F.min("est_jaccard").alias("min_est"),
+    ).first()
+    n_full, n_trunc = 1000, 200
+    want_ident = n_full * (n_full - 1) // 2 + n_trunc * (n_trunc - 1) // 2
+    assert agg.n_ident == want_ident
+    # the full-vs-trunc cross pairs (true J ~ 0.79) all collide in the
+    # band join and clear the 0.4 estimate: 1000 x 200 of them
+    assert agg.n == want_ident + n_full * n_trunc
+    assert agg.min_est >= 0.4
+    # planted recall: every perturbed doc pairs with its original
+    planted = df.filter(
+        (F.col("doc_a") == -(F.col("doc_b") + 1))
+        & (F.col("doc_b") % 5 == 0)
+    ).count()
+    assert planted == 200
+
+
+def test_simhash_identical_corpus_intra_pairs(spark, identical_dir):
+    """dedup_simhash: same collapse guard; identical docs must all
+    pair at hamming 0."""
+    df = registry.REGISTRY["dedup_simhash"].fn(spark, identical_dir)
+    n_zero = df.filter(F.col("hamming") == 0).count()
+    want_ident = 1000 * 999 // 2 + 200 * 199 // 2
+    # >=: distinct contents may legitimately also collide at hamming 0
+    assert n_zero >= want_ident
 
 
 def _edit_pairs_python(texts: dict[int, str], prefix_only: bool):
