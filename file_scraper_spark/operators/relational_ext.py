@@ -578,17 +578,21 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so the projection pairs it with the exact
     percentiles and emits ``est_ok`` = every estimate lies between the
     exact continuous percentiles at q∓0.01 — a 10x-slack envelope
-    around the accuracy=1000 rank-error guarantee (<=1/1000), valid
-    for any group with >=100 rows. The oracle reproduces the exact
-    twins and the constant-TRUE bound, failing loudly on estimator
-    drift. (At 100 TB you ship ONLY the sketch; the exact twin exists
-    for the correctness gate.)"""
+    around the accuracy=1000 rank-error guarantee (<=1/1000). The
+    envelope is only a valid claim for groups with >=100 rows (below
+    that, the sketch returns a data value that can sit outside the
+    interpolated band without any estimator defect), so est_ok is
+    guarded vacuously-true for n<100 — a sparse fixture then fails
+    the gate only for a real reason, never envelope noise. The oracle
+    reproduces the exact twins and the constant-TRUE bound, failing
+    loudly on estimator drift. (At 100 TB you ship ONLY the sketch;
+    the exact twin exists for the correctness gate.)"""
     ev = load(spark, sf_dir, "events")
     sketch = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
     lo = F.expr("percentile(value, array(0.49, 0.89, 0.98))")
     hi = F.expr("percentile(value, array(0.51, 0.91, 1.0))")
     exact = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
-    ok = (
+    ok = (F.count(F.lit(1)) < 100) | (
         (sketch[0] >= lo[0]) & (sketch[0] <= hi[0])
         & (sketch[1] >= lo[1]) & (sketch[1] <= hi[1])
         & (sketch[2] >= lo[2]) & (sketch[2] <= hi[2])

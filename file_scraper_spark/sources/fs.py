@@ -73,20 +73,29 @@ def _stat_created_ns(full_path: str, strict: bool = False) -> int | None:
     older file-source code paths emit ``Path.toUri`` strings where a
     space becomes ``%20``). Stat the raw path first so a file whose
     real name contains a literal ``%`` sequence (e.g. ``per%20cent``)
-    is never mis-decoded, then retry percent-decoded on a miss so an
-    encoded listing still resolves (reference semantics: `created`
-    always set for fs, src/fs.rs:65)."""
+    is never mis-decoded; retry percent-decoded ONLY when the raw stat
+    failed with ENOENT (a permission/IO error is not a naming mismatch
+    and must not trigger a different-path stat) AND the path actually
+    contains a ``%XX`` escape. Residual ambiguity: a raw-named file
+    vanishing between listing and stat while a decoded-name twin
+    exists would resolve to the twin — indistinguishable from an
+    encoded listing without a second listing pass; tolerated (same
+    class of races the reference walk's filter_map_ok accepts,
+    src/fs.rs:92)."""
+    import errno
     import os
+    import re
     from urllib.parse import unquote
 
     try:
         st = os.stat(full_path)
-    except OSError:
-        decoded = unquote(full_path)
-        if decoded == full_path:
+    except OSError as exc:
+        if exc.errno != errno.ENOENT or not re.search(
+            "%[0-9A-Fa-f]{2}", full_path
+        ):
             return None
         try:
-            st = os.stat(decoded)
+            st = os.stat(unquote(full_path))
         except OSError:
             return None
     bt = getattr(st, "st_birthtime_ns", None)
