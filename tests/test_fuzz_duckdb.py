@@ -1,0 +1,336 @@
+"""Differential fuzzing vs DuckDB (VERDICT r5 ask #5).
+
+Hypothesis generates random query specs from a small grammar over the
+fixture tables, renders each spec to ONE common-dialect SQL string,
+runs it through BOTH engines — `spark.sql` over temp views (Catalyst /
+Tungsten execution) and DuckDB over `read_parquet` views — and
+compares the canonicalized result sets bit-exactly (the same
+canonicalization as tools/check_correctness.py).
+
+This protects the semantics the 148 pinned gate queries don't reach:
+NULL propagation through aggregates / group keys / join keys
+(synthesized via NULLIF — the fixtures themselves are NULL-free),
+ties in rank ordering, empty-group and empty-result edges, set-op
+duplicate semantics, and scalar-function corner cases — across SIX op
+families (aggregate, window, join, set-op, scalar/filter,
+sort-limit).
+
+Determinism rules baked into the grammar (anything outside them is a
+cross-engine false positive, not a bug):
+- no double-typed SUM/AVG (summation order varies); MIN/MAX/COUNT on
+  any type and SUM over exact ints only
+- ORDER BY always carries NULLS FIRST and, wherever row identity
+  matters (LIMIT, lag/lead/row_number), a unique tiebreak key
+- events.parquet is excluded (TIMESTAMP(NANOS) needs an engine-
+  specific read path, covered by the gate queries instead)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR_SMOKE
+from tools.check_correctness import duckdb_run, value_hash
+
+TABLES = ("orders", "lineitem", "customer", "nation", "region", "documents")
+
+#: per-table column pools: unique key, exact-int columns (sum-safe),
+#: any-type columns (min/max-safe), string columns, small-cardinality
+#: group columns
+COLS = {
+    "orders": {
+        "key": "o_orderkey",
+        "ints": ["o_orderkey", "o_custkey"],
+        "any": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        "strs": ["o_orderstatus", "o_orderpriority"],
+        "groups": ["o_orderstatus", "o_orderpriority", "o_custkey % 7"],
+    },
+    "lineitem": {
+        "key": "l_orderkey * 10 + l_linenumber",
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "any": ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_discount"],
+        "strs": ["l_returnflag", "l_linestatus"],
+        "groups": ["l_returnflag", "l_linestatus", "l_suppkey % 5"],
+    },
+    "customer": {
+        "key": "c_custkey",
+        "ints": ["c_custkey", "c_nationkey"],
+        "any": ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        "strs": ["c_name", "c_mktsegment"],
+        "groups": ["c_mktsegment", "c_nationkey"],
+    },
+    "documents": {
+        "key": "doc_id",
+        "ints": ["doc_id", "n_chars"],
+        "any": ["doc_id", "lang", "source", "n_chars"],
+        "strs": ["lang", "source"],
+        "groups": ["lang", "source", "n_chars % 4"],
+    },
+}
+FUZZ_TABLES = tuple(COLS)
+
+
+@pytest.fixture(scope="module")
+def sql_env(spark):
+    """Register the fuzz tables as Spark temp views over the same
+    parquet DuckDB reads."""
+    for t in TABLES:
+        spark.read.parquet(f"{SF_DIR_SMOKE}/{t}.parquet").createOrReplaceTempView(t)
+    return spark
+
+
+def run_both(spark, sql: str) -> None:
+    sdf = spark.sql(sql)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = duckdb_run(SF_DIR_SMOKE, sql)
+    assert len(s_rows) == len(d_rows), (
+        f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}\n{sql}"
+    )
+    sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
+    assert sh == dh, f"value mismatch spark={sh} duckdb={dh}\n{sql}"
+
+
+# ---- shared sub-strategies ------------------------------------------
+
+tbl = st.sampled_from(FUZZ_TABLES)
+
+
+def int_col(t: str):
+    return st.sampled_from(COLS[t]["ints"])
+
+
+def str_col(t: str):
+    return st.sampled_from(COLS[t]["strs"])
+
+
+def group_expr(t: str, nullable: bool):
+    """A grouping expression; optionally NULL-bearing via NULLIF so
+    NULL group keys / join keys / agg inputs are exercised (the
+    fixtures are NULL-free)."""
+    base = st.sampled_from(COLS[t]["groups"])
+    if not nullable:
+        return base
+    return st.one_of(
+        base,
+        int_col(t).flatmap(
+            lambda c: st.integers(0, 3).map(
+                lambda k: f"NULLIF({c} % 4, {k})"
+            )
+        ),
+    )
+
+
+def predicate(t: str):
+    c = COLS[t]
+    return st.one_of(
+        st.tuples(int_col(t), st.integers(0, 50)).map(
+            lambda p: f"{p[0]} % 53 > {p[1]}"
+        ),
+        st.tuples(str_col(t), st.sampled_from(["<", ">=", "<>"])).map(
+            lambda p: f"{p[0]} {p[1]} 'M'"
+        ),
+        st.tuples(int_col(t), st.integers(1, 5)).map(
+            lambda p: f"NULLIF({p[0]} % 7, 3) >= {p[1]}"  # NULL -> row dropped
+        ),
+        st.just(f"{c['key']} IS NOT NULL"),
+    )
+
+
+# ---- family 1: groupBy aggregates -----------------------------------
+
+agg_spec = st.tuples(
+    tbl.flatmap(
+        lambda t: st.tuples(
+            st.just(t), group_expr(t, nullable=True), int_col(t), predicate(t)
+        )
+    ),
+    st.booleans(),  # HAVING on/off
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(agg_spec)
+def test_fuzz_groupby_agg(sql_env, spec):
+    (t, g, ic, pred), having = spec
+    anyc = COLS[t]["any"][1]
+    sql = (
+        f"SELECT {g} AS g, COUNT(*) AS n, COUNT({anyc}) AS nc, "
+        f"CAST(SUM({ic}) AS BIGINT) AS s, MIN({anyc}) AS mn, "
+        f"MAX({anyc}) AS mx FROM {t} WHERE {pred} GROUP BY {g}"
+        + (" HAVING COUNT(*) > 2" if having else "")
+    )
+    run_both(sql_env, sql)
+
+
+# ---- family 2: window functions -------------------------------------
+
+win_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        st.sampled_from(COLS[t]["groups"][:2]),
+        st.sampled_from(COLS[t]["any"]),
+        st.sampled_from(["RANK()", "DENSE_RANK()", "ROW_NUMBER()", "LAG", "SUMW"]),
+        predicate(t),
+    )
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(win_spec)
+def test_fuzz_window(sql_env, spec):
+    t, p, o, fn, pred = spec
+    key = COLS[t]["key"]
+    ic = COLS[t]["ints"][0]
+    # rank/dense_rank are tie-deterministic; anything row-identity
+    # sensitive gets the unique key as tiebreak
+    if fn in ("RANK()", "DENSE_RANK()"):
+        call = f"{fn} OVER (PARTITION BY {p} ORDER BY {o} NULLS FIRST)"
+    elif fn == "ROW_NUMBER()":
+        call = (
+            f"ROW_NUMBER() OVER (PARTITION BY {p} "
+            f"ORDER BY {o} NULLS FIRST, {key} NULLS FIRST)"
+        )
+    elif fn == "LAG":
+        call = (
+            f"LAG({ic}, 1, -1) OVER (PARTITION BY {p} "
+            f"ORDER BY {o} NULLS FIRST, {key} NULLS FIRST)"
+        )
+    else:  # running exact-int sum over an unambiguous frame
+        call = (
+            f"CAST(SUM({ic}) OVER (PARTITION BY {p} "
+            f"ORDER BY {o} NULLS FIRST, {key} NULLS FIRST "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        )
+    sql = f"SELECT {key} AS k, {call} AS w FROM {t} WHERE {pred}"
+    run_both(sql_env, sql)
+
+
+# ---- family 3: joins -------------------------------------------------
+
+JOIN_EDGES = [
+    ("customer", "orders", "c_custkey", "o_custkey"),
+    ("nation", "customer", "n_nationkey", "c_nationkey"),
+    ("region", "nation", "r_regionkey", "n_regionkey"),
+    ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+]
+
+join_spec = st.tuples(
+    st.sampled_from(JOIN_EDGES),
+    st.sampled_from(["JOIN", "LEFT JOIN", "SEMI", "ANTI"]),
+    st.booleans(),  # NULL-bearing join key on the left side
+    st.integers(0, 6),
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(join_spec)
+def test_fuzz_join(sql_env, spec):
+    (lt, rt, lk, rk), how, null_key, m = spec
+    lkey = f"NULLIF({lk}, {m})" if null_key else lk
+    if how == "SEMI":
+        sql = (
+            f"SELECT COUNT(*) AS n FROM {lt} WHERE {lkey} IN "
+            f"(SELECT {rk} FROM {rt} WHERE {rk} % 7 > {m % 5})"
+        )
+    elif how == "ANTI":
+        sql = (
+            f"SELECT COUNT(*) AS n FROM {lt} WHERE {lkey} NOT IN "
+            f"(SELECT {rk} FROM {rt} WHERE {rk} IS NOT NULL AND {rk} % 7 > {m % 5})"
+        )
+    else:
+        on_l = f"NULLIF(l.{lk}, {m})" if null_key else f"l.{lk}"
+        sql = (
+            f"SELECT l.{lk} AS k, COUNT(r.{rk}) AS nr, COUNT(*) AS n "
+            f"FROM {lt} l {how} {rt} r ON {on_l} = r.{rk} "
+            f"GROUP BY l.{lk}"
+        )
+    run_both(sql_env, sql)
+
+
+# ---- family 4: set operations ---------------------------------------
+
+setop_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+        predicate(t),
+        predicate(t),
+        st.sampled_from(COLS[t]["strs"] + COLS[t]["ints"]),
+    )
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(setop_spec)
+def test_fuzz_setops(sql_env, spec):
+    t, op, p1, p2, c = spec
+    sql = (
+        f"SELECT {c} AS v FROM {t} WHERE {p1} "
+        f"{op} SELECT {c} AS v FROM {t} WHERE {p2}"
+    )
+    run_both(sql_env, sql)
+
+
+# ---- family 5: scalar expressions / filters -------------------------
+
+scalar_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        str_col(t),
+        int_col(t),
+        predicate(t),
+        st.integers(1, 4),
+        st.integers(2, 9),
+    )
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scalar_spec)
+def test_fuzz_scalar(sql_env, spec):
+    t, sc, ic, pred, a, b = spec
+    key = COLS[t]["key"]
+    sql = (
+        f"SELECT {key} AS k, UPPER({sc}) AS u, LENGTH({sc}) AS ln, "
+        f"SUBSTR({sc}, {a}, {b}) AS sub, {sc} || '_x' AS cc, "
+        f"CASE WHEN {ic} % {b} = 0 THEN 'z' ELSE {sc} END AS cw, "
+        f"COALESCE(NULLIF({ic} % {b}, {a % b}), -1) AS nv, "
+        f"CAST({ic} % {b} AS BIGINT) * {a} - 3 AS ar "
+        f"FROM {t} WHERE {pred}"
+    )
+    run_both(sql_env, sql)
+
+
+# ---- family 6: sort + limit -----------------------------------------
+
+sort_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        st.sampled_from(COLS[t]["any"]),
+        st.sampled_from(["ASC", "DESC"]),
+        st.integers(1, 40),
+        predicate(t),
+    )
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sort_spec)
+def test_fuzz_sort_limit(sql_env, spec):
+    t, o, d, k, pred = spec
+    key = COLS[t]["key"]
+    # unique tiebreak makes the LIMIT-k row SET deterministic; compared
+    # order-insensitively (canonicalization sorts rows)
+    sql = (
+        f"SELECT {key} AS k, {o} AS v FROM {t} WHERE {pred} "
+        f"ORDER BY {o} {d} NULLS FIRST, {key} {d} NULLS FIRST LIMIT {k}"
+    )
+    run_both(sql_env, sql)
