@@ -146,6 +146,40 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _streaming_overhead_sec(spark, reps: int = 3) -> float:
+    """Fixed per-query cost of the streaming harness — stream start,
+    micro-batch planning, memory-sink registration, stop — measured on
+    a 1-row file stream (median of ``reps``). Every streaming-family
+    query pays this constant regardless of data volume, so the family's
+    wall seconds overstate its DATA cost; the bench reports both (the
+    r5 verdict's streaming-fidelity ask)."""
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="fss_bench_null_")
+    spark.range(1).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/null.parquet"
+    )
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("parquet")
+            .schema("id long")
+            .load(f"{d}/null.parquet")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"bench_null_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
 def _prev_bench(repo_dir: str) -> tuple[int, dict] | None:
     """Newest driver-recorded BENCH_r{N}.json, for the round delta."""
     best: tuple[int, dict] | None = None
@@ -220,6 +254,16 @@ def main() -> None:
             all_total += sec
         for fam in families.values():
             fam["sec"] = round(fam["sec"], 3)
+        # streaming fidelity: split the family's wall seconds into the
+        # fixed harness constant (start/plan/sink/stop x n queries)
+        # and the residual data cost
+        if "streaming" in families:
+            ovh = _streaming_overhead_sec(spark)
+            fam = families["streaming"]
+            fam["harness_overhead_sec"] = round(ovh * fam["n"], 3)
+            fam["data_sec"] = round(
+                max(0.0, fam["sec"] - ovh * fam["n"]), 3
+            )
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -228,17 +272,37 @@ def main() -> None:
         "queries": timings,
         "families": families,
         "all_total_sec": round(all_total, 3),
+        "reps": reps,
+        "headline": sorted(HEADLINE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
     prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
     if prev and prev[1].get("value"):
         prev_total = float(prev[1]["value"])
+        # the ratio is only cross-round comparable when the headline
+        # set, reps and sf match the prior round (a membership change
+        # would silently skew the delta). Older rounds didn't record
+        # headline/reps — fall back to the measured query keys.
+        prev_set = sorted(
+            prev[1].get("headline") or prev[1].get("queries", {})
+        )
+        comparable = (
+            prev_set == sorted(HEADLINE)
+            and prev[1].get("reps", reps) == reps
+            and prev[1].get("sf") == out["sf"]
+        )
         out["vs_prev"] = {
             "round": prev[0],
             "prev_headline_total_sec": prev_total,
             "headline_ratio": round(total / prev_total, 3),
+            "comparable": comparable,
         }
+        if not comparable:
+            out["vs_prev"]["note"] = (
+                "headline set/reps/sf differ from prior round; "
+                "ratio not cross-round comparable"
+            )
 
     print(json.dumps(out))
     spark.stop()

@@ -29,14 +29,26 @@ SUBSET = [
     "agg_groupby",
     "join_family",
     "window_rank",
+    "window_lag_frame",
+    "topk_sort_limit",
     "sessionize",
     "range_join",
+    "microbatch_window",
+    "tpch_q3_shape",
     "tpch_q5_shape",
+    "timeseries_rollup",
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_fast",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "contamination_check",
     "dedup_embedding",
     "similarity_topk",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "corpus_shuffle",
+    "quality_funnel",
     "merge_upsert",
     "hll_sketch_only",
     "approx_quantile_sketch_only",
@@ -110,7 +122,8 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     print(
         json.dumps(
-            {"metric": "probe100x_sec", "queries": timings,
+            {"metric": "probe100x_sec", "sf_dir": sf_dir,
+             "queries": timings,
              "total": round(sum(timings.values()), 2)}
         )
     )
