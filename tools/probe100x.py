@@ -111,15 +111,24 @@ def main() -> None:
     only = sys.argv[2:] or SUBSET
     spark = get_spark("probe100x")
     queries = registry.all_queries()
-    timings: dict[str, float] = {}
-    for name in only:
-        fn = EXTRA.get(name) or queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.perf_counter() - t0, 2)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    # MIN over reps (default 1; SPARK_GRAFT_PROBE_REPS): timing noise
+    # at this box is strictly additive (page-cache misses, IO stalls,
+    # neighboring load), so the min is the faithful per-query cost;
+    # reps interleave round-robin so a slow window hits one pass
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "1"))
+    samples: dict[str, list[float]] = {name: [] for name in only}
+    for _ in range(reps):
+        for name in only:
+            fn = EXTRA.get(name) or queries[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.perf_counter() - t0)
+            print(
+                f"  {name}: {samples[name][-1]:.2f}s", file=sys.stderr
+            )
+    timings = {name: round(min(ts), 2) for name, ts in samples.items()}
     print(
         json.dumps(
             {"metric": "probe100x_sec", "sf_dir": sf_dir,
