@@ -11,9 +11,9 @@ This protects the semantics the 148 pinned gate queries don't reach:
 NULL propagation through aggregates / group keys / join keys
 (synthesized via NULLIF — the fixtures themselves are NULL-free),
 ties in rank ordering, empty-group and empty-result edges, set-op
-duplicate semantics, and scalar-function corner cases — across SIX op
-families (aggregate, window, join, set-op, scalar/filter,
-sort-limit).
+duplicate semantics, and scalar-function corner cases — across EIGHT
+op families (aggregate, window, join, set-op, scalar/filter,
+multi-level aggregation, CTE/subquery, sort-limit).
 
 Determinism rules baked into the grammar (anything outside them is a
 cross-engine false positive, not a bug):
@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.conftest import SF_DIR_SMOKE
 from tools.check_correctness import duckdb_run, value_hash
+
+#: per-family example budget: 25 at CI cadence; crank via env (e.g.
+#: SPARK_GRAFT_FUZZ_EXAMPLES=200) for a deep divergence hunt
+N_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25"))
 
 TABLES = ("orders", "lineitem", "customer", "nation", "region", "documents")
 
@@ -156,7 +160,7 @@ agg_spec = st.tuples(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(agg_spec)
 def test_fuzz_groupby_agg(sql_env, spec):
     (t, g, ic, pred), having = spec
@@ -183,7 +187,7 @@ win_spec = tbl.flatmap(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(win_spec)
 def test_fuzz_window(sql_env, spec):
     t, p, o, fn, pred = spec
@@ -230,7 +234,7 @@ join_spec = st.tuples(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(join_spec)
 def test_fuzz_join(sql_env, spec):
     (lt, rt, lk, rk), how, null_key, m = spec
@@ -268,7 +272,7 @@ setop_spec = tbl.flatmap(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(setop_spec)
 def test_fuzz_setops(sql_env, spec):
     t, op, p1, p2, c = spec
@@ -293,7 +297,7 @@ scalar_spec = tbl.flatmap(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(scalar_spec)
 def test_fuzz_scalar(sql_env, spec):
     t, sc, ic, pred, a, b = spec
@@ -351,7 +355,7 @@ def test_rollup_empty_input_divergence_pinned(sql_env):
     assert d_rows == [(None, 0)]  # DuckDB: standard grand-total row
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rollup_spec)
 def test_fuzz_rollup_cube(sql_env, spec):
     t, g1, g2, kind, pred = spec
@@ -383,7 +387,7 @@ cte_spec = tbl.flatmap(
 )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(cte_spec)
 def test_fuzz_cte_subquery(sql_env, spec):
     t, g, ic, pred, shape = spec
@@ -422,7 +426,7 @@ sort_spec = tbl.flatmap(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(sort_spec)
 def test_fuzz_sort_limit(sql_env, spec):
     t, o, d, k, pred = spec
