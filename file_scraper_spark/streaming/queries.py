@@ -466,6 +466,123 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the oracle SQL transform_with_state_totals converges to — kept as
+#: a module constant so the blocker-pin test can dual-run it the day
+#: the environment gains protobuf (see tests/test_streaming.py).
+TWS_TOTALS_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_v6
+    FROM events
+    GROUP BY user_id
+"""
+
+
+def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on Spark 4's transformWithState API
+    (StatefulProcessor + typed state handles) — the successor to
+    applyInPandasWithState (stream_stateful_counter keeps the classic
+    shape): per-user running totals carried in a ValueState across
+    micro-batches. The converged per-user state equals the batch
+    groupBy (TWS_TOTALS_ORACLE); the running sum is the repo's exact
+    quantized form (per-row floor(value*1e6) summed as int64 — both
+    engines run identical IEEE multiply+floor, so the bigint is
+    bit-stable under ANY batch/partition order, the same argument as
+    functions/exact.dsum).
+
+    NOT a registered gated query: the transformWithState Python
+    driver worker speaks protobuf to the JVM state server, and this
+    container has no google.protobuf (and no network to fetch it) —
+    the guard below raises the documented blocker instead of the
+    opaque worker crash. tests/test_streaming.py pins the blocker the
+    same way tests/test_lakehouse_merge.py pins MERGE INTO, and runs
+    the REAL pipeline against the oracle the day protobuf appears.
+
+    transformWithState also requires the RocksDB state store; the
+    provider conf is scoped to this call and restored after, so the
+    other streaming queries keep the session default."""
+    import math  # noqa: PLC0415
+
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+    except ImportError as exc:
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the google.protobuf "
+            "package (the streaming Python runner's state-server "
+            "protocol); not available in this environment"
+        ) from exc
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = events_stream(spark, sf_dir)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, sv long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, sv = (
+                tuple(self._totals.get())
+                if self._totals.exists()
+                else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                sv += int(
+                    sum(
+                        math.floor(v * 1_000_000)
+                        for v in pdf["value"]
+                    )
+                )
+            self._totals.update((n, sv))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_events": [n],
+                    "sum_v6": [sv],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, total_events long, sum_v6 long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        result = run_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # update mode emits one row per (user, batch); total_events is
+    # strictly increasing per user, so the final state is the row at
+    # max total_events (sum_v6 itself need not be monotonic — values
+    # can be negative — hence max_by, not max)
+    return result.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.expr("max_by(sum_v6, total_events)").alias("sum_v6"),
+    )
+
+
 @query(
     "pylisting_stream",
     oracle=f"""

@@ -124,3 +124,44 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     assert first > 0  # initial run emits per-user updates
     second = run_once()
     assert second == 0  # restart: offsets replayed from checkpoint, no output
+
+
+def test_transform_with_state_blocked_or_oracle_exact(spark, sf_dir):
+    """Spark 4's transformWithState (StatefulProcessor) status pin,
+    mirroring tests/test_lakehouse_merge.py: the API exists in this
+    Spark, but its Python driver worker needs google.protobuf, which
+    this container lacks — the operator must raise the documented
+    blocker, not the opaque worker crash. If protobuf ever appears,
+    this test switches to running the REAL stateful pipeline and
+    hash-comparing it against the batch-groupBy oracle."""
+    from pyspark.sql import GroupedData
+
+    from file_scraper_spark.streaming.queries import (
+        TWS_TOTALS_ORACLE,
+        transform_with_state_totals,
+    )
+
+    assert hasattr(GroupedData, "transformWithStateInPandas")
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if not has_protobuf:
+        import pytest
+
+        with pytest.raises(ModuleNotFoundError, match="protobuf"):
+            transform_with_state_totals(spark, sf_dir)
+        return
+    got = {
+        (r.user_id, r.total_events, r.sum_v6)
+        for r in transform_with_state_totals(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = set(map(tuple, con.execute(TWS_TOTALS_ORACLE).fetchall()))
+    con.close()
+    assert got == want
