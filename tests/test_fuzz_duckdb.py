@@ -11,9 +11,10 @@ This protects the semantics the 148 pinned gate queries don't reach:
 NULL propagation through aggregates / group keys / join keys
 (synthesized via NULLIF — the fixtures themselves are NULL-free),
 ties in rank ordering, empty-group and empty-result edges, set-op
-duplicate semantics, and scalar-function corner cases — across EIGHT
+duplicate semantics, and scalar-function corner cases — across TEN
 op families (aggregate, window, join, set-op, scalar/filter,
-multi-level aggregation, CTE/subquery, sort-limit).
+multi-level aggregation, CTE/subquery, filtered/distinct aggregates,
+date/time, sort-limit).
 
 Determinism rules baked into the grammar (anything outside them is a
 cross-engine false positive, not a bug):
@@ -410,6 +411,68 @@ def test_fuzz_cte_subquery(sql_env, spec):
             f"(SELECT 1 FROM {t} b WHERE b.{ic} = a.{ic} "
             f"AND b.{key} <> a.{key})"
         )
+    run_both(sql_env, sql)
+
+
+# ---- family 9: filtered / distinct aggregates -----------------------
+
+filtagg_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        st.sampled_from(COLS[t]["groups"][:2]),
+        int_col(t),
+        str_col(t),
+        predicate(t),
+        st.integers(2, 6),
+    )
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(filtagg_spec)
+def test_fuzz_filtered_distinct_agg(sql_env, spec):
+    """FILTER (WHERE ..) clauses and DISTINCT aggregates — both ANSI,
+    both engines; NULLIF inside the aggregate input exercises
+    null-skipping semantics."""
+    t, g, ic, sc, pred, m = spec
+    sql = (
+        f"SELECT {g} AS g, "
+        f"COUNT(DISTINCT {sc}) AS nds, "
+        f"CAST(SUM(DISTINCT {ic} % {m}) AS BIGINT) AS sdm, "
+        f"COUNT(*) FILTER (WHERE {ic} % {m} = 0) AS nf, "
+        f"MIN({sc}) FILTER (WHERE {ic} % {m} <> 1) AS mnf, "
+        f"COUNT(NULLIF({ic} % {m}, 0)) AS nnn "
+        f"FROM {t} WHERE {pred} GROUP BY {g}"
+    )
+    run_both(sql_env, sql)
+
+
+# ---- family 10: date/time functions ---------------------------------
+
+DATE_TABLES = [("orders", "o_orderdate", "o_orderkey"), ("lineitem", "l_shipdate", "l_orderkey")]
+
+date_spec = st.tuples(
+    st.sampled_from(DATE_TABLES),
+    st.sampled_from(["year", "quarter", "month", "week", "day", "hour"]),
+    st.sampled_from(["YEAR", "MONTH", "DAY", "HOUR", "MINUTE"]),
+    st.integers(1, 11),
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(date_spec)
+def test_fuzz_datetime(sql_env, spec):
+    """date_trunc + EXTRACT over timestamps — shared ANSI surface
+    (interval arithmetic and date_diff are deliberately excluded:
+    argument conventions differ between the engines)."""
+    (t, dc, kc), trunc, part, m = spec
+    sql = (
+        f"SELECT CAST(date_trunc('{trunc}', {dc}) AS TIMESTAMP) AS tr, "
+        f"CAST(EXTRACT({part} FROM {dc}) AS BIGINT) AS ex, "
+        f"COUNT(*) AS n, CAST(MIN({kc}) AS BIGINT) AS mk "
+        f"FROM {t} WHERE EXTRACT(MONTH FROM {dc}) <> {m} "
+        f"GROUP BY date_trunc('{trunc}', {dc}), EXTRACT({part} FROM {dc})"
+    )
     run_both(sql_env, sql)
 
 
