@@ -332,6 +332,67 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_diversity",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(floor(1000000 * CAST(SUM(c * c) AS DOUBLE)
+                / CAST(SUM(c) * SUM(c) AS DOUBLE)) AS BIGINT)
+             AS simpson_q,
+           CAST(floor(1000000 * CAST(MAX(c) AS DOUBLE)
+                / CAST(SUM(c) AS DOUBLE)) AS BIGINT) AS top_share_q
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: Simpson
+    concentration sum(p_i^2) over the word-frequency distribution and
+    the top-word share max(c)/n — the frequency-SKEW complement to
+    text_repetition's distinctness ratio (a doc can have many
+    distinct bigrams yet be dominated by one token; Simpson flags
+    that, Gopher-style filters threshold both).
+
+    Deliberately LOG-FREE: Shannon entropy would be the textbook
+    measure, but `log` is libm-dependent and not bit-identical across
+    engines (same rationale as text_tfidf_topterms' ratio weight);
+    Simpson concentration carries the same ordering signal as a ratio
+    of exact integer aggregates — sum(c^2) and n are bigints, ONE
+    IEEE division per doc, quantized floor(1e6*x) — so the gate
+    compares bit-exactly.
+
+    Scale shape: explode + two hash aggregations ((doc_id, word) then
+    doc_id), both map-side combined; no joins, no windows — linear to
+    100 TB like text_wordcount."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    s2 = F.sum(F.col("c") * F.col("c"))
+    cmax = F.max("c")
+    return counts.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.floor(
+            1_000_000 * s2.cast("double") / (n * n).cast("double")
+        ).cast("long").alias("simpson_q"),
+        F.floor(
+            1_000_000 * cmax.cast("double") / n.cast("double")
+        ).cast("long").alias("top_share_q"),
+    )
+
+
+@query(
     "text_topn_ngrams",
     oracle=f"""
     SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n

@@ -337,3 +337,23 @@ def test_wav_bmp_real_parsers():
         parse_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
     with _pytest.raises(ValueError):
         parse_bmp(b"BMx")
+
+
+def test_text_diversity_known_values(spark, tmp_path):
+    """Hand-computed Simpson concentration / top-share on a crafted
+    doc: 'a a a a b' -> counts (4,1), n=5, sum(c^2)=17,
+    simpson = 17/25 = 0.68, top share = 4/5 = 0.8."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a a a a b"), (2, "x y z w")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in R["text_diversity"].fn(spark, d).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_types) == (5, 2)
+    assert r1.simpson_q == 680000
+    assert r1.top_share_q == 800000
+    r2 = rows[2]  # uniform doc: simpson = 4*(1/16) = 0.25, share 1/4
+    assert (r2.n_tokens, r2.n_types) == (4, 4)
+    assert r2.simpson_q == 250000
+    assert r2.top_share_q == 250000
