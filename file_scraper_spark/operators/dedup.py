@@ -198,6 +198,141 @@ def exact_collapse(
     return reps, members
 
 
+#: dedup_url's synthetic URL corpus, shared Spark/SQL. The fixture has
+#: no URL column, so (precedent: near_dup_corpus) each doc derives a
+#: deterministic messy URL whose VARIATIONS are exactly the noise a
+#: canonicalizer must collapse: mixed-case scheme+host, an explicit
+#: default :443 port on some, swapped query-parameter order, a
+#: fragment, and a trailing slash — docs sharing doc_id % 100 mean the
+#: same resource and must land on one canonical form.
+_URL_SQL = """
+    WITH urls AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+             || 'site' || CAST(doc_id % 10 AS VARCHAR) || '.example'
+             || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+             || '/docs/item' || CAST(doc_id % 100 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN '?b=' || CAST((doc_id % 100) % 7 AS VARCHAR)
+                      || '&a=' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '?a=' || CAST(doc_id % 100 AS VARCHAR)
+                      || '&b=' || CAST((doc_id % 100) % 7 AS VARCHAR) END)
+             || '#frag' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    )
+"""
+
+
+def _canonical_url(url) -> "Column":
+    """Canonical form of a URL column, all JVM string built-ins:
+    lowercase scheme+host, strip an explicit default port (:443 for
+    https), strip the fragment, strip a trailing slash on a non-root
+    path, and sort query parameters (param ORDER is presentation,
+    not identity). Every step has an exact DuckDB twin in the
+    dedup_url oracle."""
+    no_frag = F.regexp_extract(url, r"^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/?]+)", 1)
+    )
+    host = F.regexp_replace(hostport, r":443$", "")
+    path = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?]+([^?]*)", 1)
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    sorted_q = F.array_join(
+        F.array_sort(F.split(query, "&")), "&"
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
+
+
+@query(
+    "dedup_url",
+    oracle=_URL_SQL
+    + """
+    , canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+             || regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)),
+                  ':443$', '')
+             || regexp_replace(
+                  regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                    '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+                  '(.)/$', '\\1')
+             || CASE WHEN regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                          '\\?(.*)$', 1) = ''
+                THEN ''
+                ELSE '?' || array_to_string(list_sort(string_split(
+                     regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                       '\\?(.*)$', 1), '&')), '&') END
+               AS curl
+      FROM urls
+    )
+    SELECT curl, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY curl
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest, highest-yield dedup
+    stage of a web-corpus pipeline (run BEFORE content hashing: two
+    fetches of the same resource differ only in URL cosmetics far
+    more often than in bytes). Canonicalize (lowercase scheme/host,
+    strip default port + fragment + trailing slash, sort query
+    params), then one hash groupBy per canonical URL keeping the
+    min-id doc and the duplicate count.
+
+    All JVM regexp/array built-ins — one scan, one map-side-combined
+    aggregation, no joins; at 100 TB group on xxhash64(curl) with the
+    (h, curl) re-verify exactly as quality_funnel does. The derived
+    messy-URL corpus and every canonicalization step are replayed
+    identically in the DuckDB oracle (regexp_extract/regexp_replace/
+    list_sort are bit-exact string ops — no floats anywhere)."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c) -> Column:
+        return c.cast("string")
+
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.lit("site"), s(d % 10), F.lit(".example"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/item"), s(d % 100),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?b="), s((d % 100) % 7), F.lit("&a="), s(d % 100)),
+        ).otherwise(
+            F.concat(F.lit("?a="), s(d % 100), F.lit("&b="), s((d % 100) % 7))
+        ),
+        F.lit("#frag"), s(d),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return (
+        urls.select("doc_id", _canonical_url(F.col("url")).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
 def expand_pairs(
     rep_pairs: DataFrame,
     members: DataFrame | None,

@@ -357,3 +357,21 @@ def test_text_diversity_known_values(spark, tmp_path):
     assert (r2.n_tokens, r2.n_types) == (4, 4)
     assert r2.simpson_q == 250000
     assert r2.top_share_q == 250000
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on crafted URLs: case, default
+    port, fragment, param order, trailing slash (non-root stripped,
+    root kept), query-free passthrough."""
+    from file_scraper_spark.operators.dedup import _canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Site.Example:443/docs/item5/?b=3&a=5#x",
+         "https://www.site.example/docs/item5?a=5&b=3"),
+        ("https://a.example/", "https://a.example/"),
+        ("https://a.example/p", "https://a.example/p"),
+        ("https://A.example/p?z=1&y=2&x=3", "https://a.example/p?x=3&y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(_canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
