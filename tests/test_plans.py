@@ -303,3 +303,24 @@ def test_quality_funnel_hash_keyed_dedup_window(spark, sf_dir):
     # adds a SinglePartition exchange, which carries 4 longs)
     hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
     assert len(hash_exchanges) == 1
+
+
+def test_text_diversity_linear_shape(spark, sf_dir):
+    """text_diversity must stay the linear two-aggregation shape: no
+    joins or windows, exactly the (doc_id, word) and doc_id hash
+    exchanges, both aggregations map-side combined (partial +
+    final HashAggregate pairs)."""
+    plan = plan_of("text_diversity", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") == 4  # 2x (partial, final)
+
+
+def test_dedup_url_single_aggregation_no_join(spark, sf_dir):
+    """dedup_url is one scan + one map-side-combined aggregation on
+    the canonical URL — no joins, a single hash exchange."""
+    plan = plan_of("dedup_url", spark, sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
