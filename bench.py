@@ -153,31 +153,35 @@ def _streaming_overhead_sec(spark, reps: int = 3) -> float:
     query pays this constant regardless of data volume, so the family's
     wall seconds overstate its DATA cost; the bench reports both (the
     r5 verdict's streaming-fidelity ask)."""
+    import shutil
     import tempfile
     import uuid
 
     d = tempfile.mkdtemp(prefix="fss_bench_null_")
-    spark.range(1).coalesce(1).write.mode("overwrite").parquet(
-        f"{d}/null.parquet"
-    )
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        q = (
-            spark.readStream.format("parquet")
-            .schema("id long")
-            .load(f"{d}/null.parquet")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(f"bench_null_{uuid.uuid4().hex[:12]}")
-            .start()
+    try:
+        spark.range(1).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/null.parquet"
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("parquet")
+                .schema("id long")
+                .load(f"{d}/null.parquet")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(f"bench_null_{uuid.uuid4().hex[:12]}")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _prev_bench(repo_dir: str) -> tuple[int, dict] | None:

@@ -402,20 +402,21 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(1 - F.col("is_probe")).alias("n"))
         .collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += totals[pid]
-    offset_col = F.coalesce(
-        *[
-            F.when(F.col("pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    # offsets apply via a BROADCAST hash join on pid — O(1) per probe
+    # row. (The previous per-row `coalesce(when(pid==k, off)...)` chain
+    # was O(n_parts) per row: invisible at local[32]'s 32 partitions,
+    # but a thousands-branch expression on a real cluster with
+    # thousands of range partitions. The offsets frame is exactly one
+    # 12-byte row per partition — broadcast by construction.)
+    offsets_df = spark.createDataFrame(offsets, "pid int, off long")
     return (
         local.filter(F.col("is_probe") == 1)
-        .withColumn("total", F.col("cum") + offset_col)
+        .join(F.broadcast(offsets_df), "pid", "left")
+        .withColumn("total", F.col("cum") + F.coalesce(F.col("off"), F.lit(0)))
         .groupBy("event_type")
         .agg(F.sum(F.col("sign") * F.col("total")).alias("pair_cnt"))
     )

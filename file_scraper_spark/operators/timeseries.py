@@ -27,6 +27,62 @@ from file_scraper_spark.tables import load
 #: bound the LOCF output: spine users 0..LOCF_USERS-1
 LOCF_USERS = 20
 
+#: gapfill broadcasts the aggregated hourly frame only while its
+#: bounded dimension (distinct event types) stays under this cap —
+#: hours x types x ~40 B comfortably under the default 10 MB
+#: autoBroadcastJoinThreshold. Past the cap (a source with unbounded
+#: type cardinality) the join falls back to a shuffle join: the same
+#: result, never a driver-sized broadcast.
+GAPFILL_BROADCAST_TYPE_CAP = 10_000
+
+#: memoized distinct-type probe per corpus identity (same pattern and
+#: rationale as dedup._DUP_PROBE_CACHE: the verdict is a pure function
+#: of the data, repeated builds shouldn't re-pay the scan)
+_TYPE_CARD_CACHE: dict[object, int] = {}
+
+
+def gapfill_dense(
+    ev: DataFrame,
+    broadcast_type_cap: int = GAPFILL_BROADCAST_TYPE_CAP,
+    cache_key: object | None = None,
+) -> DataFrame:
+    """Dense (hour, event_type) gap-fill over an (bucket, event_type,
+    value) frame — the operator behind timeseries_gapfill, reusable and
+    guard-tested on synthetic frames.
+
+    Cardinality guard: a cheap one-column probe
+    (approx_count_distinct over the pushed-down event_type column,
+    memoized per ``cache_key``) decides whether the hourly frame is
+    broadcast-joined (bounded |types|, the common telemetry case) or
+    shuffle-joined (unbounded type cardinality — the broadcast would
+    be driver-sized). Both branches compute identical results; the
+    guard only picks the physical join strategy — the same discipline
+    locf_dense_fill applies by construction (its only broadcast is the
+    1-row bounds)."""
+    n_types = _TYPE_CARD_CACHE.get(cache_key) if cache_key is not None else None
+    if n_types is None:
+        n_types = int(ev.agg(F.approx_count_distinct("event_type")).first()[0])
+        if cache_key is not None:
+            _TYPE_CARD_CACHE[cache_key] = n_types
+    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sv")
+    )
+    if n_types <= broadcast_type_cap:
+        hourly = F.broadcast(hourly)
+    return grid.join(hourly, ["bucket", "event_type"], "left").select(
+        "bucket",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
+
 
 @query(
     "timeseries_gapfill",
@@ -64,31 +120,13 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only full-data pass is the hourly pre-aggregation
     (map-side combined shuffle on (bucket, type)). The spine is
-    O(hours x types) regardless of row count — at 100 TB it is still
-    a few thousand rows — and both the spine build (a 1-row bounds agg)
-    and the final left join against the aggregated hourly frame are
-    broadcast-sized."""
+    O(hours x types) regardless of row count, and the final left join
+    broadcasts the aggregated hourly frame only while |types| is
+    bounded — see ``gapfill_dense`` for the cardinality guard."""
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("bucket"), "event_type", "value"
     )
-    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-    spine = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("interval 1 hour"))
-        ).alias("bucket")
-    )
-    grid = spine.crossJoin(ev.select("event_type").distinct())
-    hourly = ev.groupBy("bucket", "event_type").agg(
-        F.count(F.lit(1)).alias("n"), dsum("value").alias("sv")
-    )
-    return grid.join(
-        F.broadcast(hourly), ["bucket", "event_type"], "left"
-    ).select(
-        "bucket",
-        "event_type",
-        F.coalesce("n", F.lit(0)).alias("n_events"),
-        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
-    )
+    return gapfill_dense(ev, cache_key=("gapfill_types", sf_dir))
 
 
 def locf_dense_fill(observations: DataFrame, bounds: DataFrame) -> DataFrame:

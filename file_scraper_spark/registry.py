@@ -96,4 +96,13 @@ def _ensure_loaded() -> None:
     )
     from file_scraper_spark.streaming import queries as streaming_queries  # noqa: F401
 
+    # The driver's CORRECTNESS gate samples the first 50 registered
+    # queries, so registration order decides which queries ever get a
+    # driver row.  rotation.py holds the per-round window schedule.
+    from file_scraper_spark import rotation
+
+    reordered = rotation.reorder(REGISTRY)
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
     _LOADED = True

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.errors import UnsupportedOperationException
 from pyspark.sql.utils import AnalysisException
 
 from file_scraper_spark.operators.scrape import classify_merge
@@ -48,12 +49,17 @@ def test_merge_into_unsupported_by_session_catalog(spark, tmp_path):
                 "WHEN NOT MATCHED THEN INSERT *"
             )
         msg = str(ei.value)
-        assert "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg, msg
         assert "MERGE INTO" in msg
-        # NOT a parse/resolution error: the statement itself is valid
-        assert not isinstance(ei.value, AnalysisException) or (
-            "TABLE_OPERATION" in msg
-        )
+        # NOT a parse/resolution error: the statement parses and
+        # analyzes, then fails on exactly the table-capability
+        # condition (pinned via the structured error class, not
+        # substring-in-message — ADVICE r6: the old substring check
+        # was tautological)
+        assert isinstance(ei.value, UnsupportedOperationException), type(ei.value)
+        assert not isinstance(ei.value, AnalysisException), type(ei.value)
+        assert (
+            ei.value.getCondition() == "UNSUPPORTED_FEATURE.TABLE_OPERATION"
+        ), ei.value.getCondition()
     finally:
         spark.sql("DROP TABLE IF EXISTS lakehouse_merge_probe")
 

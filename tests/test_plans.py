@@ -55,12 +55,19 @@ def test_topk_no_global_sort(spark, sf_dir):
 
 
 def test_range_join_is_sweep_not_pair_join(spark, sf_dir):
-    """The interval-count query must NOT materialize pairs: no join of
-    any kind in the plan (the sweep-count formulation), and certainly
-    no nested-loop."""
+    """The interval-count query must NOT materialize pairs: no
+    nested-loop or data-sized join. The ONLY join allowed is the
+    broadcast of the per-partition prefix offsets (one tiny row per
+    range partition, joined on pid) — a control-plane hash lookup,
+    not a pair join."""
     plan = plan_of("range_join", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" not in plan  # sweep count: union + window, zero joins
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # offsets apply as an O(1) broadcast lookup on pid (no O(n_parts)
+    # per-row coalesce chain)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 1
 
 
 def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
@@ -289,6 +296,38 @@ def test_locf_bounded_build_side(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds join
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_gapfill_cardinality_guard(spark, sf_dir):
+    """gapfill_dense broadcasts the hourly aggregate ONLY while the
+    distinct-type probe stays under the cap; a high-cardinality type
+    column must take the shuffle-join branch (the broadcast would be
+    driver-sized on an unbounded-type source) — and both branches must
+    compute identical rows."""
+    from pyspark.sql import functions as F
+
+    from file_scraper_spark.operators.timeseries import gapfill_dense
+
+    ev = spark.range(500).select(
+        (
+            F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") % 7) * 3600)
+        ).alias("bucket"),
+        F.concat(F.lit("type_"), F.col("id") % 200).alias("event_type"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    # assert on the FORCED hint in the optimized logical plan, not on
+    # the physical join: on a tiny test frame Catalyst's size stats
+    # legitimately auto-broadcast either way — the guard's contract is
+    # exactly "never FORCE a broadcast past the cap" (stats/AQE keep
+    # making the size-based call)
+    wide = gapfill_dense(ev, broadcast_type_cap=100)  # 200 types > cap
+    plan = wide._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in plan  # non-forced branch
+    narrow = gapfill_dense(ev, broadcast_type_cap=100_000)
+    nplan = narrow._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in nplan  # bounded branch: hint kept
+    key = lambda r: (r.bucket, r.event_type)  # noqa: E731
+    assert sorted(wide.collect(), key=key) == sorted(narrow.collect(), key=key)
 
 
 def test_quality_funnel_hash_keyed_dedup_window(spark, sf_dir):
