@@ -14,7 +14,7 @@ Each query is materialized through the noop sink (full JVM execution,
 no driver collect, no Python serialization in the measurement path).
 
 Headline per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_REPS
-passes (default 3), interleaved round-robin so a transient JVM hiccup
+passes (default 5), interleaved round-robin so a transient JVM hiccup
 (GC, JIT recompile) lands in one pass, not one query: single-pass
 timings on this box swing +/-25% run-to-run (NOTES.md), which the
 median kills. `value` is the sum of medians — the cross-round
@@ -226,7 +226,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
@@ -291,9 +291,14 @@ def main() -> None:
         prev_set = sorted(
             prev[1].get("headline") or prev[1].get("queries", {})
         )
+        # reps may INCREASE round-over-round without breaking
+        # comparability: each query's number is the median of its
+        # reps, and a median over more interleaved reps estimates the
+        # same steady-state statistic, only with less ambient noise
+        # (the r6 verdict's explicit ask). A DECREASE still flags.
         comparable = (
             prev_set == sorted(HEADLINE)
-            and prev[1].get("reps", reps) == reps
+            and reps >= int(prev[1].get("reps", reps))
             and prev[1].get("sf") == out["sf"]
         )
         out["vs_prev"] = {

@@ -501,3 +501,95 @@ def test_fuzz_sort_limit(sql_env, spec):
         f"ORDER BY {o} {d} NULLS FIRST, {key} {d} NULLS FIRST LIMIT {k}"
     )
     run_both(sql_env, sql)
+
+
+# ---- family 11: window FRAMES (RANGE vs ROWS, nth/first/last bounds) -
+
+#: (frame kind, aggregate) — every combination is deterministic:
+#: RANGE frames are value-based (peer rows enter/leave together, so
+#: ties cannot perturb SUM/COUNT of exact ints); ROWS frames get the
+#: unique key as the final ORDER BY tiebreak so row identity is total.
+frame_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        st.sampled_from(COLS[t]["groups"][:2]),
+        int_col(t),
+        st.sampled_from(["RANGE", "ROWS"]),
+        st.integers(0, 5),   # preceding bound
+        st.sampled_from([0, 1, 2, -1]),  # following bound; -1 = CURRENT ROW
+        st.sampled_from(["SUM", "COUNT", "NTH", "FIRST", "LAST"]),
+        predicate(t),
+    )
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(frame_spec)
+def test_fuzz_window_frames(sql_env, spec):
+    t, p, oc, kind, prec, foll, fn, pred = spec
+    key = COLS[t]["key"]
+    ic = COLS[t]["ints"][-1]
+    hi = "CURRENT ROW" if foll == -1 else f"{foll} FOLLOWING"
+    if kind == "RANGE":
+        # RANGE offset frames need a single numeric sort key; ties are
+        # harmless (peers share the frame) so no tiebreak is added —
+        # that asymmetry vs ROWS is exactly the semantics under test
+        order = f"ORDER BY {oc} NULLS FIRST"
+        frame = f"RANGE BETWEEN {prec} PRECEDING AND {hi}"
+        # value-based frames: only order-insensitive aggregates
+        calls = {
+            "SUM": f"CAST(SUM({ic}) OVER w AS BIGINT)",
+            "COUNT": "COUNT(*) OVER w",
+            "NTH": f"CAST(SUM({ic} % 11) OVER w AS BIGINT)",
+            "FIRST": f"CAST(MIN({ic}) OVER w AS BIGINT)",
+            "LAST": f"CAST(MAX({ic}) OVER w AS BIGINT)",
+        }
+    else:
+        order = f"ORDER BY {oc} NULLS FIRST, {key} NULLS FIRST"
+        frame = f"ROWS BETWEEN {prec} PRECEDING AND {hi}"
+        calls = {
+            "SUM": f"CAST(SUM({ic}) OVER w AS BIGINT)",
+            "COUNT": "COUNT(*) OVER w",
+            "NTH": f"NTH_VALUE({ic}, 2) OVER w",
+            "FIRST": f"FIRST_VALUE({ic}) OVER w",
+            "LAST": f"LAST_VALUE({ic}) OVER w",
+        }
+    sql = (
+        f"SELECT {key} AS k, {calls[fn]} AS w FROM {t} WHERE {pred} "
+        f"WINDOW w AS (PARTITION BY {p} {order} {frame})"
+    )
+    run_both(sql_env, sql)
+
+
+# ---- family 12: joins with NULL-bearing keys on BOTH sides ----------
+
+nulljoin_spec = st.tuples(
+    st.sampled_from(JOIN_EDGES),
+    st.sampled_from(["FULL JOIN", "LEFT JOIN", "JOIN"]),
+    st.integers(0, 6),   # left NULLIF residue
+    st.integers(0, 6),   # right NULLIF residue
+    st.booleans(),       # null-safe equality (IS NOT DISTINCT FROM)
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(nulljoin_spec)
+def test_fuzz_null_key_join(sql_env, spec):
+    """Both join inputs carry synthesized NULL keys; exercises the
+    3-valued ON-clause semantics (NULL = NULL is never true) against
+    null-safe equality (IS NOT DISTINCT FROM, where NULL matches
+    NULL), across inner/left/full shapes. Aggregated so result sets
+    stay small and order-free."""
+    (lt, rt, lk, rk), how, ml, mr, nullsafe = spec
+    # % 101 keeps the many-to-many residue join bounded (~n^2/101
+    # inner rows at the smoke fixture) while still colliding plenty
+    on_l = f"NULLIF(l.{lk} % 101, {ml})"
+    on_r = f"NULLIF(r.{rk} % 101, {mr})"
+    op = "IS NOT DISTINCT FROM" if nullsafe else "="
+    sql = (
+        f"SELECT COUNT(*) AS n, COUNT(l.{lk}) AS nl, COUNT(r.{rk}) AS nr, "
+        f"CAST(SUM(COALESCE(l.{lk} % 97, -1) + COALESCE(r.{rk} % 89, -3)) "
+        f"AS BIGINT) AS s "
+        f"FROM {lt} l {how} {rt} r ON {on_l} {op} {on_r}"
+    )
+    run_both(sql_env, sql)

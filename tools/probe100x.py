@@ -42,6 +42,7 @@ SUBSET = [
     "dedup_minhash_fast",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_sampled",
     "contamination_check",
     "dedup_embedding",
     "similarity_topk",
