@@ -472,14 +472,21 @@ def cap_hot_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
 
 
 def jaccard_pairs(
-    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    sample_mod: int | None = None,
+    sample_fast: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard >= threshold) near-dup edge list — shared
     by dedup_ngram_jaccard and the connected-components clusterer.
 
     ``sample_mod=k`` switches to SAMPLED shingle sets: keep only
-    shingles whose portable 40-bit hash is ≡ 0 (mod k) — see
-    dedup_jaccard_sampled for the estimator argument."""
+    shingles whose hash is ≡ 0 (mod k) — see dedup_jaccard_sampled
+    for the estimator argument. ``sample_fast`` selects on the
+    xxhash64 JOIN KEY the index already computes (zero added hash
+    cost — the production path; measured: the md5 portable selection
+    costs ~as much as the smaller join saves at the 100x probe),
+    instead of the md5-derived portable hash DuckDB can replay."""
     docs = load(spark, sf_dir, "documents")
     # cache + eager count: sh feeds the per-doc counts and both
     # self-join sides. Lazy cache() alone does not dedupe the
@@ -498,17 +505,23 @@ def jaccard_pairs(
     # fail the gate loudly rather than pass silently) while the
     # shuffle carries ~60% fewer bytes.
     raw = shingles(near_dup_corpus(docs))
-    if sample_mod is not None:
+    if sample_mod is not None and not sample_fast:
         # deterministic shingle SELECTION (mod-hash, not per-doc
         # random): the same shingle is kept or dropped for EVERY doc,
         # so sampled sets are true subsets drawn by one global rule
         h1, _ = _portable_hash2(F.col("shingle"))
         raw = raw.filter(h1 % sample_mod == 0)
-    sh = scoped_cache(
-        cap_hot_shingles(
-            raw.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        )
-    )
+    hashed = raw.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    if sample_mod is not None and sample_fast:
+        # same global value-based rule, applied to the already-computed
+        # 64-bit join key (pmod: xxhash64 is signed). Post-explode ON
+        # PURPOSE: the scalar hash + filter sits inside whole-stage
+        # codegen, while hashing/filtering INSIDE the per-row array
+        # (higher-order transform+filter before the explode) runs
+        # interpreted per element and measured SLOWER at the 100x
+        # probe (26.9s vs 21.4s) despite materializing 4x fewer rows.
+        hashed = hashed.filter(F.pmod(F.col("shingle"), F.lit(sample_mod)) == 0)
+    sh = scoped_cache(cap_hot_shingles(hashed))
     sh.count()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

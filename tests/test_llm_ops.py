@@ -60,6 +60,37 @@ def test_minhash_fast_path_equivalent_recall(spark, sf_dir):
         assert abs(fast[p] - slow[p]) <= 0.35, (p, fast[p], slow[p])
 
 
+def test_jaccard_sampled_fast_path_equivalent_recall(spark, sf_dir):
+    """The xxhash64-selection sampled path (sample_fast=True — selects
+    on the join key, no md5; the 100x-probe production variant at
+    ~half the exact path's wall) must find ~the same planted pairs as
+    the md5-portable sampled path the gate checks. Different hash
+    families sample different ~25% shingle subsets, so the pin is on
+    planted-pair recall overlap, not set equality; on shared pairs
+    both compute an exact Jaccard over their own sampled sets."""
+    from file_scraper_spark.operators.dedup import (
+        SHINGLE_SAMPLE_MOD,
+        jaccard_pairs,
+    )
+
+    slow = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            spark, sf_dir, sample_mod=SHINGLE_SAMPLE_MOD
+        ).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            spark, sf_dir, sample_mod=SHINGLE_SAMPLE_MOD, sample_fast=True
+        ).collect()
+    }
+    planted_slow = {p for p in slow if p[0] == -(p[1] + 1)}
+    planted_fast = {p for p in fast if p[0] == -(p[1] + 1)}
+    assert planted_slow, "no planted pairs on the portable sampled path"
+    assert len(planted_fast & planted_slow) / len(planted_slow) >= 0.85
+
+
 def test_simhash_finds_planted_pairs(spark, sf_dir):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming

@@ -22,6 +22,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The 100x fixture runs the dedup family's cached indexes and
+# checkpoint blocks near the default 16g heap ceiling (observed: heap
+# OOM mid-probe with 100+ GB of machine RAM idle). A scale probe
+# should be memory-configured like a scale run: default to 48g here,
+# overridable via the same env var the session honors.
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
 from file_scraper_spark import registry
 from file_scraper_spark.session import get_spark
 
@@ -43,6 +50,7 @@ SUBSET = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_jaccard_sampled",
+    "dedup_jaccard_sampled_fast",
     "contamination_check",
     "dedup_embedding",
     "similarity_topk",
@@ -100,8 +108,24 @@ def _approx_quantile_sketch_only(spark, sf_dir):
     )
 
 
+def _dedup_jaccard_sampled_fast(spark, sf_dir):
+    """Sampled-shingle Jaccard selecting on the xxhash64 JOIN KEY the
+    index already computes — the production variant (the registered
+    md5-portable selection exists for the DuckDB gate; its hash cost
+    eats most of the sampling win, measured here)."""
+    from file_scraper_spark.operators.dedup import (
+        SHINGLE_SAMPLE_MOD,
+        jaccard_pairs,
+    )
+
+    return jaccard_pairs(
+        spark, sf_dir, sample_mod=SHINGLE_SAMPLE_MOD, sample_fast=True
+    )
+
+
 EXTRA = {
     "dedup_minhash_fast": _dedup_minhash_fast,
+    "dedup_jaccard_sampled_fast": _dedup_jaccard_sampled_fast,
     "hll_sketch_only": _hll_sketch_only,
     "approx_quantile_sketch_only": _approx_quantile_sketch_only,
 }
