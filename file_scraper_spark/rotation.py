@@ -143,16 +143,53 @@ ROUND8_REMAINDER: tuple[str, ...] = (
 )
 
 
-def reorder(registry: dict) -> dict:
-    """Return ``registry`` reordered so priority names come first.
+def sampled_in_prior_rounds() -> set[str]:
+    """Names that already have a driver CORRECTNESS row, read from the
+    CORRECTNESS_r*.json artifacts next to the repo root. This is what
+    makes the rotation SELF-ADVANCING: the driver writes a new
+    artifact each round, so the next round's import automatically
+    pushes the newly-sampled names behind the still-unsampled ones —
+    no manual list surgery needed between rounds."""
+    import glob
+    import json
+    import os
 
-    Unknown priority names are skipped (forward-declared queries);
-    everything else keeps its import order after the window.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                seen |= set(json.load(f))
+        except (OSError, ValueError):
+            continue  # unreadable artifact: skip, never break imports
+    return seen
+
+
+def reorder(registry: dict) -> dict:
+    """Return ``registry`` reordered for the driver's 50-row window:
+
+    1. still-unsampled names from DRIVER_WINDOW_PRIORITY, in order;
+    2. still-unsampled names from ROUND8_REMAINDER, in order;
+    3. any other never-sampled names (e.g. queries added after this
+       schedule was written) in import order;
+    4. the already-sampled names, in import order (re-checks).
+
+    Unknown scheduled names are skipped (forward-declared queries).
+    With the round-2..6 artifacts present this yields exactly the
+    round-7 window documented above; once the round-7 artifact lands,
+    the same code rotates the window to the remainder automatically.
     """
+    seen = sampled_in_prior_rounds()
     out = {}
     for name in DRIVER_WINDOW_PRIORITY:
-        if name in registry:
+        if name in registry and name not in seen:
             out[name] = registry[name]
+    for name in ROUND8_REMAINDER:
+        if name in registry and name not in seen and name not in out:
+            out[name] = registry[name]
+    for name, spec in registry.items():
+        if name not in out and name not in seen:
+            out[name] = spec
     for name, spec in registry.items():
         if name not in out:
             out[name] = spec

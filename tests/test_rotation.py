@@ -42,18 +42,32 @@ def test_rotation_names_exist_and_unique():
     assert not overlap, f"name in both rotation lists: {overlap}"
 
 
-def test_window_is_first_50_and_all_previously_unsampled():
+def test_window_prioritizes_unsampled_queries():
+    """The self-advancing invariant: the registry's head must be every
+    still-unsampled scheduled name in schedule order, and the driver's
+    50-row window must never waste a slot on an already-sampled query
+    while unsampled ones remain. Written against the artifacts on
+    disk, so it keeps holding after each round's CORRECTNESS file
+    lands (the window rotates, the invariant doesn't)."""
+    seen = rotation.sampled_in_prior_rounds()
     order = list(registry.REGISTRY)
-    assert order[: len(rotation.DRIVER_WINDOW_PRIORITY)] == list(
-        rotation.DRIVER_WINDOW_PRIORITY
-    )
-    assert len(rotation.DRIVER_WINDOW_PRIORITY) == 50
-    seen = _sampled_rounds_2_to_6()
-    if seen:  # artifact files present in a full checkout
-        stale = [n for n in rotation.DRIVER_WINDOW_PRIORITY if n in seen]
+    expected_head = [
+        n
+        for n in (
+            list(rotation.DRIVER_WINDOW_PRIORITY)
+            + list(rotation.ROUND8_REMAINDER)
+        )
+        if n in registry.REGISTRY and n not in seen
+    ]
+    assert order[: len(expected_head)] == expected_head
+    n_unsampled = sum(1 for n in order if n not in seen)
+    window = order[:50]
+    stale = [n for n in window if n in seen]
+    if n_unsampled >= 50:
         assert not stale, (
             f"window wastes slots on already-sampled queries: {stale}"
         )
+    assert len(rotation.DRIVER_WINDOW_PRIORITY) == 50
 
 
 def test_schedule_covers_entire_registry():
