@@ -487,6 +487,8 @@ def jaccard_pairs(
     cost — the production path; measured: the md5 portable selection
     costs ~as much as the smaller join saves at the 100x probe),
     instead of the md5-derived portable hash DuckDB can replay."""
+    if sample_fast and sample_mod is None:
+        raise ValueError("sample_fast=True requires sample_mod")
     docs = load(spark, sf_dir, "documents")
     # cache + eager count: sh feeds the per-doc counts and both
     # self-join sides. Lazy cache() alone does not dedupe the

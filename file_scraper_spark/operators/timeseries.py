@@ -27,43 +27,75 @@ from file_scraper_spark.tables import load
 #: bound the LOCF output: spine users 0..LOCF_USERS-1
 LOCF_USERS = 20
 
-#: gapfill broadcasts the aggregated hourly frame only while its
-#: bounded dimension (distinct event types) stays under this cap —
-#: hours x types x ~40 B comfortably under the default 10 MB
-#: autoBroadcastJoinThreshold. Past the cap (a source with unbounded
-#: type cardinality) the join falls back to a shuffle join: the same
-#: result, never a driver-sized broadcast.
-GAPFILL_BROADCAST_TYPE_CAP = 10_000
+#: gapfill force-broadcasts the aggregated hourly frame only while its
+#: worst-case size — spine hours x distinct types GRID CELLS, the
+#: hourly frame's upper bound — stays under this cap: 250k cells x
+#: ~40 B ~ the default 10 MB autoBroadcastJoinThreshold. Past the cap
+#: (unbounded type cardinality OR a long time range) the hint is
+#: dropped and the join falls back to Catalyst's size-based choice:
+#: identical result, never a FORCED driver-sized broadcast. (The cap
+#: is on hours*types, not types alone: 5k types over a 2-year hourly
+#: spine is ~87M cells — a type-only cap would still force that.)
+GAPFILL_BROADCAST_CELL_CAP = 250_000
 
-#: memoized distinct-type probe per corpus identity (same pattern and
-#: rationale as dedup._DUP_PROBE_CACHE: the verdict is a pure function
-#: of the data, repeated builds shouldn't re-pay the scan)
-_TYPE_CARD_CACHE: dict[object, int] = {}
+#: memoized (n_types, n_hours) probe per corpus identity (same pattern
+#: and rationale as dedup._DUP_PROBE_CACHE: the verdict is a pure
+#: function of the data, repeated builds shouldn't re-pay the scan)
+_TYPE_CARD_CACHE: dict[object, tuple[int, int]] = {}
 
 
 def gapfill_dense(
     ev: DataFrame,
-    broadcast_type_cap: int = GAPFILL_BROADCAST_TYPE_CAP,
+    broadcast_cell_cap: int = GAPFILL_BROADCAST_CELL_CAP,
     cache_key: object | None = None,
+    probe: str | None = None,
 ) -> DataFrame:
     """Dense (hour, event_type) gap-fill over an (bucket, event_type,
     value) frame — the operator behind timeseries_gapfill, reusable and
     guard-tested on synthetic frames.
 
-    Cardinality guard: a cheap one-column probe
-    (approx_count_distinct over the pushed-down event_type column,
-    memoized per ``cache_key``) decides whether the hourly frame is
-    broadcast-joined (bounded |types|, the common telemetry case) or
-    shuffle-joined (unbounded type cardinality — the broadcast would
-    be driver-sized). Both branches compute identical results; the
-    guard only picks the physical join strategy — the same discipline
-    locf_dense_fill applies by construction (its only broadcast is the
-    1-row bounds)."""
-    n_types = _TYPE_CARD_CACHE.get(cache_key) if cache_key is not None else None
-    if n_types is None:
-        n_types = int(ev.agg(F.approx_count_distinct("event_type")).first()[0])
-        if cache_key is not None:
-            _TYPE_CARD_CACHE[cache_key] = n_types
+    Cardinality guard: one cheap probe aggregation
+    (approx_count_distinct(event_type) + min/max bucket, two pruned
+    columns, memoized per ``cache_key``) bounds the gap-filled grid at
+    hours x types cells; only under ``broadcast_cell_cap`` is the
+    hourly frame broadcast-HINTED (bounded grid, the common telemetry
+    case). Past the cap the hint is dropped — Catalyst/AQE keep making
+    the stats-based call, but nothing forces a driver-sized broadcast.
+    Both branches compute identical results; the guard only picks the
+    physical join strategy — the same discipline locf_dense_fill
+    applies by construction (its only broadcast is the 1-row bounds).
+
+    ``probe`` (default: the ``FSS_GAPFILL_PROBE`` env var, else
+    ``"auto"``): ``"never"`` skips the eager probe and assumes the
+    bounded branch — for plan-only tooling (dump_plans) that must not
+    trigger Spark jobs at DataFrame-build time, mirroring
+    exact_collapse's mode."""
+    import os  # noqa: PLC0415
+
+    if probe is None:
+        probe = os.environ.get("FSS_GAPFILL_PROBE", "auto")
+    if probe not in ("auto", "never"):
+        raise ValueError(f"gapfill_dense probe {probe!r}")
+    if probe == "never":
+        n_cells = 0  # assume bounded: keep the hint, plan is static
+    else:
+        stats = _TYPE_CARD_CACHE.get(cache_key) if cache_key is not None else None
+        if stats is None:
+            row = ev.agg(
+                F.approx_count_distinct("event_type").alias("nt"),
+                F.min("bucket").alias("lo"),
+                F.max("bucket").alias("hi"),
+            ).first()
+            n_types = int(row["nt"])
+            hours = (
+                0
+                if row["lo"] is None
+                else int((row["hi"] - row["lo"]).total_seconds() // 3600) + 1
+            )
+            stats = (n_types, hours)
+            if cache_key is not None:
+                _TYPE_CARD_CACHE[cache_key] = stats
+        n_cells = stats[0] * stats[1]
     bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     spine = bounds.select(
         F.explode(
@@ -74,7 +106,7 @@ def gapfill_dense(
     hourly = ev.groupBy("bucket", "event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sv")
     )
-    if n_types <= broadcast_type_cap:
+    if n_cells <= broadcast_cell_cap:
         hourly = F.broadcast(hourly)
     return grid.join(hourly, ["bucket", "event_type"], "left").select(
         "bucket",

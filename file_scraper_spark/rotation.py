@@ -144,12 +144,17 @@ ROUND8_REMAINDER: tuple[str, ...] = (
 
 
 def sampled_in_prior_rounds() -> set[str]:
-    """Names that already have a driver CORRECTNESS row, read from the
-    CORRECTNESS_r*.json artifacts next to the repo root. This is what
-    makes the rotation SELF-ADVANCING: the driver writes a new
+    """Names that already have a GREEN driver CORRECTNESS row, read
+    from the CORRECTNESS_r*.json artifacts next to the repo root. This
+    is what makes the rotation SELF-ADVANCING: the driver writes a new
     artifact each round, so the next round's import automatically
-    pushes the newly-sampled names behind the still-unsampled ones —
-    no manual list surgery needed between rounds."""
+    pushes the newly-green names behind the still-unsampled ones — no
+    manual list surgery needed between rounds.
+
+    Only PASSING rows count as sampled: a query whose newest row is
+    red (mismatch or error) needs a re-check at the earliest window,
+    not demotion behind 40 never-sampled names — so it stays in the
+    'unsampled' front of the rotation until a green row lands."""
     import glob
     import json
     import os
@@ -159,9 +164,24 @@ def sampled_in_prior_rounds() -> set[str]:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen |= set(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue  # unreadable artifact: skip, never break imports
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(name)  # unknown shape: assume sampled
+                continue
+            # only an EXPLICIT failure is red: rows-only checks record
+            # hash_match as null/absent, which must still count green
+            # (else a rows-only query would hog a window slot forever)
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                seen.add(name)
     return seen
 
 

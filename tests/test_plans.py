@@ -299,11 +299,11 @@ def test_locf_bounded_build_side(spark, sf_dir):
 
 
 def test_gapfill_cardinality_guard(spark, sf_dir):
-    """gapfill_dense broadcasts the hourly aggregate ONLY while the
-    distinct-type probe stays under the cap; a high-cardinality type
-    column must take the shuffle-join branch (the broadcast would be
-    driver-sized on an unbounded-type source) — and both branches must
-    compute identical rows."""
+    """gapfill_dense force-broadcasts the hourly aggregate ONLY while
+    the probed grid (hours x distinct types — the CELL count, so a
+    long time range trips the guard as surely as a wide type
+    dimension) stays under the cap; past it the hint is dropped — and
+    both branches must compute identical rows."""
     from pyspark.sql import functions as F
 
     from file_scraper_spark.operators.timeseries import gapfill_dense
@@ -320,14 +320,19 @@ def test_gapfill_cardinality_guard(spark, sf_dir):
     # legitimately auto-broadcast either way — the guard's contract is
     # exactly "never FORCE a broadcast past the cap" (stats/AQE keep
     # making the size-based call)
-    wide = gapfill_dense(ev, broadcast_type_cap=100)  # 200 types > cap
+    wide = gapfill_dense(ev, broadcast_cell_cap=1000)  # 200x7=1400 cells
     plan = wide._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in plan  # non-forced branch
-    narrow = gapfill_dense(ev, broadcast_type_cap=100_000)
+    narrow = gapfill_dense(ev, broadcast_cell_cap=100_000)
     nplan = narrow._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" in nplan  # bounded branch: hint kept
     key = lambda r: (r.bucket, r.event_type)  # noqa: E731
     assert sorted(wide.collect(), key=key) == sorted(narrow.collect(), key=key)
+    # probe="never" builds without any eager Spark job and keeps the
+    # static bounded-branch plan (the dump_plans contract)
+    static = gapfill_dense(ev, probe="never")
+    splan = static._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in splan
 
 
 def test_quality_funnel_hash_keyed_dedup_window(spark, sf_dir):
