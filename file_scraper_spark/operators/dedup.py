@@ -490,22 +490,13 @@ def jaccard_pairs(
     if sample_fast and sample_mod is None:
         raise ValueError("sample_fast=True requires sample_mod")
     docs = load(spark, sf_dir, "documents")
-    # cache + eager count: sh feeds the per-doc counts and both
-    # self-join sides. Lazy cache() alone does not dedupe the
-    # CONCURRENT first materializations inside one action (the three
-    # consumers each recompute the explode); localCheckpoint dedupes
-    # but stores row-format blocks whose scan is 3-4x slower than the
-    # columnar cache for the big self-join (measured at the 10x
-    # probe). Materializing the cache with a count() first gets both:
-    # one explode pass, columnar scans after. The cache is scoped
-    # (at most one held per process — see tables.scoped_cache).
-    # join on xxhash64(shingle), not the ~17-char shingle string: the
-    # inverted-index self-join only compares keys for EQUALITY and the
-    # Jaccard uses match COUNTS, so an 8-byte key computes the same
-    # result (a 64-bit collision would take ~2^32 distinct shingles to
-    # expect once; the oracle joins on strings, so a collision would
-    # fail the gate loudly rather than pass silently) while the
-    # shuffle carries ~60% fewer bytes.
+    # group on xxhash64(shingle), not the ~17-char shingle string: the
+    # inverted index only needs key EQUALITY and the Jaccard uses
+    # match COUNTS, so an 8-byte key computes the same result (a
+    # 64-bit collision would take ~2^32 distinct shingles to expect
+    # once; the oracle groups on strings, so a collision would fail
+    # the gate loudly rather than pass silently) while the shuffle
+    # carries ~60% fewer bytes.
     raw = shingles(near_dup_corpus(docs))
     if sample_mod is not None and not sample_fast:
         # deterministic shingle SELECTION (mod-hash, not per-doc
@@ -523,14 +514,56 @@ def jaccard_pairs(
         # interpreted per element and measured SLOWER at the 100x
         # probe (26.9s vs 21.4s) despite materializing 4x fewer rows.
         hashed = hashed.filter(F.pmod(F.col("shingle"), F.lit(sample_mod)) == 0)
-    sh = scoped_cache(cap_hot_shingles(hashed))
-    sh.count()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # POSTING-LIST formulation — ONE exchange of the index builds
+    # per-shingle (df, sorted doc list); everything downstream reads
+    # the (much smaller) posting-list frame:
+    # - the old two-sided self-join exchanged + sorted the full index
+    #   TWICE (and the cap's anti-join, AQE-converted to a broadcast
+    #   anti, added a third full pass that did NOT pre-partition the
+    #   groupBy as hoped — measured 158s vs 86s at the 100x probe);
+    # - the df<=CAP filter applies POST-aggregation: pair expansion
+    #   (the quadratic danger the cap exists for) stays bounded at
+    #   C(CAP,2) per key, while aggregation STATE for a hot key is
+    #   LINEAR in df (8 B/doc; collect_list falls back to sort-based
+    #   spill) — on corpora with stopword-scale hot shingles (df ~
+    #   10^8+) pre-filter with cap_hot_shingles before calling;
+    # - array_sort makes the emitted (doc_a < doc_b) orientation
+    #   deterministic regardless of collect_list's arrival order;
+    # - the cache is scoped (tables.scoped_cache) and eagerly counted
+    #   so the two consumers (counts, pairs) share one aggregation.
+    per = scoped_cache(
+        hashed.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("doc_id").alias("ds"),
+        )
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("df", "ds")
+    )
+    per.count()
+    counts = (
+        per.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ds = F.array_sort(F.col("ds"))
+    pairs = per.filter(F.col("df") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ds,
+                    lambda x, i: F.transform(
+                        F.slice(ds, i + 2, F.size(ds)),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
