@@ -87,6 +87,78 @@ def test_hot_shingle_cap_keeps_planted_recall(spark, boilerplate_dir):
     assert got == planted
 
 
+def test_jaccard_posting_list_matches_bruteforce(spark, tmp_path_factory):
+    """Third-implementation differential for the posting-list rewrite:
+    a pure-Python brute force over the same derived corpus (distinct
+    3-gram shingle sets, df<=CAP frequency cap, exact set Jaccard)
+    must produce EXACTLY the registered query's pair set on a seeded
+    random corpus crafted to hit the edges — docs shorter than 3 words
+    (no shingles), identical docs, shared-vocab near-dups, and a
+    boilerplate opener whose shingles straddle the df cap."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(120):
+        if i % 17 == 0:
+            text = " ".join(rng.choices(vocab, k=rng.randint(0, 2)))  # short
+        else:
+            # universal boilerplate opener: its shingle lands at df
+            # ~113+perturbed > SHINGLE_DF_CAP=100, exercising the cap
+            words = ["common", "opening", "line"]
+            words += rng.choices(vocab, k=rng.randint(8, 25))
+            text = " ".join(words)
+        rows.append((i, text))
+    d = _write_docs(spark, tmp_path_factory.mktemp("brute"), rows)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in R["dedup_ngram_jaccard"].fn(spark, d).collect()
+    }
+
+    # brute force, independently from first principles
+    def doc_words(text):
+        return text.split(" ") if text else []
+
+    corpus = {}
+    for i, text in rows:
+        w = doc_words(text)
+        corpus[i] = w
+        if i % 5 == 0:
+            corpus[-(i + 1)] = w[: int(len(w) * 0.8)]
+    sets = {
+        i: {
+            " ".join(w[j : j + 3])
+            for j in range(len(w) - 2)
+        }
+        for i, w in corpus.items()
+    }
+    df = {}
+    for s in sets.values():
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    capped = {
+        i: {sh for sh in s if df[sh] <= SHINGLE_DF_CAP}
+        for i, s in sets.items()
+    }
+    expect = {}
+    ids = sorted(capped)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a] | capped[b])
+            if union and inter / union >= 0.5:
+                expect[(a, b)] = inter / union
+    assert set(got) == set(expect), (
+        f"extra={sorted(set(got) - set(expect))[:5]} "
+        f"missing={sorted(set(expect) - set(got))[:5]}"
+    )
+    for p, j in expect.items():
+        assert abs(got[p] - j) < 1e-12, (p, got[p], j)
+
+
 @pytest.fixture(scope="module")
 def template_dir(spark, tmp_path_factory):
     """Templated corpus for the edit-distance block: 240 docs sharing
