@@ -452,6 +452,46 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def band_candidates(bands: DataFrame, *keys: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from an LSH band frame
+    (doc_id + band-key columns) — POSTING-LIST form: one exchange
+    groups each bucket's members, the pair upper triangle is emitted
+    in-array, and the cross-band distinct dedupes ids only. Replaces
+    the two-sided self-join on the band key (which exchanged the band
+    frame twice; same rewrite as jaccard_pairs' inverted index,
+    measured 2x there). Bucket-member state is linear in bucket
+    occupancy — bounded by design upstream: exact_collapse removes
+    identical docs (the degenerate case) and dedup_band_bits grows
+    bucket space with the corpus, so occupancy stays ~O(100) at any
+    scale; pair emission per bucket is occupancy^2 exactly as the
+    join's was, just without re-shuffling the inputs twice."""
+    per = (
+        bands.groupBy(*keys)
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.array_sort(F.col("ds"))
+    return (
+        per.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ds,
+                        lambda x, i: F.transform(
+                            F.slice(ds, i + 2, F.size(ds)),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def cap_hot_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``cap`` (see
     SHINGLE_DF_CAP). One groupBy + one left-anti join, both on the
@@ -1135,14 +1175,7 @@ def minhash_pairs(
             )
         ).alias("band", "band_key"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = band_candidates(bands, "band", "band_key")
     joined = cand.join(
         sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
         "doc_a",
@@ -1456,6 +1489,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_val"),
     )
+    # DELIBERATELY the two-sided band JOIN, not the posting-list form
+    # that won for jaccard/minhash: simhash's band space is only 2^15
+    # values, so buckets are DENSE (occupancy ~45 at the 100x probe)
+    # and the interpreted in-array pair expansion loses to the
+    # codegen'd join — measured 3x slower same-JVM (29.6s vs 10.7s
+    # warm at 100x). Posting lists win when band keys are sparse
+    # (64-bit hashed keys, occupancy ~1); joins win when dense.
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
     )
