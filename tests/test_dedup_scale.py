@@ -440,3 +440,64 @@ def test_embedding_dedup_recall_at_autoscaled_bands(spark, big_embeddings_dir):
     n_planted = 48_000 // 20
     recall = found / n_planted
     assert recall >= 0.9, f"planted recall {recall} at 9-bit/5-band scale"
+
+
+def test_band_candidates_matches_join_form(spark):
+    """Differential for the posting-list band-candidate stage shared
+    by minhash (and available to any banded LSH): on a crafted band
+    frame covering the edges — singleton buckets (no pairs), an
+    occupancy-5 bucket (full upper triangle), the same pair colliding
+    in two bands (must dedupe), and unsorted arrival order — the
+    output must equal both the old two-sided self-join and a
+    first-principles brute force. The plan must contain NO join:
+    the rewrite's entire point is one grouping exchange instead of
+    shuffling the band frame twice."""
+    from file_scraper_spark.operators.dedup import band_candidates
+
+    rows = [
+        # (doc_id, band, band_key): bucket (0, 10) has 5 members,
+        # delivered out of order; (1, 20) repeats a (3, 7) pairing
+        # that bucket (0, 10) already implies; (0, 99)/(1, 99) are
+        # singletons.
+        (7, 0, 10), (3, 0, 10), (11, 0, 10), (5, 0, 10), (2, 0, 10),
+        (3, 1, 20), (7, 1, 20),
+        (42, 0, 99), (42, 1, 99),
+    ]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band int, band_key long"
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in band_candidates(bands, "band", "band_key").collect()
+    }
+
+    # brute force
+    from collections import defaultdict
+    from itertools import combinations
+
+    buckets = defaultdict(list)
+    for doc, band, key in rows:
+        buckets[(band, key)].append(doc)
+    expect = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            expect.add((a, b))
+    assert got == expect
+
+    # old join form
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    join_form = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert got == join_form
+
+    plan = band_candidates(bands, "band", "band_key")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan

@@ -7,14 +7,15 @@ Tungsten execution) and DuckDB over `read_parquet` views — and
 compares the canonicalized result sets bit-exactly (the same
 canonicalization as tools/check_correctness.py).
 
-This protects the semantics the 148 pinned gate queries don't reach:
+This protects the semantics the 151 pinned gate queries don't reach:
 NULL propagation through aggregates / group keys / join keys
 (synthesized via NULLIF — the fixtures themselves are NULL-free),
 ties in rank ordering, empty-group and empty-result edges, set-op
-duplicate semantics, and scalar-function corner cases — across TEN
+duplicate semantics, and scalar-function corner cases — across TWELVE
 op families (aggregate, window, join, set-op, scalar/filter,
 multi-level aggregation, CTE/subquery, filtered/distinct aggregates,
-date/time, sort-limit).
+date/time, sort-limit, explicit window frames RANGE-vs-ROWS, and
+two-sided NULL-key joins with 3VL vs IS NOT DISTINCT FROM ON-clauses).
 
 Determinism rules baked into the grammar (anything outside them is a
 cross-engine false positive, not a bug):
