@@ -11,11 +11,12 @@ This protects the semantics the 151 pinned gate queries don't reach:
 NULL propagation through aggregates / group keys / join keys
 (synthesized via NULLIF — the fixtures themselves are NULL-free),
 ties in rank ordering, empty-group and empty-result edges, set-op
-duplicate semantics, and scalar-function corner cases — across TWELVE
-op families (aggregate, window, join, set-op, scalar/filter,
+duplicate semantics, and scalar-function corner cases — across
+THIRTEEN op families (aggregate, window, join, set-op, scalar/filter,
 multi-level aggregation, CTE/subquery, filtered/distinct aggregates,
-date/time, sort-limit, explicit window frames RANGE-vs-ROWS, and
-two-sided NULL-key joins with 3VL vs IS NOT DISTINCT FROM ON-clauses).
+date/time, sort-limit, explicit window frames RANGE-vs-ROWS,
+two-sided NULL-key joins with 3VL vs IS NOT DISTINCT FROM ON-clauses,
+and string scalars pad/trim/slice/search/split).
 
 Determinism rules baked into the grammar (anything outside them is a
 cross-engine false positive, not a bug):
@@ -592,5 +593,48 @@ def test_fuzz_null_key_join(sql_env, spec):
         f"CAST(SUM(COALESCE(l.{lk} % 97, -1) + COALESCE(r.{rk} % 89, -3)) "
         f"AS BIGINT) AS s "
         f"FROM {lt} l {how} {rt} r ON {on_l} {op} {on_r}"
+    )
+    run_both(sql_env, sql)
+
+
+# ---- family 13: string scalar functions ------------------------------
+
+#: ANSI-shared string surface beyond family 5's UPPER/SUBSTR/concat:
+#: padding, trimming, slicing, searching, splitting. Deliberately
+#: excluded as cross-engine false-positive sources: INITCAP
+#: (word-boundary definitions differ), regexp_* (Java vs RE2 regex
+#: dialects), TRANSLATE (dup-char handling), string_agg/listagg
+#: (names and NULL/order semantics differ).
+string_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        str_col(t),
+        predicate(t),
+        st.integers(1, 6),
+        st.integers(1, 12),
+        st.sampled_from(["x", "_", "#"]),
+    )
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(string_spec)
+def test_fuzz_string_funcs(sql_env, spec):
+    """Padding/trim/slice/search/split scalars — both engines are
+    1-based, return empty string on out-of-range split_part, 0 on
+    POSITION miss, and truncate LPAD/RPAD to the target width."""
+    t, sc, pred, n, w, ch = spec
+    key = COLS[t]["key"]
+    sql = (
+        f"SELECT {key} AS k, "
+        f"REPLACE({sc}, '{ch}', 'QQ') AS rp, "
+        f"LPAD({sc}, {w}, '{ch}') AS lp, RPAD({sc}, {w}, '{ch}') AS rpd, "
+        f"LEFT({sc}, {n}) AS lf, RIGHT({sc}, {n}) AS rt, "
+        f"REVERSE({sc}) AS rv, REPEAT('{ch}', {n}) AS rep, "
+        f"TRIM({sc}) AS tr, "
+        f"CAST(POSITION('{ch}' IN {sc}) AS BIGINT) AS ps, "
+        f"split_part({sc}, '{ch}', {n}) AS sp, "
+        f"CASE WHEN {sc} LIKE '%{ch}%' THEN 1 ELSE 0 END AS lk "
+        f"FROM {t} WHERE {pred}"
     )
     run_both(sql_env, sql)
