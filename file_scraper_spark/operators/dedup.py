@@ -522,7 +522,18 @@ def jaccard_pairs(
 
     ``sample_mod=k`` switches to SAMPLED shingle sets: keep only
     shingles whose hash is ≡ 0 (mod k) — see dedup_jaccard_sampled
-    for the estimator argument. ``sample_fast`` selects on the
+    for the estimator argument.
+
+    Why not PPJoin-style prefix filtering (the classic exact lever):
+    picking each doc's rarest ``|A|-ceil(t*|A|)+1`` shingles as index
+    keys requires global df joined BACK onto the (doc, shingle) frame
+    and a per-doc sort/slice — two additional exchanges of the full
+    index, where this formulation pays exactly one; and the df<=CAP
+    filter already bounds pair expansion at C(CAP,2) per key, which
+    is the blow-up prefix filtering exists to prevent. Under a much
+    higher threshold (t>=0.9) with no cap, prefix filtering would win
+    on candidate volume; at t=0.5 with the cap, the exchange count
+    dominates. ``sample_fast`` selects on the
     xxhash64 JOIN KEY the index already computes (zero added hash
     cost — the production path; measured: the md5 portable selection
     costs ~as much as the smaller join saves at the 100x probe),
