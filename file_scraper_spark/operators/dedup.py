@@ -806,9 +806,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     sym = sym.cache()
     try:
-        docs = load(spark, sf_dir, "documents")
-        nodes = near_dup_corpus(docs).select("doc_id")
-        labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
+        # Iterate ONLY over the touched subgraph: a node with no edge
+        # can never change label (its neighbor_min is NULL every
+        # round), so looping it through the fixpoint is pure waste —
+        # the label frame shrinks from |corpus| rows to <= 2|edges|
+        # touched nodes, and every per-iteration join, checkpoint and
+        # convergence count shrinks with it (the edge pipeline itself,
+        # shared with dedup_ngram_jaccard, dominates what remains).
+        # Untouched nodes re-enter as singleton clusters (cluster =
+        # own id) after convergence, which is exactly the label they
+        # would have carried through every iteration.
+        # localCheckpoint (eager): `touched` also feeds the returned
+        # plan's singleton anti-join, which the CALLER executes after
+        # the finally unpersists sym — without the checkpoint that
+        # action would re-run the whole edge pipeline from lineage.
+        touched = (
+            sym.select(F.col("a").alias("doc_id")).distinct().localCheckpoint()
+        )
+        labels = touched.select("doc_id", F.col("doc_id").alias("cluster"))
         for _ in range(20):  # diameter cap; converges much earlier
             neighbor_min = (
                 sym.join(labels, sym.b == labels.doc_id)
@@ -835,7 +850,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
-        return labels  # checkpointed: safe to unpersist sym
+        docs = load(spark, sf_dir, "documents")
+        nodes = near_dup_corpus(docs).select("doc_id")
+        singletons = nodes.join(touched, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("cluster")
+        )
+        return labels.unionAll(singletons)
     finally:
         sym.unpersist()
 
