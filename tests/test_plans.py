@@ -368,3 +368,33 @@ def test_dedup_url_single_aggregation_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_knn_join_is_bucket_local_not_pair_join(spark, sf_dir):
+    """knn_join must never materialize the band collision set: the
+    only joins allowed are the single id-equi-join shipping quantized
+    vectors into their buckets (plus whatever AQE makes of it) — the
+    scoring itself happens inside one grouped-Pandas stage and the
+    old four-join rerank chain over distinct candidate pairs (189.7s
+    at the 100x probe) must not come back."""
+    plan = plan_of("knn_join", spark, sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, f"expected exactly the bucket-feed join, saw {n_joins}"
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_iterates_touched_subgraph(spark, sf_dir):
+    """The returned label frame must be (checkpointed fixpoint over
+    touched nodes) UNION (anti-joined singletons) — i.e. the full
+    corpus appears once in a left-anti join, never inside the
+    iteration lineage (the full-corpus loop cost 2x+ at the 100x
+    probe). localCheckpoint truncation means the executed plan shows
+    scans of in-memory checkpoints, not a 20-deep join chain."""
+    plan = plan_of("dedup_clusters", spark, sf_dir)
+    assert "Union" in plan
+    # AQE prints the anti-join in both the current and initial plan,
+    # so the ONE logical anti-join may appear twice in the string
+    assert 1 <= plan.count("LeftAnti") <= 2
+    assert "ExistingRDD" in plan  # the checkpointed fixpoint labels
