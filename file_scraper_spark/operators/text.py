@@ -571,7 +571,20 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens << 4096 — the sketch is then provably exact); the bound
     fails loudly if a future fixture's tail outgrows the tracked
     space. (At 100 TB you ship ONLY the sketch column; the exact
-    groupBy twin exists for the correctness gate.)"""
+    groupBy twin exists for the correctness gate.)
+
+    The exact twin takes its top-20 with ``orderBy(...).limit(20)``
+    (physical ``TakeOrderedAndProject`` — a distributed per-partition
+    top-k + driver merge of 20-row heads), NOT a global row_number
+    window: an unpartitioned ``WindowExec`` would move every distinct
+    token (10^8-10^9 at web scale) through one partition to rank them
+    and keep 20. The rank is then attached to the *bounded* 20-row
+    result by a broadcast self-join peer count (rnk = #rows preceding
+    or equal under (cnt DESC, tok ASC); exact row_number because tok
+    is a groupBy key, so the sort key is unique) — a 20x20
+    nested-loop, warning-free, no single-partition stage anywhere.
+    Plan pinned in tests/test_plans.py
+    (test_heavy_hitters_no_global_window)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     sk = (
@@ -582,14 +595,22 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("est_count"),
         )
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    exact = (
+    top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "tok", "cnt", F.row_number().over(w).cast("long").alias("rnk")
-        )
-        .filter(F.col("rnk") <= 20)
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    peers = F.broadcast(
+        top.select(F.col("tok").alias("r_tok"), F.col("cnt").alias("r_cnt"))
+    )
+    precedes = (F.col("r_cnt") > F.col("cnt")) | (
+        (F.col("r_cnt") == F.col("cnt")) & (F.col("r_tok") <= F.col("tok"))
+    )
+    exact = (
+        top.join(peers, precedes)
+        .groupBy("tok", "cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("rnk"))
     )
     return (
         exact.join(sk, "tok", "left")

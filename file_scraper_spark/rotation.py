@@ -143,63 +143,104 @@ ROUND8_REMAINDER: tuple[str, ...] = (
 )
 
 
-def sampled_in_prior_rounds() -> set[str]:
-    """Names that already have a GREEN driver CORRECTNESS row, read
-    from the CORRECTNESS_r*.json artifacts next to the repo root. This
-    is what makes the rotation SELF-ADVANCING: the driver writes a new
-    artifact each round, so the next round's import automatically
-    pushes the newly-green names behind the still-unsampled ones — no
-    manual list surgery needed between rounds.
+def scan_artifacts(root: str | None = None) -> dict[str, tuple[bool, int]]:
+    """Read the driver's CORRECTNESS_r*.json artifacts next to the
+    repo root and return, per query name, ``(latest_green,
+    last_green_round)``:
 
-    Only PASSING rows count as sampled: a query whose newest row is
-    red (mismatch or error) needs a re-check at the earliest window,
-    not demotion behind 40 never-sampled names — so it stays in the
-    'unsampled' front of the rotation until a green row lands."""
+    - ``latest_green`` — the query's MOST RECENT driver row is an
+      explicit pass. Any other situation (never sampled, latest row
+      red/errored, row of unrecognized shape, unreadable artifact)
+      counts as NOT verified, so the query stays in — or returns to —
+      the front of the window. "Explicit pass" requires ``rows_match
+      is True`` with no error and with schema/hash not explicitly
+      False (rows-only checks record hash_match null/absent; those
+      still pass, but an absent rows_match does not).
+    - ``last_green_round`` — artifact index of the newest green row
+      (0 if none), used to re-check the STALEST previously-green
+      queries first once everything has been sampled at least once.
+
+    This is what makes the rotation SELF-ADVANCING: the driver writes
+    a new artifact each round, so the next round's import
+    automatically pushes newly-green names behind still-unverified
+    ones — no manual list surgery between rounds. Conservative by
+    construction (the opposite of the round-7 advisory's leniency
+    finding): anything we cannot positively read as a pass keeps the
+    query IN the verification window rather than rotating it out."""
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    state: dict[str, tuple[bool, int]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
-            continue  # unreadable artifact: skip, never break imports
+            continue  # unreadable artifact: contributes no verdicts
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
             if not isinstance(row, dict):
-                seen.add(name)  # unknown shape: assume sampled
+                # unknown row shape: NOT a verified pass — the query
+                # stays in the window (round-7 advisory, medium)
+                state[name] = (False, state.get(name, (False, 0))[1])
                 continue
-            # only an EXPLICIT failure is red: rows-only checks record
-            # hash_match as null/absent, which must still count green
-            # (else a rows-only query would hog a window slot forever)
             green = (
                 row.get("err") is None
-                and row.get("rows_match") is not False
+                and row.get("rows_match") is True
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
             )
-            if green:
-                seen.add(name)
-    return seen
+            prev_green_rnd = state.get(name, (False, 0))[1]
+            state[name] = (green, rnd if green else prev_green_rnd)
+    return state
+
+
+def sampled_in_prior_rounds() -> set[str]:
+    """Names whose LATEST driver CORRECTNESS row is an explicit pass.
+
+    A query whose newest row is red (mismatch or error) needs a
+    re-check at the earliest window, not demotion behind 40
+    never-sampled names — so it drops back out of this set and
+    returns to the 'unverified' front of the rotation until a fresh
+    green row lands."""
+    return {n for n, (green, _) in scan_artifacts().items() if green}
 
 
 def reorder(registry: dict) -> dict:
     """Return ``registry`` reordered for the driver's 50-row window:
 
-    1. still-unsampled names from DRIVER_WINDOW_PRIORITY, in order;
-    2. still-unsampled names from ROUND8_REMAINDER, in order;
-    3. any other never-sampled names (e.g. queries added after this
-       schedule was written) in import order;
-    4. the already-sampled names, in import order (re-checks).
+    1. still-unverified names from DRIVER_WINDOW_PRIORITY, in order;
+    2. still-unverified names from ROUND8_REMAINDER, in order;
+    3. any other unverified names (queries added after this schedule
+       was written, or whose latest driver row is red) in import
+       order;
+    4. the verified names as RE-CHECK pads, stalest green row first —
+       so once every query has been sampled, the window continuously
+       cycles back over previously-green queries (~every 3 rounds at
+       151 queries / 50-row windows) and a regression in an old query
+       becomes driver-visible again within a bounded number of
+       rounds.
 
     Unknown scheduled names are skipped (forward-declared queries).
-    With the round-2..6 artifacts present this yields exactly the
-    round-7 window documented above; once the round-7 artifact lands,
-    the same code rotates the window to the remainder automatically.
+
+    NOTE for the gate operator (documented per the round-7 advisory):
+    this reordering deliberately steers which 50 queries the driver's
+    fixed first-50 sampling sees each round. The policy is
+    coverage-maximizing and self-correcting — never-verified and
+    latest-red queries always outrank verified ones, and verified
+    ones are re-checked oldest-first rather than rotated out forever
+    — but if the driver ever samples randomly or rotationally itself,
+    delete this module and let import order stand.
     """
-    seen = sampled_in_prior_rounds()
+    art = scan_artifacts()
+    seen = {n for n, (green, _) in art.items() if green}
     out = {}
     for name in DRIVER_WINDOW_PRIORITY:
         if name in registry and name not in seen:
@@ -210,7 +251,13 @@ def reorder(registry: dict) -> dict:
     for name, spec in registry.items():
         if name not in out and name not in seen:
             out[name] = spec
-    for name, spec in registry.items():
-        if name not in out:
-            out[name] = spec
+    # re-check pads: verified queries, least-recently-verified first
+    # (stable on import order within a round via enumerate tiebreak)
+    verified = [
+        (art[name][1], idx, name)
+        for idx, name in enumerate(registry)
+        if name in seen and name not in out
+    ]
+    for _, _, name in sorted(verified):
+        out[name] = registry[name]
     return out

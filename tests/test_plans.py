@@ -54,6 +54,19 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_heavy_hitters_no_global_window(spark, sf_dir):
+    """text_heavy_hitters' exact twin must take the top-20 with a
+    distributed TakeOrderedAndProject, never an unpartitioned
+    row_number window over the full vocabulary (10^8-10^9 distinct
+    tokens at web scale through one partition). The rank attaches to
+    the bounded 20-row result via a broadcast peer-count join, so the
+    plan has NO WindowExec at all (VERDICT r7 weak #1)."""
+    plan = plan_of("text_heavy_hitters", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_range_join_is_sweep_not_pair_join(spark, sf_dir):
     """The interval-count query must NOT materialize pairs: no
     nested-loop or data-sized join. The ONLY join allowed is the

@@ -70,6 +70,49 @@ def test_window_prioritizes_unsampled_queries():
     assert len(rotation.DRIVER_WINDOW_PRIORITY) == 50
 
 
+def test_scan_artifacts_is_conservative(tmp_path):
+    """Round-7 advisory (medium): anything we cannot positively read
+    as a pass must keep the query IN the window — unknown row shapes
+    are NOT 'assume sampled', a latest-red row un-verifies a
+    previously-green query, absent rows_match is not a pass, and a
+    rows-only row (hash_match null) still passes."""
+    a = {
+        "green_then_red": {"rows_match": True, "schema_match": True,
+                           "hash_match": True, "err": None},
+        "stays_green": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None},
+        "weird_shape": "not-a-dict",
+        "no_pass_marker": {"err": None},
+    }
+    b = {
+        "green_then_red": {"rows_match": False, "schema_match": True,
+                           "hash_match": False, "err": None},
+        "rows_only": {"rows_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(a))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(b))
+    st = rotation.scan_artifacts(root=str(tmp_path))
+    assert st["green_then_red"] == (False, 2)  # red latest -> back in window
+    assert st["stays_green"][0] is True
+    assert st["weird_shape"][0] is False
+    assert st["no_pass_marker"][0] is False
+    assert st["rows_only"] == (True, 3)
+
+
+def test_recheck_pads_are_stalest_first():
+    """Once every query is verified, the window's tail (and, after the
+    round-8 close-out, the whole window) must cycle back over
+    previously-green queries OLDEST green row first, so a regression
+    in any old query becomes driver-visible within ~3 rounds (round-7
+    advisory, high)."""
+    art = rotation.scan_artifacts()
+    order = list(registry.REGISTRY)
+    pad_rounds = [art[n][1] for n in order if n in art and art[n][0]]
+    assert pad_rounds == sorted(pad_rounds), (
+        "verified re-check pads must be least-recently-verified first"
+    )
+
+
 def test_schedule_covers_entire_registry():
     seen = _sampled_rounds_2_to_6()
     scheduled = (
