@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_scraper_spark.registry import query
-from file_scraper_spark.tables import load, scoped_cache
+from file_scraper_spark.tables import data_key, load, scoped_cache
 
 MINHASH_K = 32
 MINHASH_BANDS = 8  # 8 bands x 4 rows
@@ -511,14 +511,37 @@ def cap_hot_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
 
 
 
+#: Session-scoped memo for the near-dup EDGE LIST: dedup_ngram_jaccard,
+#: dedup_clusters and dedup_cluster_cap all consume the same edge
+#: pipeline (~64s of the 100x probe), and without a memo a session
+#: running jaccard + clusters + cap pays it three times. The memoized
+#: value is the returned frame behind a LAZY localCheckpoint: nothing
+#: eager happens at plan-build; the first caller's action materializes
+#: the (tiny — pairs above threshold) edge list to executor block
+#: storage and every later consumer reads it back instead of replaying
+#: the shingle index. Keyed on (Spark app, data fingerprint, sampling
+#: params) so a rewritten fixture or new session self-invalidates
+#: (tables.data_key); capped to keep long sessions bounded.
+_EDGES_MEMO: dict[object, DataFrame] = {}
+_EDGES_MEMO_CAP = 8
+
+
 def jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
     sample_mod: int | None = None,
     sample_fast: bool = False,
+    memo: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard >= threshold) near-dup edge list — shared
     by dedup_ngram_jaccard and the connected-components clusterer.
+
+    ``memo`` (default: the ``FSS_EDGE_MEMO`` env var, else ``"auto"``):
+    ``"auto"`` returns a session-memoized lazily-checkpointed frame
+    (see _EDGES_MEMO) so the edge pipeline runs once per session per
+    (fixture, sampling) key; ``"never"`` always builds the full plan —
+    for plan tooling that must see the real pipeline, mirroring
+    exact_collapse's mode switch.
 
     ``sample_mod=k`` switches to SAMPLED shingle sets: keep only
     shingles whose hash is ≡ 0 (mod k) — see dedup_jaccard_sampled
@@ -538,8 +561,25 @@ def jaccard_pairs(
     cost — the production path; measured: the md5 portable selection
     costs ~as much as the smaller join saves at the 100x probe),
     instead of the md5-derived portable hash DuckDB can replay."""
+    import os  # noqa: PLC0415
+
     if sample_fast and sample_mod is None:
         raise ValueError("sample_fast=True requires sample_mod")
+    if memo is None:
+        memo = os.environ.get("FSS_EDGE_MEMO", "auto")
+    if memo not in ("auto", "never"):
+        raise ValueError(f"jaccard_pairs memo {memo!r}")
+    key = None
+    if memo == "auto":
+        key = (
+            spark.sparkContext.applicationId,
+            data_key(sf_dir, "documents"),
+            sample_mod,
+            sample_fast,
+        )
+        hit = _EDGES_MEMO.get(key)
+        if hit is not None:
+            return hit
     docs = load(spark, sf_dir, "documents")
     # group on xxhash64(shingle), not the ~17-char shingle string: the
     # inverted index only needs key EQUALITY and the Jaccard uses
@@ -621,7 +661,7 @@ def jaccard_pairs(
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     )
-    return (
+    out = (
         inter.join(
             counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
@@ -633,6 +673,12 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    if key is not None:
+        out = out.localCheckpoint(eager=False)
+        if len(_EDGES_MEMO) >= _EDGES_MEMO_CAP:
+            _EDGES_MEMO.pop(next(iter(_EDGES_MEMO)))
+        _EDGES_MEMO[key] = out
+    return out
 
 
 #: capped inverted index, oracle side: same df <= CAP filter as
@@ -1178,7 +1224,17 @@ def minhash_pairs(
 
     partials = hashed.mapInPandas(partial_mins, part_schema)
     mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
-    sigs = (
+    # scoped_cache, not localCheckpoint: the three consumers (bands,
+    # sig_a/sig_b rejoins) share one materialization either way, but a
+    # checkpoint — even eager=False — executes every upstream query
+    # stage at plan-construction under AQE (the final-plan resolution
+    # runs the shuffle jobs), while a cache keeps the build fully lazy
+    # (the production pin's data-independence contract,
+    # test_collapse_always_builds_no_eager_job). Interleaved A/B at
+    # sf0.1: 2.49s checkpoint vs 2.58s cache — a wash; signatures are
+    # order-independent mins, so an eviction-forced recompute is
+    # result-identical.
+    sigs = scoped_cache(
         partials.groupBy("doc_id")
         .agg(*mins)
         .select(
@@ -1187,7 +1243,6 @@ def minhash_pairs(
                 "sig"
             ),
         )
-        .localCheckpoint()
     )
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = sigs.select(
@@ -1251,7 +1306,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates this query's cost."""
     docs = load(spark, sf_dir, "documents")
     return minhash_pairs(
-        docs, portable_hash=True, collapse_key=("neardup", sf_dir)
+        docs, portable_hash=True, collapse_key=("neardup", data_key(sf_dir, "documents"))
     )
 
 
@@ -1326,7 +1381,7 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic rates below the bounds and fails the gate."""
     docs = load(spark, sf_dir, "documents")
     emitted = minhash_pairs(
-        docs, portable_hash=False, collapse_key=("neardup", sf_dir)
+        docs, portable_hash=False, collapse_key=("neardup", data_key(sf_dir, "documents"))
     ).localCheckpoint()
     sh = shingles(near_dup_corpus(docs)).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
@@ -1475,7 +1530,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_corpus(docs).filter(F.size("words") > 0),
         # own probe key: the size>0 filter makes this a (slightly)
         # different corpus than minhash's, so don't share its verdict
-        cache_key=("neardup_nonempty", sf_dir),
+        cache_key=("neardup_nonempty", data_key(sf_dir, "documents")),
     )
 
     # Explode-then-hash-aggregate, NOT nested higher-order lambdas:

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from file_scraper_spark.functions.exact import QUANT, dsum, oracle_dsum
 from file_scraper_spark.registry import query
-from file_scraper_spark.tables import load
+from file_scraper_spark.tables import data_key, load
 
 #: bound the LOCF output: spine users 0..LOCF_USERS-1
 LOCF_USERS = 20
@@ -55,7 +55,7 @@ def gapfill_dense(
     guard-tested on synthetic frames.
 
     Cardinality guard: one cheap probe aggregation
-    (approx_count_distinct(event_type) + min/max bucket, two pruned
+    (exact count_distinct(event_type) + min/max bucket, two pruned
     columns, memoized per ``cache_key``) bounds the gap-filled grid at
     hours x types cells; only under ``broadcast_cell_cap`` is the
     hourly frame broadcast-HINTED (bounded grid, the common telemetry
@@ -81,8 +81,13 @@ def gapfill_dense(
     else:
         stats = _TYPE_CARD_CACHE.get(cache_key) if cache_key is not None else None
         if stats is None:
+            # EXACT distinct, not approx_count_distinct: the probe is a
+            # one-off memoized scan anyway, and an HLL underestimate
+            # (~2% typical) could put n_cells just under the cap while
+            # the true grid is over it, forcing a broadcast past the
+            # intended bound (round-7 advisory).
             row = ev.agg(
-                F.approx_count_distinct("event_type").alias("nt"),
+                F.count_distinct("event_type").alias("nt"),
                 F.min("bucket").alias("lo"),
                 F.max("bucket").alias("hi"),
             ).first()
@@ -158,7 +163,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("bucket"), "event_type", "value"
     )
-    return gapfill_dense(ev, cache_key=("gapfill_types", sf_dir))
+    return gapfill_dense(ev, cache_key=("gapfill_types", data_key(sf_dir, "events")))
 
 
 def locf_dense_fill(observations: DataFrame, bounds: DataFrame) -> DataFrame:

@@ -40,6 +40,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def data_key(sf_dir: str, *names: str) -> tuple:
+    """Cheap content fingerprint of fixture tables, for keying
+    process-lifetime memo caches (dedup._DUP_PROBE_CACHE,
+    timeseries._TYPE_CARD_CACHE, dedup's edge-list memo).
+
+    Keying a memo on the PATH alone goes stale when data is rewritten
+    at the same path within one process (long-lived test or notebook
+    sessions — round-7 advisory). This walks the parquet file(s) and
+    folds (relative path, size, mtime_ns) per part-file into the key:
+    any rewrite bumps mtime, so the memo self-invalidates. One
+    os.stat per part-file — no Spark job, no file reads."""
+    parts: list[tuple[str, int, int]] = []
+    for name in names:
+        p = table_path(sf_dir, name)
+        files = [p]
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(p)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        for f in files:
+            try:
+                st = os.stat(f)
+                parts.append((os.path.relpath(f, sf_dir), st.st_size,
+                              st.st_mtime_ns))
+            except OSError:
+                parts.append((os.path.relpath(f, sf_dir), -1, -1))
+    return (sf_dir, *parts)
+
+
 # Bounded-leak scoped cache (shared by the dedup/similarity operators):
 # a query's returned DataFrame is lazy, so an operator cannot unpersist
 # its intermediate cache before the caller's action runs — but holding

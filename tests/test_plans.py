@@ -398,6 +398,29 @@ def test_knn_join_is_bucket_local_not_pair_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_collapse_always_builds_no_eager_job(spark, sf_dir, monkeypatch):
+    """The production pin (FSS_EXACT_COLLAPSE=always, set by the CLI
+    entry point): plan CONSTRUCTION must trigger zero Spark jobs — the
+    collapse branch is taken unconditionally, no adaptive dup-probe
+    action fires, so batch plans are data-independent (VERDICT r7
+    task #9). Asserted via a job group: any eager action during the
+    build would register a job id under the group."""
+    from file_scraper_spark.operators.dedup import minhash_pairs
+    from file_scraper_spark.tables import load
+
+    monkeypatch.setenv("FSS_EXACT_COLLAPSE", "always")
+    docs = load(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-build-probe", "no eager jobs during plan build")
+    try:
+        df = minhash_pairs(docs, collapse_key=None)
+        df.schema  # analysis only, no execution
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("plan-build-probe")
+    assert jobs == [], f"plan construction ran eager jobs: {jobs}"
+
+
 def test_dedup_clusters_iterates_touched_subgraph(spark, sf_dir):
     """The returned label frame must be (checkpointed fixpoint over
     touched nodes) UNION (anti-joined singletons) — i.e. the full
