@@ -206,7 +206,63 @@ def _prev_bench(repo_dir: str) -> tuple[int, dict] | None:
     return best
 
 
+def _ab_pairs(spark, sf_dir, fn_a, fn_b, reps: int) -> dict:
+    """Same-JVM interleaved A/B: alternate A and B ``reps`` times and
+    report min-of-reps for each (plus the raw pairs). Min, not median:
+    the two forms share every ambient condition inside one JVM, and
+    min-of-interleaved-reps is the noise-robust statistic NOTES.md's
+    methodology section prescribes for optimization claims on this
+    box (~2x ambient swing run-to-run)."""
+    ta, tb = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        materialize(fn_a(spark, sf_dir))
+        ta.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        materialize(fn_b(spark, sf_dir))
+        tb.append(round(time.perf_counter() - t0, 3))
+    return {
+        "a_min_sec": min(ta),
+        "b_min_sec": min(tb),
+        "ratio": round(min(tb) / max(min(ta), 1e-9), 3),
+        "pairs": list(zip(ta, tb)),
+    }
+
+
+AMBIENT_NOTE = (
+    "single-window absolutes on this box swing ~2x with ambient load; "
+    "only same-JVM interleaved pairs (the 'ab' section / --ab mode) "
+    "support old-vs-new claims"
+)
+
+
+def run_ab_cli(spec: str) -> None:
+    """``bench.py --ab nameA,nameB``: interleaved A/B of two REGISTERED
+    queries in one JVM; prints one JSON line and exits."""
+    name_a, name_b = (s.strip() for s in spec.split(","))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-ab")
+    queries = registry.all_queries()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # warm both once so JIT/codegen/worker-pool startup lands outside
+    # the measured pairs
+    materialize(queries[name_a](spark, sf_dir))
+    materialize(queries[name_b](spark, sf_dir))
+    res = _ab_pairs(spark, sf_dir, queries[name_a], queries[name_b], reps)
+    print(json.dumps({
+        "metric": "ab_interleaved",
+        "a": name_a,
+        "b": name_b,
+        **res,
+        "note": AMBIENT_NOTE,
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        run_ab_cli(sys.argv[2])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -269,6 +325,27 @@ def main() -> None:
                 max(0.0, fam["sec"] - ovh * fam["n"]), 3
             )
 
+    # same-JVM old-vs-new pairs for queries REWRITTEN this round
+    # (ab_variants.AB_BASELINES — superseded forms kept one round):
+    # the artifact carries the interleaved pairs so round-over-round
+    # readers never compare this round's absolutes against last
+    # round's window (the round-6 false-regression mechanism)
+    ab: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        from file_scraper_spark.ab_variants import AB_BASELINES
+
+        ab_reps = int(os.environ.get("SPARK_GRAFT_BENCH_AB_REPS", "3"))
+        for name, old_fn in AB_BASELINES.items():
+            if name not in queries:
+                continue
+            res = _ab_pairs(spark, sf_dir, old_fn, queries[name], ab_reps)
+            ab[name] = {
+                "old_min_sec": res["a_min_sec"],
+                "new_min_sec": res["b_min_sec"],
+                "new_over_old": res["ratio"],
+                "pairs": res["pairs"],
+            }
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -280,6 +357,9 @@ def main() -> None:
         "headline": sorted(HEADLINE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if ab:
+        out["ab"] = ab
+        out["ab_note"] = AMBIENT_NOTE
 
     prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
     if prev and prev[1].get("value"):

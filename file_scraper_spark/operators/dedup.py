@@ -1699,13 +1699,32 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = blocked.select(
         "doc_id",
         "blk",
+        F.length("text").alias("ln"),
         F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("jb"),
     )
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "blk", "jb")
-    b = keyed.select(F.col("doc_id").alias("doc_b"), "blk", "jb")
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "blk", "jb", F.col("ln").alias("la"))
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "blk", "jb", F.col("ln").alias("lb"))
+    # Length-gap prune at the CANDIDATE stage, before texts rejoin:
+    # |len_a - len_b| is a Levenshtein lower bound, so any pair whose
+    # gap alone exceeds the relative threshold can never survive the
+    # final filter — dropping it here is provably lossless (identical
+    # result set, oracle unchanged). Carrying the 8-byte length
+    # through the block join costs ~nothing; the pruned pairs skip the
+    # id-distinct, BOTH text rejoins and the DP. This is NOT the
+    # rejected variant in the note below: that one filtered the
+    # text-joined frame, where Catalyst folded the length predicate
+    # into the same projection as levenshtein and re-evaluated the DP;
+    # here the filter sits strictly below the text joins, on bare
+    # ids+lengths, where the DP expression does not yet exist.
     ids = (
         a.join(b, ["blk", "jb"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.col("la") - F.col("lb"))
+                <= EDIT_REL_DIST * F.greatest("la", "lb")
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -1721,9 +1740,14 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # - 3-arg banded levenshtein(l, r, threshold): 2.4x SLOWER than
     #   the plain DP (183s vs 77s) — early-exit bookkeeping exceeds
     #   the skipped cells.
-    # - a |len_a-len_b| lower-bound pre-filter: 2.2x SLOWER (181s vs
-    #   84s) — the extra predicate ends up re-evaluating levenshtein
-    #   after pushdown instead of pruning it.
+    # - a |len_a-len_b| lower-bound pre-filter HERE, on the
+    #   text-joined frame: 2.2x SLOWER (181s vs 84s) — the extra
+    #   predicate ends up re-evaluating levenshtein after pushdown
+    #   instead of pruning it. The SAME bound applied at the
+    #   candidate stage above (bare ids+lengths, below the text
+    #   joins) is the opposite: 2x FASTER (100x probe interleaved
+    #   A/B: 122.0s -> 60.8s, min of 2, identical 133365 rows).
+    #   Placement, not the predicate, was the whole story.
     dist = F.levenshtein("ta", "tb").cast("long")
     return (
         cand.select(

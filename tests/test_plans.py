@@ -398,6 +398,25 @@ def test_knn_join_is_bucket_local_not_pair_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_editdistance_prunes_before_dp(spark, sf_dir):
+    """The length-gap lower bound must prune CANDIDATES (bare
+    ids+lengths, below the text joins) and the DP must be evaluated
+    exactly once — the rejected variant that filtered the text-joined
+    frame re-evaluated levenshtein after pushdown and ran 2.2x
+    slower; the candidate-stage placement is 2x faster at 100x
+    (122.0s -> 60.8s, lossless)."""
+    plan = plan_of("dedup_editdistance", spark, sf_dir)
+    lines = plan.lower().splitlines()
+    prune = [ln for ln in lines if "abs(" in ln]
+    assert prune, "candidate-stage length prune missing from plan"
+    # the prune must be DP-free: levenshtein appearing next to the
+    # length bound is exactly the re-evaluation trap
+    assert all("levenshtein" not in ln for ln in prune)
+    # and the DP only exists in the final (post-text-join) stage —
+    # output projection + survivor filter, never more
+    assert 1 <= plan.lower().count("levenshtein") <= 2
+
+
 def test_collapse_always_builds_no_eager_job(spark, sf_dir, monkeypatch):
     """The production pin (FSS_EXACT_COLLAPSE=always, set by the CLI
     entry point): plan CONSTRUCTION must trigger zero Spark jobs — the
