@@ -12,11 +12,12 @@ NULL propagation through aggregates / group keys / join keys
 (synthesized via NULLIF — the fixtures themselves are NULL-free),
 ties in rank ordering, empty-group and empty-result edges, set-op
 duplicate semantics, and scalar-function corner cases — across
-THIRTEEN op families (aggregate, window, join, set-op, scalar/filter,
+FIFTEEN op families (aggregate, window, join, set-op, scalar/filter,
 multi-level aggregation, CTE/subquery, filtered/distinct aggregates,
 date/time, sort-limit, explicit window frames RANGE-vs-ROWS,
 two-sided NULL-key joins with 3VL vs IS NOT DISTINCT FROM ON-clauses,
-and string scalars pad/trim/slice/search/split).
+string scalars pad/trim/slice/search/split, array/higher-order list
+functions rendered per dialect, and collation/string ordering).
 
 Determinism rules baked into the grammar (anything outside them is a
 cross-engine false positive, not a bug):
@@ -94,15 +95,29 @@ def sql_env(spark):
 
 
 def run_both(spark, sql: str) -> None:
-    sdf = spark.sql(sql)
+    run_both2(spark, sql, sql)
+
+
+def run_both2(spark, spark_sql: str, duck_sql: str) -> None:
+    """Dual-dialect variant for families whose function NAMES differ
+    between the engines (array/list surface: Spark split/size/
+    transform vs DuckDB string_split/len/list_transform) while the
+    SEMANTICS under test are shared. Both strings are rendered from
+    ONE spec, so a divergence is still a genuine semantic mismatch,
+    never a transcription accident — the renderers differ only in
+    function spelling."""
+    sdf = spark.sql(spark_sql)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = duckdb_run(SF_DIR_SMOKE, sql)
+    d_cols, d_rows = duckdb_run(SF_DIR_SMOKE, duck_sql)
     assert len(s_rows) == len(d_rows), (
-        f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}\n{sql}"
+        f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}\n"
+        f"{spark_sql}\n{duck_sql}"
     )
     sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
-    assert sh == dh, f"value mismatch spark={sh} duckdb={dh}\n{sql}"
+    assert sh == dh, (
+        f"value mismatch spark={sh} duckdb={dh}\n{spark_sql}\n{duck_sql}"
+    )
 
 
 # ---- shared sub-strategies ------------------------------------------
@@ -636,5 +651,114 @@ def test_fuzz_string_funcs(sql_env, spec):
         f"split_part({sc}, '{ch}', {n}) AS sp, "
         f"CASE WHEN {sc} LIKE '%{ch}%' THEN 1 ELSE 0 END AS lk "
         f"FROM {t} WHERE {pred}"
+    )
+    run_both(sql_env, sql)
+
+
+# ---- family 14: array / higher-order list functions ------------------
+
+#: One spec, two dialect renderings (run_both2): the array surface is
+#: semantically shared but spelled differently (split/size/element_at/
+#: transform/filter/array_sort/array_join vs string_split/len/[n]/
+#: list_transform/list_filter/list_sort/array_to_string). Splitting
+#: on a LETTER keeps Spark's regex split and DuckDB's literal split
+#: equivalent. try_element_at (not element_at) on the Spark side:
+#: Spark 4 runs ANSI mode, where out-of-bounds element_at raises —
+#: DuckDB's list index yields NULL, and NULL-on-miss is the semantics
+#: under test.
+array_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        str_col(t),
+        predicate(t),
+        st.integers(1, 5),            # element index / filter bound
+        st.sampled_from(list("aeorst")),  # split char (regex-safe)
+        st.booleans(),                # per-row exprs vs grouped agg
+        st.sampled_from(COLS[t]["groups"][:2]),
+    )
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(array_spec)
+def test_fuzz_array_funcs(sql_env, spec):
+    t, sc, pred, n, ch, agg, g = spec
+    key = COLS[t]["key"]
+    if agg:
+        # order-free list aggregation: full sort before join makes the
+        # collected order irrelevant (collect_list/list are both
+        # arrival-ordered, i.e. nondeterministic)
+        s_sql = (
+            f"SELECT {g} AS g, "
+            f"array_join(array_sort(collect_list({sc})), '|') AS lst, "
+            f"COUNT(*) AS n FROM {t} WHERE {pred} GROUP BY {g}"
+        )
+        d_sql = (
+            f"SELECT {g} AS g, "
+            f"array_to_string(list_sort(list({sc})), '|') AS lst, "
+            f"COUNT(*) AS n FROM {t} WHERE {pred} GROUP BY {g}"
+        )
+    else:
+        s_arr = f"split({sc}, '{ch}')"
+        d_arr = f"string_split({sc}, '{ch}')"
+        s_sql = (
+            f"SELECT {key} AS k, "
+            f"CAST(size({s_arr}) AS BIGINT) AS sz, "
+            f"try_element_at({s_arr}, {n}) AS el, "
+            f"array_join(array_sort({s_arr}), '|') AS srt, "
+            f"array_join(transform({s_arr}, x -> upper(x)), '|') AS tr, "
+            f"CAST(size(filter({s_arr}, x -> length(x) >= {n})) AS BIGINT) AS fl, "
+            f"array_contains({s_arr}, '{ch}') AS ct "
+            f"FROM {t} WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT {key} AS k, "
+            f"CAST(len({d_arr}) AS BIGINT) AS sz, "
+            f"{d_arr}[{n}] AS el, "
+            f"array_to_string(list_sort({d_arr}), '|') AS srt, "
+            f"array_to_string(list_transform({d_arr}, x -> upper(x)), '|') AS tr, "
+            f"CAST(len(list_filter({d_arr}, x -> length(x) >= {n})) AS BIGINT) AS fl, "
+            f"list_contains({d_arr}, '{ch}') AS ct "
+            f"FROM {t} WHERE {pred}"
+        )
+    run_both2(sql_env, s_sql, d_sql)
+
+
+# ---- family 15: collation / string ordering --------------------------
+
+#: Both engines default to BINARY (codepoint) collation; this family
+#: pins that the whole comparison surface actually agrees on it:
+#: <-comparisons, GREATEST/LEAST, BETWEEN over string ranges, MIN/MAX,
+#: and ORDER BY ... LIMIT over strings synthesized to mix case and
+#: punctuation (lower() flips, '_' vs ' ' concat suffixes) — the
+#: places where a locale-collating engine would silently reorder.
+collation_spec = tbl.flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        str_col(t),
+        str_col(t),
+        predicate(t),
+        st.integers(3, 25),
+        st.sampled_from(["ASC", "DESC"]),
+        st.sampled_from(["_", " ", "~", "0"]),
+    )
+)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(collation_spec)
+def test_fuzz_string_collation(sql_env, spec):
+    t, s1, s2, pred, k, d, suf = spec
+    key = COLS[t]["key"]
+    sql = (
+        f"SELECT {key} AS k, "
+        f"CASE WHEN {s1} < {s2} THEN 1 WHEN {s1} = {s2} THEN 0 "
+        f"ELSE -1 END AS cmp, "
+        f"GREATEST({s1}, {s2}) AS gr, LEAST({s1}, {s2}) AS ls, "
+        f"CASE WHEN lower({s1}) > {s1} THEN 1 ELSE 0 END AS lc, "
+        f"CASE WHEN {s1} || '{suf}' < {s1} || '~' THEN 1 ELSE 0 END AS pc, "
+        f"CASE WHEN {s1} BETWEEN 'A' AND 'n~' THEN 1 ELSE 0 END AS bt "
+        f"FROM {t} WHERE {pred} "
+        f"ORDER BY {s1} {d} NULLS FIRST, {key} {d} NULLS FIRST LIMIT {k}"
     )
     run_both(sql_env, sql)
