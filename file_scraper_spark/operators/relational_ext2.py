@@ -353,7 +353,23 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frontier; the frontier SHRINKS geometrically here (ids halve),
     so total work is O(n log n) with log n synchronization barriers —
     the same shape a distributed BFS has. Spark materializes each
-    step; nothing is per-row recursive."""
+    step; nothing is per-row recursive.
+
+    Spark guards recursive CTEs with TWO safety caps: a row limit
+    (spark.sql.cteRecursionRowLimit, default 1,000,000 — found the
+    hard way: the 100x probe fixture has enough distinct users that
+    one recursion level exceeds it and the query dies with
+    RECURSION_ROW_LIMIT_EXCEEDED) and a level limit
+    (spark.sql.cteRecursionLevelLimit, default 100). For THIS query
+    the row volume per level is just the distinct-user frontier —
+    input-sized, exactly what a cluster handles — while the depth is
+    provably <= 63 (ids halve from a 63-bit value). So the row cap is
+    lifted (-1) and the LEVEL cap is kept as the real safety net: it
+    fires on a genuinely divergent recursion, never on data volume.
+    Runtime-set (not session-factory) so the driver's own
+    SparkSession gets it too, same pattern as tables.load's
+    nanosAsLong."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
         """

@@ -142,25 +142,36 @@ def main() -> None:
     # reps interleave round-robin so a slow window hits one pass
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "1"))
     samples: dict[str, list[float]] = {name: [] for name in only}
+    errors: dict[str, str] = {}
     for _ in range(reps):
         for name in only:
+            if name in errors:
+                continue  # failed once; don't pay it per rep
             fn = EXTRA.get(name) or queries[name]
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # record and continue: one bad
+                # query must not lose the rest of a long sweep (the
+                # r8 sweep died 46 queries in on a recursion cap)
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
             samples[name].append(time.perf_counter() - t0)
             print(
                 f"  {name}: {samples[name][-1]:.2f}s", file=sys.stderr
             )
-    timings = {name: round(min(ts), 2) for name, ts in samples.items()}
-    print(
-        json.dumps(
-            {"metric": "probe100x_sec", "sf_dir": sf_dir,
-             "queries": timings,
-             "total": round(sum(timings.values()), 2)}
-        )
-    )
+    timings = {
+        name: round(min(ts), 2) for name, ts in samples.items() if ts
+    }
+    out = {"metric": "probe100x_sec", "sf_dir": sf_dir,
+           "queries": timings,
+           "total": round(sum(timings.values()), 2)}
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
