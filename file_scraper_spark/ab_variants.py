@@ -28,6 +28,17 @@ Round 8 entries (rewrites this round):
   and the DP; the live form drops |len gap| > threshold pairs at the
   bare-id candidate stage (2x at the 100x probe, lossless).
 
+- ``embedding_quantize``: the pre-rewrite single-expression form let
+  Catalyst inline array_min/array_max INTO the per-element code
+  lambda (O(d^2) per row — 99.4s at 100x, the engine's slowest op);
+  the live form stages lo/hi and codes as their own projections so
+  every array pass is O(d) (1.5s at 100x, bit-identical).
+- ``agg_approx_distinct``: the pre-rewrite fused .agg made the HLL
+  partial buffer (~1.6k longs at rsd=0.01) ride the per-(type, user)
+  distinct pre-aggregation (50.9s at 100x); the live form computes
+  the sketch and its exact twin as separate aggregations joined on
+  the 5-row key (2.3s at 100x, bit-identical).
+
 (The round's other perf changes — the jaccard edge-list session memo
 and the minhash sigs checkpoint->cache move — are cross-QUERY effects
 a single-query A/B cannot express; their numbers live in NOTES.md.)
@@ -118,9 +129,40 @@ def _old_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dist") <= dedup.EDIT_REL_DIST * F.col("max_len"))
 
 
+def _old_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    lo, hi = F.array_min(v), F.array_max(v)
+    codes = F.transform(v, lambda x: F.floor((x - lo) / (hi - lo) * 255))
+    return emb.select(
+        "vec_id",
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+    )
+
+
+def _old_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", 0.01)
+    exact = F.countDistinct("user_id")
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(est - exact)
+            <= F.greatest(F.lit(2.0), F.lit(4 * 0.01) * exact)
+        ).alias("est_ok"),
+    )
+
+
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
     "text_heavy_hitters": _old_text_heavy_hitters,
     "dedup_editdistance": _old_dedup_editdistance,
+    "embedding_quantize": _old_embedding_quantize,
+    "agg_approx_distinct": _old_agg_approx_distinct,
 }

@@ -453,3 +453,40 @@ def test_dedup_clusters_iterates_touched_subgraph(spark, sf_dir):
     # so the ONE logical anti-join may appear twice in the string
     assert 1 <= plan.count("LeftAnti") <= 2
     assert "ExistingRDD" in plan  # the checkpointed fixpoint labels
+
+
+def test_quantize_stages_minmax_outside_lambda(spark, sf_dir):
+    """embedding_quantize must compute lo/hi (and the codes array)
+    in their OWN projections: the single-expression form inlines the
+    array_min/array_max subtree into the per-element code lambda —
+    O(d^2) per row, measured 99.4s vs 1.5s at 100x. Pin: no array_min
+    or array_max call appears inside a lambdafunction body."""
+    plan = plan_of("embedding_quantize", spark, sf_dir)
+    for m in re.finditer(r"lambdafunction\(", plan):
+        # scan the lambda body to its balanced close paren
+        depth, i = 1, m.end()
+        while depth and i < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        body = plan[m.end():i]
+        assert "array_min" not in body and "array_max" not in body, (
+            "min/max inlined into element lambda (O(d^2) per row)"
+        )
+
+
+def test_approx_distinct_sketch_not_on_distinct_groups(spark, sf_dir):
+    """agg_approx_distinct must aggregate the HLL sketch straight from
+    raw rows to the 5 output groups — fused with the exact
+    countDistinct, the ~1.6k-long sketch buffer rides on every
+    distinct (event_type, user_id) pair (50.9s vs 2.3s at 100x). Pin:
+    every partial_approx_count_distinct in the plan sits in an
+    aggregate keyed by event_type alone, and the twin branches meet
+    in a broadcast join."""
+    plan = plan_of("agg_approx_distinct", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    for ln in plan.splitlines():
+        if "partial_approx_count_distinct" not in ln.lower():
+            continue
+        assert "user_id" not in ln.split("functions=")[0].lower().split(
+            "keys="
+        )[-1], "sketch partial aggregated under per-user keys"
