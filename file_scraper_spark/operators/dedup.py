@@ -469,8 +469,12 @@ def band_candidates(bands: DataFrame, *keys: str) -> DataFrame:
         bands.groupBy(*keys)
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
+        # array_sort staged as a real column: referenced from inside
+        # the per-member lambda (slice + size), an expression-form ds
+        # would re-sort per member — O(k^2 log k)/bucket (NOTES r8)
+        .select(F.array_sort("ds").alias("ds"))
     )
-    ds = F.array_sort(F.col("ds"))
+    ds = F.col("ds")
     return (
         per.select(
             F.explode(
@@ -637,8 +641,17 @@ def jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ds = F.array_sort(F.col("ds"))
-    pairs = per.filter(F.col("df") >= 2).select(
+    # ds staged as a REAL column (own select), never an expression
+    # referenced from inside the outer lambda: slice(ds, ..) and
+    # size(ds) sit in the per-element body, so an expression-form ds
+    # re-runs array_sort twice per member — O(k^2 log k) per bucket
+    # instead of O(k log k + k^2) (the embedding_quantize bug class,
+    # NOTES round 8).
+    sorted_per = per.filter(F.col("df") >= 2).select(
+        F.array_sort("ds").alias("ds")
+    )
+    ds = F.col("ds")
+    pairs = sorted_per.select(
         F.explode(
             F.flatten(
                 F.transform(
