@@ -1669,6 +1669,8 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs — the
     character-level member of the dedup family, catching OCR noise /
     small in-place edits that word-level shingles over-penalize.
+    (Body shared with dedup_editdistance_sampled via
+    ``_editdistance_pairs``; this is the block_mod=None full run.)
 
     Blocking is a COMPOSITE key: (16-char prefix, power-of-2 length
     band). The prefix alone mega-buckets under templated corpora
@@ -1690,6 +1692,16 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Within a block, exact Levenshtein, kept when the distance is
     under 25% of the longer text. Both engines run the same classic
     DP, so the integer distances hash-match exactly."""
+    return _editdistance_pairs(spark, sf_dir, block_mod=None)
+
+
+def _editdistance_pairs(
+    spark: SparkSession, sf_dir: str, block_mod: int | None
+) -> DataFrame:
+    """Shared editdistance dataflow; see dedup_editdistance for the
+    blocking design. ``block_mod=k`` keeps only block keys whose
+    portable md5 hash is ≡ 0 (mod k) — the pair-space subsample of
+    dedup_editdistance_sampled."""
     docs = load(spark, sf_dir, "documents")
     corpus = near_dup_corpus(docs)
     texts = corpus.select(
@@ -1715,6 +1727,17 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("ln"),
         F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("jb"),
     )
+    if block_mod is not None:
+        # deterministic BLOCK selection (portable md5 over the
+        # composite key, the jaccard family's mod-hash rule): a block
+        # is processed or skipped globally, on both join sides, so
+        # sampled candidates are a true subset of the full run's.
+        # Dual emission means a same-band pair survives if EITHER of
+        # its two matching keys is selected.
+        h1, _ = _portable_hash2(
+            F.concat(F.col("blk"), F.lit(":"), F.col("jb").cast("string"))
+        )
+        keyed = keyed.filter(h1 % block_mod == 0)
     a = keyed.select(F.col("doc_id").alias("doc_a"), "blk", "jb", F.col("ln").alias("la"))
     b = keyed.select(F.col("doc_id").alias("doc_b"), "blk", "jb", F.col("ln").alias("lb"))
     # Length-gap prune at the CANDIDATE stage, before texts rejoin:
@@ -1770,4 +1793,73 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_len.alias("max_len"),
         )
         .filter(F.col("dist") <= EDIT_REL_DIST * F.col("max_len"))
+    )
+
+
+#: block-key sampling modulus for dedup_editdistance_sampled: 1/4 of
+#: the (prefix, band) block space is processed per run
+EDIT_BLOCK_SAMPLE_MOD = 4
+
+
+@query(
+    "dedup_editdistance_sampled",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), corpus AS (
+      SELECT doc_id, words FROM base
+      UNION ALL
+      SELECT -(doc_id + 1),
+             list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
+      FROM base WHERE doc_id % 5 = 0
+    ), texts AS (
+      SELECT doc_id, array_to_string(words, ' ') AS text FROM corpus
+    ), blocked AS (
+      SELECT doc_id, text, substring(text, 1, 16) AS blk,
+             length(bin(greatest(length(text), 1))) AS band
+      FROM texts
+    ), keyed AS (
+      SELECT doc_id, text, blk, band + d AS jb
+      FROM blocked CROSS JOIN (VALUES (0), (1)) t(d)
+    ), sampled AS (
+      SELECT * FROM keyed
+      WHERE CAST(('0x' || substring(
+              md5(blk || ':' || CAST(jb AS VARCHAR)), 1, 10)) AS BIGINT)
+            % {EDIT_BLOCK_SAMPLE_MOD} = 0
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.text AS ta, b.text AS tb
+      FROM sampled a JOIN sampled b
+        ON a.blk = b.blk AND a.jb = b.jb AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+             CAST(greatest(length(ta), length(tb)) AS BIGINT)
+               AS max_len
+      FROM cand
+    )
+    SELECT doc_a, doc_b, dist, max_len
+    FROM pairs
+    WHERE dist <= 0.25 * max_len
+    """,
+    tags=("near-dup", "text", "sampled"),
+)
+def dedup_editdistance_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-sampled edit-distance pairs — the bounded-cost
+    configuration of dedup_editdistance (the engine's most expensive
+    op: exact DP is candidate-linear, so candidate volume IS the
+    cost). A deterministic md5 rule keeps 1/4 of the (prefix, band)
+    block space; every emitted pair is exact and a true subset of the
+    full run's output, so the duplicate RATE extrapolates by ~4x
+    while per-run cost drops by the same factor — the
+    audit/estimation configuration for 100 TB corpora, mirroring
+    dedup_jaccard_sampled's shingle-mod lever. NOT a full dedup pass:
+    a pair whose blocks all hash outside the sample is unexamined
+    (expected pair coverage ~1/4; same-band pairs carry two chances).
+    Where the Jaccard lever thins each doc's shingle SET (keeping all
+    pairs comparable), edit distance has no sub-document structure to
+    thin — the DP needs both full texts — so the sampling axis here
+    is the BLOCK space itself."""
+    return _editdistance_pairs(
+        spark, sf_dir, block_mod=EDIT_BLOCK_SAMPLE_MOD
     )

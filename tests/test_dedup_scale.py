@@ -501,3 +501,30 @@ def test_band_candidates_matches_join_form(spark):
     plan = band_candidates(bands, "band", "band_key")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_editdistance_sampled_is_exact_subset(spark, sf_dir):
+    """dedup_editdistance_sampled must emit a TRUE SUBSET of the full
+    run's pairs (same exact distances — the md5 block rule only skips
+    blocks, never perturbs a computed pair), at roughly the 1/mod
+    coverage the docstring claims (dual emission gives same-band
+    pairs two chances, so expected coverage sits between 1/mod and
+    1-(1-1/mod)^2)."""
+    from file_scraper_spark.operators.dedup import (
+        EDIT_BLOCK_SAMPLE_MOD,
+        dedup_editdistance,
+        dedup_editdistance_sampled,
+    )
+
+    full = dedup_editdistance(spark, sf_dir).collect()
+    samp = dedup_editdistance_sampled(spark, sf_dir).collect()
+    full_set = {(r.doc_a, r.doc_b, r.dist, r.max_len) for r in full}
+    samp_set = {(r.doc_a, r.doc_b, r.dist, r.max_len) for r in samp}
+    assert samp_set <= full_set, "sampled emitted a pair the full run lacks"
+    lo = 1.0 / EDIT_BLOCK_SAMPLE_MOD
+    hi = 1.0 - (1.0 - lo) ** 2
+    cov = len(samp_set) / max(len(full_set), 1)
+    # generous slack: block membership is correlated within buckets
+    assert lo / 3 <= cov <= min(3 * hi, 1.0), (
+        f"coverage {cov:.2f} far outside [{lo:.2f}, {hi:.2f}]"
+    )
