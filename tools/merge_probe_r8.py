@@ -65,7 +65,13 @@ def main() -> None:
         "note": (
             "min across interleaved reps and runs; covers every "
             "registered query never probed at scale before round 8 — "
-            "union with PROBE_r6/r7 = full 151-query registry"
+            "union with PROBE_r6/r7 = full registry. Caveats: "
+            "streaming entries include the micro-batch harness "
+            "execution itself (the bench artifact prices harness "
+            "overhead separately); dedup_clusters' min is the "
+            "session-warm number (rep 2 reuses the memoized jaccard "
+            "edge list — the intended production shape; its cold "
+            "floor is the ~60-70s edge pipeline, NOTES.md)"
         ),
     }
     if errors:
