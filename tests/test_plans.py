@@ -462,13 +462,7 @@ def test_quantize_stages_minmax_outside_lambda(spark, sf_dir):
     O(d^2) per row, measured 99.4s vs 1.5s at 100x. Pin: no array_min
     or array_max call appears inside a lambdafunction body."""
     plan = plan_of("embedding_quantize", spark, sf_dir)
-    for m in re.finditer(r"lambdafunction\(", plan):
-        # scan the lambda body to its balanced close paren
-        depth, i = 1, m.end()
-        while depth and i < len(plan):
-            depth += {"(": 1, ")": -1}.get(plan[i], 0)
-            i += 1
-        body = plan[m.end():i]
+    for body in _lambda_bodies(plan):
         assert "array_min" not in body and "array_max" not in body, (
             "min/max inlined into element lambda (O(d^2) per row)"
         )
@@ -490,3 +484,28 @@ def test_approx_distinct_sketch_not_on_distinct_groups(spark, sf_dir):
         assert "user_id" not in ln.split("functions=")[0].lower().split(
             "keys="
         )[-1], "sketch partial aggregated under per-user keys"
+
+
+def _lambda_bodies(plan: str):
+    """Yield the balanced-paren body of every lambdafunction in an
+    executed-plan string (shared by the inlining-class pins)."""
+    for m in re.finditer(r"lambdafunction\(", plan):
+        depth, i = 1, m.end()
+        while depth and i < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        yield plan[m.end():i]
+
+
+def test_posting_list_lambdas_are_sort_free(spark, sf_dir):
+    """The pair-emission lambdas of the posting-list candidates
+    (minhash bands, jaccard inverted index) must reference the sorted
+    member array as a COLUMN, never re-evaluate array_sort per member
+    (O(k^2 log k) per bucket — the embedding_quantize inlining class,
+    NOTES r8)."""
+    for name in ("dedup_minhash", "dedup_ngram_jaccard"):
+        plan = plan_of(name, spark, sf_dir)
+        for body in _lambda_bodies(plan):
+            assert "array_sort" not in body, (
+                f"{name}: array_sort inlined into pair-emission lambda"
+            )
