@@ -225,10 +225,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    est_df = ev.groupBy("event_type").agg(
+    est_df = ev.groupBy(F.col("event_type").alias("et")).agg(
         F.approx_count_distinct("user_id", 0.01).alias("est")
     )
-    joined = exact_df.join(F.broadcast(est_df), "event_type")
+    # null-safe: both sides group by event_type, so a NULL group
+    # exists on both or neither; a USING join would drop it while the
+    # oracle's GROUP BY keeps it (same edge as hll_sketch_merge)
+    joined = exact_df.join(
+        F.broadcast(est_df),
+        exact_df["event_type"].eqNullSafe(est_df["et"]),
+    )
     return joined.select(
         "event_type",
         "exact_users",
