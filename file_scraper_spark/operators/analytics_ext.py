@@ -361,13 +361,18 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
     )
     cohorts = (
-        ev.select("event_type", (F.col("user_id") % 97).alias("v"))
-        .groupBy("event_type", F.bitmap_bucket_number(F.col("v")).alias("bkt"))
+        ev.select(F.col("event_type").alias("et"), (F.col("user_id") % 97).alias("v"))
+        .groupBy("et", F.bitmap_bucket_number(F.col("v")).alias("bkt"))
         .agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("v"))).alias("bm"))
-        .groupBy("event_type")
+        .groupBy("et")
         .agg(F.sum(F.bitmap_count("bm")).alias("n_cohorts"))
     )
-    return users.join(cohorts, "event_type").select(
+    # null-safe: the oracle is ONE GROUP BY, so a NULL event_type
+    # group must survive the twin-branch join (same edge as
+    # agg_approx_distinct / hll_sketch_merge)
+    return users.join(
+        cohorts, users["event_type"].eqNullSafe(cohorts["et"])
+    ).select(
         "event_type",
         F.col("n_users").cast("long").alias("n_users"),
         F.col("n_cohorts").cast("long").alias("n_cohorts"),
