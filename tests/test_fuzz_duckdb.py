@@ -61,7 +61,19 @@ COLS = {
         "groups": ["o_orderstatus", "o_orderpriority", "o_custkey % 7"],
     },
     "lineitem": {
-        "key": "l_orderkey * 10 + l_linenumber",
+        # The synthetic lineitem has DUPLICATE (l_orderkey,
+        # l_linenumber) pairs (unlike real TPC-H) — found by the
+        # round-8 300-example fuzz run: a tie at a LIMIT boundary let
+        # each engine pick different physical rows. Full rows ARE
+        # unique, and adding partkey/suppkey/quantity (always
+        # integral in this data; floor is engine-portable) makes the
+        # composite a total key at both smoke scales. Magnitudes stay
+        # < 2^54 for orderkeys up to ~10^7, far beyond fuzz fixtures.
+        "key": (
+            "(((l_orderkey * 10 + l_linenumber) * 200003 + l_partkey)"
+            " * 10007 + l_suppkey) * 53"
+            " + CAST(floor(l_quantity) AS BIGINT) % 53"
+        ),
         "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
         "any": ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_discount"],
         "strs": ["l_returnflag", "l_linestatus"],
@@ -762,3 +774,25 @@ def test_fuzz_string_collation(sql_env, spec):
         f"ORDER BY {s1} {d} NULLS FIRST, {key} {d} NULLS FIRST LIMIT {k}"
     )
     run_both(sql_env, sql)
+
+
+# ---- determinism preconditions --------------------------------------
+
+
+def test_fuzz_keys_are_unique_in_fixture():
+    """Every COLS[t]['key'] must be a TOTAL key of its smoke-fixture
+    table: three families (sort_limit, window row_number/lag,
+    collation) use it as the tiebreak that makes LIMIT row sets and
+    row-identity window values engine-deterministic. The round-8 deep
+    fuzz run proved this is a DATA property, not a schema fact — the
+    synthetic lineitem duplicates (orderkey, linenumber) — so it is
+    asserted here instead of assumed."""
+    import duckdb
+
+    for t, spec in COLS.items():
+        p = f"{SF_DIR_SMOKE}/{t}.parquet"
+        n, nd = duckdb.sql(
+            f"SELECT COUNT(*), COUNT(DISTINCT {spec['key']}) "
+            f"FROM read_parquet('{p}')"
+        ).fetchone()
+        assert n == nd, f"{t}: key {spec['key']!r} has {n - nd} ties"
