@@ -509,3 +509,27 @@ def test_posting_list_lambdas_are_sort_free(spark, sf_dir):
             assert "array_sort" not in body, (
                 f"{name}: array_sort inlined into pair-emission lambda"
             )
+
+
+def test_editdistance_sampled_filters_blocks_before_join(spark, sf_dir):
+    """dedup_editdistance_sampled's md5 block rule must prune BOTH
+    inputs of the block join (that is where the 1/mod cost reduction
+    lives — filtering after the join would pay full candidate
+    generation), and the DP must not appear in the same filter."""
+    plan = plan_of("dedup_editdistance_sampled", spark, sf_dir)
+    lines = plan.splitlines()
+    block_join = next(
+        i for i, ln in enumerate(lines)
+        if "Join" in ln and "blk" in ln and "jb" in ln
+    )
+    md5_filters = [
+        i for i, ln in enumerate(lines)
+        if "Filter" in ln and "md5" in ln.lower()
+    ]
+    assert len(md5_filters) >= 2, "block-sample filter missing on a side"
+    assert all(i > block_join for i in md5_filters), (
+        "md5 filter above the block join: sampling is not pruning the join"
+    )
+    assert all(
+        "levenshtein" not in lines[i].lower() for i in md5_filters
+    )
