@@ -417,6 +417,18 @@ cte_spec = tbl.flatmap(
 )
 
 
+def _qualify(expr: str, alias: str) -> str:
+    """Prefix every column reference in a (possibly compound) key
+    expression with a table alias. Fixture column names all contain
+    an underscore (l_orderkey, doc_id, n_chars); SQL keywords and
+    function names in the expressions do not, so the word pattern is
+    unambiguous. Needed since the round-8 composite lineitem key:
+    ``b.{key}`` is only valid SQL for a bare column."""
+    import re as _re
+
+    return _re.sub(r"\b([a-z]+_[a-z0-9_]+)\b", rf"{alias}.\1", expr)
+
+
 @settings(max_examples=N_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(cte_spec)
 def test_fuzz_cte_subquery(sql_env, spec):
@@ -438,7 +450,7 @@ def test_fuzz_cte_subquery(sql_env, spec):
         sql = (
             f"SELECT COUNT(*) AS n FROM {t} a WHERE {pred} AND EXISTS "
             f"(SELECT 1 FROM {t} b WHERE b.{ic} = a.{ic} "
-            f"AND b.{key} <> a.{key})"
+            f"AND {_qualify(key, 'b')} <> {_qualify(key, 'a')})"
         )
     run_both(sql_env, sql)
 
