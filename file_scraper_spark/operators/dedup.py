@@ -805,11 +805,9 @@ def dedup_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the clusters fixpoint as a reusable oracle fragment (recursive CTE
 #: min-label propagation) — shared by dedup_clusters and
 #: dedup_cluster_cap so the two can never drift.
-_CLUSTERS_CTE_SQL = (
-    "WITH RECURSIVE "
-    + _CORPUS_SQL.replace("WITH base", "base", 1)
-    + _CAPPED_SQL
-    + f"""
+#: jaccard pair derivation + label-propagation fixpoint, shared by the
+#: full and shingle-sampled cluster oracles (reads `capped`/`corpus`)
+_CLUSTERS_TAIL_SQL = f"""
     , counts AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
       FROM capped GROUP BY doc_id
@@ -840,6 +838,28 @@ _CLUSTERS_CTE_SQL = (
       FROM lp GROUP BY node
     )
     """
+
+_CLUSTERS_CTE_SQL = (
+    "WITH RECURSIVE "
+    + _CORPUS_SQL.replace("WITH base", "base", 1)
+    + _CAPPED_SQL
+    + _CLUSTERS_TAIL_SQL
+)
+
+#: the same fixpoint over the SHINGLE-SAMPLED edge list (the
+#: dedup_jaccard_sampled derivation: shingles kept by the global md5
+#: mod rule, df computed over the sampled sets)
+_CLUSTERS_SAMPLED_CTE_SQL = (
+    "WITH RECURSIVE "
+    + _CORPUS_SQL.replace("WITH base", "base", 1)
+    + f"""
+    , sampled AS (
+      SELECT doc_id, shingle FROM shingled
+      WHERE CAST(('0x' || substring(md5(shingle), 1, 10)) AS BIGINT)
+            % {SHINGLE_SAMPLE_MOD} = 0
+    )"""
+    + _CAPPED_SQL.replace("shingled", "sampled")
+    + _CLUSTERS_TAIL_SQL
 )
 
 
@@ -860,6 +880,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint via a DuckDB recursive CTE.
     """
     edges = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _propagate_clusters(spark, sf_dir, edges)
+
+
+def _propagate_clusters(
+    spark: SparkSession, sf_dir: str, edges: DataFrame
+) -> DataFrame:
+    """Min-label propagation over ``edges`` (see dedup_clusters for
+    the design); shared by the full and sampled cluster queries."""
     sym = edges.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionAll(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -917,6 +945,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels.unionAll(singletons)
     finally:
         sym.unpersist()
+
+
+@query(
+    "dedup_clusters_sampled",
+    oracle=_CLUSTERS_SAMPLED_CTE_SQL + "SELECT doc_id, cluster FROM clusters",
+    tags=("dedup", "near-dup", "sampled"),
+)
+def dedup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SHINGLE-SAMPLED edge list — the
+    production clustering configuration (VERDICT r7 task #3): the
+    cold-path floor of dedup_clusters is the shared jaccard edge
+    pipeline itself, and the mod-hash shingle sampling shrinks that
+    pipeline's exploded index, shuffle, and pair expansion by ~1/mod
+    while the propagation machinery is unchanged. Clusters are formed
+    from the sampled pairs only, so weak-overlap edges can be missed
+    (pair recall characterized in tests/test_dedup_scale.py for the
+    jaccard lever); strong duplicate clusters — the ones a pipeline
+    drops — share many shingles and survive sampling. Oracle: the
+    same recursive-CTE fixpoint over the identically-sampled edges."""
+    edges = jaccard_pairs(
+        spark, sf_dir, sample_mod=SHINGLE_SAMPLE_MOD
+    ).select("doc_a", "doc_b")
+    return _propagate_clusters(spark, sf_dir, edges)
 
 
 #: keep at most this many docs per near-dup cluster (the downsample

@@ -140,10 +140,11 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "stream_static_join",
     "stream_state_inspect",
     "pylisting_stream",
-    # added mid-round-8 (new op); unverified, so reorder() would pull
-    # it into the window regardless — listed so the static schedule
+    # added mid-round-8 (new ops); unverified, so reorder() would pull
+    # them into the window regardless — listed so the static schedule
     # stays the complete map of what needs a first driver row
     "dedup_editdistance_sampled",
+    "dedup_clusters_sampled",
 )
 
 
