@@ -184,11 +184,55 @@ def _streaming_overhead_sec(spark, reps: int = 3) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _reconstruct_from_tail(tail: str) -> dict:
+    """Best-effort recovery of a bench payload from a TRUNCATED driver
+    tail (the r8 failure mode: the driver keeps only the last 2000
+    stdout chars, and when the JSON line exceeded that, ``parsed`` is
+    null and the head of the JSON — including ``value`` — is gone).
+
+    The tail *end* of the r8-era output reliably contains ``sf``,
+    ``reps``-adjacent fields, ``headline`` and ``vs_prev``; the
+    headline total is recomputed from vs_prev as
+    ``prev_headline_total_sec * headline_ratio`` (both printed at full
+    precision, so the product matches the lost ``value`` to ~1ms).
+    Returns {} when nothing usable is found."""
+    out: dict = {}
+    m = re.search(
+        r'"vs_prev":\s*\{"round":\s*(\d+),\s*'
+        r'"prev_headline_total_sec":\s*([\d.]+),\s*'
+        r'"headline_ratio":\s*([\d.]+),\s*"comparable":\s*(true|false)',
+        tail,
+    )
+    if m and m.group(4) == "true":
+        out["value"] = round(float(m.group(2)) * float(m.group(3)), 3)
+        out["reconstructed_from_tail"] = True
+    h = re.search(r'"headline":\s*(\[[^\]]*\])', tail)
+    if h:
+        try:
+            out["headline"] = json.loads(h.group(1))
+        except json.JSONDecodeError:
+            pass
+    s = re.search(r'"sf":\s*([\d.]+)', tail)
+    if s:
+        out["sf"] = float(s.group(1))
+    r = re.search(r'"reps":\s*(\d+)', tail)
+    if r:
+        out["reps"] = int(r.group(1))
+    return out
+
+
 def _prev_bench(repo_dir: str) -> tuple[int, dict] | None:
-    """Newest driver-recorded BENCH_r{N}.json, for the round delta."""
-    best: tuple[int, dict] | None = None
-    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+    """Newest round with a usable bench payload, for the round delta.
+
+    Prefers the driver-recorded BENCH_r{N}.json; when that round's
+    payload was truncated (parsed null, no ``value``), falls back to
+    the locally-persisted full artifact BENCH_LOCAL_r{N}.json and then
+    to tail reconstruction — so one truncated driver capture cannot
+    break cross-round comparability for every later round."""
+    by_round: dict[int, dict] = {}
+    local_by_round: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_*r*.json")):
+        m = re.search(r"BENCH_(LOCAL_)?r(\d+)\.json$", path)
         if not m:
             continue
         try:
@@ -196,12 +240,28 @@ def _prev_bench(repo_dir: str) -> tuple[int, dict] | None:
                 data = json.loads(f.read().strip() or "{}")
         except (OSError, json.JSONDecodeError):
             continue
+        rnd = int(m.group(2))
+        if m.group(1):
+            local_by_round[rnd] = data
+            continue
         # the driver records {"n":..,"rc":..,"tail":..,"parsed": <our
         # JSON line>}; unwrap to the bench payload
-        if "parsed" in data and isinstance(data["parsed"], dict):
+        if isinstance(data.get("parsed"), dict):
             data = data["parsed"]
-        rnd = int(m.group(1))
-        if best is None or rnd > best[0]:
+        elif isinstance(data.get("tail"), str):
+            data = _reconstruct_from_tail(data["tail"])
+        by_round[rnd] = data
+    # Only DRIVER-recorded rounds define the round clock; a local twin
+    # with no driver counterpart is THIS round's own in-progress run
+    # (re-running bench.py within a round must not bump the round
+    # number or compare against itself), so it is payload-fallback
+    # only, never a round of its own.
+    best: tuple[int, dict] | None = None
+    for rnd in sorted(by_round):
+        data = by_round[rnd]
+        if not data.get("value"):
+            data = local_by_round.get(rnd, data)
+        if data.get("value") and (best is None or rnd > best[0]):
             best = (rnd, data)
     return best
 
@@ -346,22 +406,30 @@ def main() -> None:
                 "pairs": res["pairs"],
             }
 
+    # Key ORDER is load-bearing: the driver keeps only the last 2000
+    # stdout chars (the r8 truncation lost the per-query map). Bulky,
+    # reconstructable sections (families, ab pairs, headline list) go
+    # FIRST; the per-query medians, headline total and vs_prev go LAST
+    # so the tail always retains the evidence every regression argument
+    # needs. The FULL payload is additionally persisted to
+    # BENCH_LOCAL_r{N}.json below, so nothing depends on the tail alone.
     out = {
         "metric": "headline_queries_total_sec",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
-        "families": families,
-        "all_total_sec": round(all_total, 3),
         "reps": reps,
         "headline": sorted(HEADLINE),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "families": families,
+        "all_total_sec": round(all_total, 3),
     }
     if ab:
         out["ab"] = ab
         out["ab_note"] = AMBIENT_NOTE
+    out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    out["queries"] = timings
+    out["value"] = total
 
-    prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev = _prev_bench(repo_dir)
     if prev and prev[1].get("value"):
         prev_total = float(prev[1]["value"])
         # the ratio is only cross-round comparable when the headline
@@ -392,6 +460,27 @@ def main() -> None:
                 "headline set/reps/sf differ from prior round; "
                 "ratio not cross-round comparable"
             )
+
+    # Persist the FULL artifact in-repo (VERDICT r8 task 1): the round
+    # number is the driver's newest BENCH_r{N} plus one (the driver
+    # writes its capture after this process exits), so this file is the
+    # local twin of the BENCH_r{N+1}.json it will record. Skipped for
+    # partial sweeps (SPARK_GRAFT_BENCH_FULL=0 local iteration runs)
+    # so a quick headline-only pass never overwrites round evidence.
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        driver_rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        this_round = max(driver_rounds, default=0) + 1
+        local_path = os.path.join(repo_dir, f"BENCH_LOCAL_r{this_round}.json")
+        try:
+            with open(local_path, "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+        except OSError as e:
+            print(f"bench: could not persist {local_path}: {e}", file=sys.stderr)
 
     print(json.dumps(out))
     spark.stop()

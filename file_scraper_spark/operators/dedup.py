@@ -526,6 +526,20 @@ def cap_hot_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
 #: the shingle index. Keyed on (Spark app, data fingerprint, sampling
 #: params) so a rewritten fixture or new session self-invalidates
 #: (tables.data_key); capped to keep long sessions bounded.
+#:
+#: Failure mode (round-8 advisory, documented deliberately):
+#: localCheckpoint TRUNCATES lineage, so once materialized, losing an
+#: executor/block makes every later consumer of the memoized frame
+#: fail instead of recomputing — and entries evicted from this dict
+#: keep their blocks until the JVM ContextCleaner GCs the DataFrame.
+#: On the single-JVM local[N] target both are non-events (no executor
+#: can be lost independently of the whole app; eviction is bounded by
+#: the cap). On a real multi-executor cluster, swap the localCheckpoint
+#: for .persist(StorageLevel.MEMORY_AND_DISK) + explicit .unpersist()
+#: on eviction: the recompute path survives block loss and the result
+#: stays deterministic because the edge pipeline is deterministic
+#: (hash-partitioned aggregations of deterministic inputs, no sampling
+#: nondeterminism — sample_mod selection is hash-based, not RNG-based).
 _EDGES_MEMO: dict[object, DataFrame] = {}
 _EDGES_MEMO_CAP = 8
 

@@ -366,25 +366,42 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably <= 63 (ids halve from a 63-bit value). So the row cap is
     lifted (-1) and the LEVEL cap is kept as the real safety net: it
     fires on a genuinely divergent recursion, never on data volume.
-    Runtime-set (not session-factory) so the driver's own
-    SparkSession gets it too, same pattern as tables.load's
-    nanosAsLong."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+
+    The override is SCOPED, not session-wide (round-8 advisory: a
+    permanent -1 disabled the row-cap safety net for every later
+    recursive CTE in the shared session). Spark reads the cap at
+    EXECUTION time (probed empirically: a plan built under one limit
+    fails under a later-restored tiny limit), so a build-scoped
+    try/finally alone is not enough — the recursion is executed
+    eagerly inside the scope via localCheckpoint (result is one small
+    row per distinct user, so materializing it is cheap and the
+    returned DataFrame no longer depends on the conf). At a real
+    100 TB deployment you would instead set the cap deliberately at
+    session level and keep the query fully lazy."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        WITH RECURSIVE anc(start_id, cur, depth) AS (
-          SELECT user_id, user_id, 0
-          FROM (SELECT DISTINCT user_id FROM events)
-          UNION ALL
-          SELECT start_id, cur div 2, depth + 1 FROM anc WHERE cur > 0
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    try:
+        df = spark.sql(
+            """
+            WITH RECURSIVE anc(start_id, cur, depth) AS (
+              SELECT user_id, user_id, 0
+              FROM (SELECT DISTINCT user_id FROM events)
+              UNION ALL
+              SELECT start_id, cur div 2, depth + 1 FROM anc WHERE cur > 0
+            )
+            SELECT start_id AS user_id,
+                   CAST(MAX(depth) AS INT) AS depth_to_root,
+                   COUNT(*) AS chain_len
+            FROM anc GROUP BY start_id
+            """
         )
-        SELECT start_id AS user_id,
-               CAST(MAX(depth) AS INT) AS depth_to_root,
-               COUNT(*) AS chain_len
-        FROM anc GROUP BY start_id
-        """
-    )
+        return df.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 @query(

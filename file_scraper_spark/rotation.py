@@ -145,6 +145,11 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     # stays the complete map of what needs a first driver row
     "dedup_editdistance_sampled",
     "dedup_clusters_sampled",
+    # added round-9 (new ops — unverified, so reorder() pulls them to
+    # the head of the r9 driver window automatically)
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "dedup_incremental",
 )
 
 
@@ -180,9 +185,16 @@ def scan_artifacts(root: str | None = None) -> dict[str, tuple[bool, int]]:
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     state: dict[str, tuple[bool, int]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        m = re.search(r"_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+    # Sort by PARSED round number, not filename: lexicographic order is
+    # only correct while rounds stay zero-padded two digits — at r100+
+    # (or an unpadded name) a stale green would mask a newer red row
+    # and silently rotate a regressed query out of the window
+    # (round-8 advisory). Ties/unparsable names keep path order.
+    paths = [
+        (int(m.group(1)) if (m := re.search(r"_r(\d+)\.json$", p)) else 0, p)
+        for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    ]
+    for rnd, path in sorted(paths, key=lambda t: t[0]):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -207,7 +219,7 @@ def scan_artifacts(root: str | None = None) -> dict[str, tuple[bool, int]]:
     return state
 
 
-def sampled_in_prior_rounds() -> set[str]:
+def sampled_in_prior_rounds(root: str | None = None) -> set[str]:
     """Names whose LATEST driver CORRECTNESS row is an explicit pass.
 
     A query whose newest row is red (mismatch or error) needs a
@@ -215,10 +227,10 @@ def sampled_in_prior_rounds() -> set[str]:
     never-sampled names — so it drops back out of this set and
     returns to the 'unverified' front of the rotation until a fresh
     green row lands."""
-    return {n for n, (green, _) in scan_artifacts().items() if green}
+    return {n for n, (green, _) in scan_artifacts(root).items() if green}
 
 
-def reorder(registry: dict) -> dict:
+def reorder(registry: dict, root: str | None = None) -> dict:
     """Return ``registry`` reordered for the driver's 50-row window:
 
     1. still-unverified names from DRIVER_WINDOW_PRIORITY, in order;
@@ -244,7 +256,7 @@ def reorder(registry: dict) -> dict:
     — but if the driver ever samples randomly or rotationally itself,
     delete this module and let import order stand.
     """
-    art = scan_artifacts()
+    art = scan_artifacts(root)
     seen = {n for n, (green, _) in art.items() if green}
     out = {}
     for name in DRIVER_WINDOW_PRIORITY:

@@ -99,17 +99,53 @@ def test_scan_artifacts_is_conservative(tmp_path):
     assert st["rows_only"] == (True, 3)
 
 
-def test_recheck_pads_are_stalest_first():
-    """Once every query is verified, the window's tail (and, after the
-    round-8 close-out, the whole window) must cycle back over
-    previously-green queries OLDEST green row first, so a regression
-    in any old query becomes driver-visible within ~3 rounds (round-7
-    advisory, high)."""
-    art = rotation.scan_artifacts()
-    order = list(registry.REGISTRY)
-    pad_rounds = [art[n][1] for n in order if n in art and art[n][0]]
-    assert pad_rounds == sorted(pad_rounds), (
-        "verified re-check pads must be least-recently-verified first"
+def test_recheck_pads_are_stalest_first(tmp_path):
+    """Once every query is verified, reorder() must emit the verified
+    re-check pads OLDEST green row first, so a regression in any old
+    query becomes driver-visible within ~3 rounds (round-7 advisory,
+    high). Exercises the actual sort in reorder() on synthetic
+    artifacts — the r8 advisory found the previous version of this
+    test only asserted a coincidental property of the live repo
+    artifacts and never called reorder() at all."""
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    # greens deliberately NON-monotone in registry import order:
+    # q_mid went green most recently, q_new latest-red, q_never never
+    # sampled — the pre-fix test would have passed on monotone data
+    # without the sort existing.
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_a": green, "q_d": green}))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"q_mid": green}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q_b": green,
+                    "q_new": {"rows_match": False, "err": None}}))
+    fake = {n: object() for n in
+            ("q_mid", "q_a", "q_new", "q_b", "q_never", "q_d")}
+    out = list(rotation.reorder(fake, root=str(tmp_path)))
+    # head: unverified (latest-red + never-sampled) in import order
+    assert out[:2] == ["q_new", "q_never"]
+    # tail: verified pads sorted by last green round (r2, r2, r3, r5),
+    # import-order stable within a round (q_a before q_d)
+    assert out[2:] == ["q_a", "q_d", "q_b", "q_mid"]
+
+
+def test_scan_artifacts_sorts_rounds_numerically(tmp_path):
+    """Round-8 advisory: artifact recency must follow the PARSED round
+    number, not lexicographic filename order — at r100+ a newer red
+    row would otherwise be masked by a stale r99 green and the
+    regressed query silently rotated out of the window."""
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    red = {"rows_match": False, "err": None}
+    # lexicographically "r100" < "r99": the buggy sort reads r99 last
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({"q": green}))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(
+        json.dumps({"q": red}))
+    st = rotation.scan_artifacts(root=str(tmp_path))
+    assert st["q"][0] is False, (
+        "newest (r100) red row must win over the older r99 green"
     )
 
 
