@@ -572,3 +572,181 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("value_q"), "partkey")
     )
+
+
+@query(
+    "tpch_q20_shape",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(SUM(CAST(floor(l_quantity * {QUANT}) AS BIGINT))
+                  AS BIGINT) AS availq
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 0
+      AND s.s_suppkey IN (
+        SELECT ps.suppkey FROM ps
+        WHERE ps.partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps.availq > 2 * (
+            SELECT SUM(CAST(floor(l.l_quantity * {QUANT}) AS BIGINT))
+            FROM lineitem l
+            WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'))
+    ORDER BY s.s_name
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion shape (TPC-H Q20): the registry's
+    deepest subquery nesting — an IN over a derived inventory table,
+    itself filtered by a second IN (name-pattern parts) AND a
+    CORRELATED scalar aggregate (that pair's quantity shipped inside
+    a date window). Fixture-adapted (no partsupp table, mirroring
+    q2/q11): availqty := the pair's lifetime quantized quantity sum,
+    and the Q20 predicate becomes "lifetime > 2x the window sum" —
+    pairs with NO window shipments are excluded by SQL NULL semantics
+    (SUM over empty -> NULL -> comparison never true), which the
+    decorrelated form reproduces with an INNER join on the window
+    aggregate. All comparisons are BIGINT-vs-BIGINT (quantized), so
+    both engines agree bit-exactly.
+
+    Decorrelation (what Catalyst does to the correlated form, written
+    explicitly): both aggregates group on the SAME key (partkey,
+    suppkey), so they shuffle once each and join co-partitioned; the
+    part-name IN is a broadcast semi join; the final supplier IN is a
+    semi join onto a 100-row dim joined to a broadcast nation.
+
+    Scale shape: lineitem is scanned twice (lifetime agg, window agg)
+    — at 100 TB the window scan's shipdate filter prunes partitions
+    (PushedFilters on the parquet scan); both aggs are map-side
+    combined; nothing driver-side."""
+    li = load(spark, sf_dir, "lineitem")
+    qq = F.floor(F.col("l_quantity") * QUANT).cast("long")
+    lifetime = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.sum(qq).alias("availq"))
+    window = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum(qq).alias("winq"))
+    )
+    red_parts = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    qualifying = (
+        lifetime.join(window, ["partkey", "suppkey"])
+        .filter(F.col("availq") > 2 * F.col("winq"))
+        .join(
+            F.broadcast(red_parts),
+            F.col("partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("suppkey")
+    )
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        supp.join(
+            qualifying, supp.s_suppkey == qualifying.suppkey, "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21_shape",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_regionkey = 0
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting shape (TPC-H Q21): the
+    hardest classic subquery shape — an EXISTS and a NOT EXISTS, both
+    correlated self-joins on the fact table with a NON-equi
+    correlation term (l2.l_suppkey <> l1.l_suppkey). Fixture-adapted
+    "late" predicate: shipped more than 60 days after the order date
+    (the fixture has no receipt/commit dates); the predicate is
+    constant within an order, so the original Q21 semantics carry
+    over exactly.
+
+    The oracle keeps the literal double-EXISTS form; the Spark plan
+    uses the standard aggregate decorrelation instead of two
+    correlated anti/semi joins: per (orderkey, suppkey) compute "any
+    late line" (first shuffle, map-side combined), then per orderkey
+    count suppliers and late-suppliers (second, smaller shuffle).
+    Then for a late line l1: EXISTS-other-supplier == (n_supp >= 2)
+    and NOT-EXISTS-other-LATE-supplier == (n_late_supp == 1) (l1's
+    own supplier is late, so it is the set's only member). This turns
+    two O(|lineitem|) correlated probes into two shrinking
+    aggregations plus one equi join on orderkey — the form that
+    co-partitions with the l1 join at 100 TB (and the reason Q21 is
+    the poster child for decorrelation in every OLAP paper).
+
+    Scale shape: both aggregations and the l1 join shuffle on
+    orderkey (one exchange reused by AQE); supplier and nation are
+    broadcast dims; no correlated re-scan of lineitem per row."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderstatus", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("any_late")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    l1 = (
+        lo.filter((F.col("o_orderstatus") == "F") & late)
+        .join(
+            per_order.withColumnRenamed("l_orderkey", "pk"),
+            F.col("l_orderkey") == F.col("pk"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
