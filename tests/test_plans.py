@@ -533,3 +533,28 @@ def test_editdistance_sampled_filters_blocks_before_join(spark, sf_dir):
     assert all(
         "levenshtein" not in lines[i].lower() for i in md5_filters
     )
+
+
+def test_dedup_incremental_corpus_scanned_once(spark, sf_dir):
+    """dedup_incremental builds ONE combined posting-list index: the
+    documents scan and the index aggregation run once (behind the
+    scoped cache), shared by the set-size counts and the pair
+    generation — the corpus side is never re-scanned per consumer
+    (VERDICT r8 task 6 plan pin). Intra-side pairs must never
+    materialize: no self-join of the shingle frame."""
+    df = R["dedup_incremental"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # all three index consumers (pair generation + the two count-join
+    # branches) read the cached posting-list index; the only real
+    # documents scan happened once, at the eager cache materialization.
+    # (Raw "Scan parquet" counts are unusable here: each
+    # InMemoryRelation echoes its BUILD plan into the string form.)
+    assert plan.count("InMemoryTableScan") == 3, (
+        "every index consumer must read the cached posting-list index"
+    )
+    # the cross-side pair loop is in-array (explode of nested
+    # transform), not a shingle-key self-join: the only equi joins are
+    # the two tiny count lookups on doc id
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 2, f"expected the two count joins only, saw {n_joins}"
