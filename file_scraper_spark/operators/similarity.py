@@ -778,6 +778,26 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
 
+def _sign_bucket(vec: Column) -> Column:
+    """8-bit sign-LSH bucket id of a vector under the md5-derived
+    hyperplane family (``_dedup_plane``): bit p is set iff the exact
+    quantized projection onto plane p is positive. Shared by the
+    single-probe and batched ANN forms so both hash into the one
+    bucket space the oracle replays."""
+    planes = [_dedup_plane(p) for p in range(N_PLANES)]
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(w) for w in planes[p]])) > 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p in range(N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 @query(
     "similarity_ann_lsh",
     oracle=f"""
@@ -830,22 +850,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle REPLAYS bucketing, probing, and rerank in SQL. Recall vs
     the exact top-10 is additionally asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
-    planes = [_dedup_plane(p) for p in range(N_PLANES)]
-
-    def bucket_of(vec: Column) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(w) for w in planes[p]])) > 0,
-                F.lit(1 << p),
-            ).otherwise(F.lit(0))
-            for p in range(N_PLANES)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    bucketed = emb.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    # single-probe form: the query's bucket is fetched with one driver
+    # .head() and inlined as an IN-list — acceptable for a one-vector
+    # probe (one tiny pruned job before the scan), but each extra
+    # query vector would add a driver round-trip. The N-query shape is
+    # similarity_ann_lsh_batch below, which keeps probe-bucket
+    # selection inside the plan (explode + broadcast join, zero
+    # driver fetches) — the same move knn_join makes.
     q_row = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).head()
     q_bucket = q_row["bucket"]
     probe = [q_bucket] + [q_bucket ^ (1 << p) for p in range(N_PLANES)]
@@ -855,6 +869,136 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cosine(F.col("embedding"), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+#: query-set size for the batched ANN probe: vec_id < 4
+N_QUERY_BATCH = 4
+
+
+@query(
+    "similarity_ann_lsh_batch",
+    oracle=f"""
+    WITH planes AS (
+      SELECT CAST(p AS INT) AS p, CAST(d AS INT) AS pos,
+             CAST(('0x' || substring(
+                 md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                 1, 10)) AS BIGINT) / {float(2.0**39)!r} - 1.0 AS w
+      FROM range(0, {N_PLANES}) t(p), range(0, {DIM}) u(d)
+    ), flat AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), proj AS (
+      SELECT f.vec_id, pl.p,
+             {_oracle_dec_sum('f.v * pl.w')} AS s
+      FROM flat f JOIN planes pl ON pl.pos = f.pos
+      GROUP BY f.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0
+                      THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ), qs AS (
+      SELECT vec_id AS query_id, bucket AS qb FROM buckets
+      WHERE vec_id < {N_QUERY_BATCH}
+    ), probe AS (
+      SELECT query_id, qb AS pb FROM qs
+      UNION ALL
+      SELECT query_id, xor(qb, CAST(1 AS BIGINT) << p)
+      FROM qs, range(0, {N_PLANES}) t(p)
+    ), cand AS (
+      SELECT p.query_id, b.vec_id
+      FROM probe p JOIN buckets b ON b.bucket = p.pb
+    ), vnorm AS (
+      SELECT vec_id, sqrt({_oracle_dec_sum('v * v')}) AS nrm
+      FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT c.query_id, c.vec_id,
+             {_oracle_dec_sum('f.v * q.v')} AS dp
+      FROM cand c
+      JOIN flat f ON f.vec_id = c.vec_id
+      JOIN flat q ON q.vec_id = c.query_id AND q.pos = f.pos
+      GROUP BY c.query_id, c.vec_id
+    ), scored AS (
+      SELECT d.query_id, d.vec_id,
+             d.dp / (vn.nrm * qn.nrm) AS cosine,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dp / (vn.nrm * qn.nrm) DESC, d.vec_id ASC
+             ) AS rnk
+      FROM dots d
+      JOIN vnorm vn ON vn.vec_id = d.vec_id
+      JOIN vnorm qn ON qn.vec_id = d.query_id
+    )
+    SELECT query_id, vec_id, cosine FROM scored
+    WHERE rnk <= 10
+    ORDER BY query_id, vec_id
+    """,
+    tags=("ann", "lsh", "batch"),
+)
+def similarity_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sign-LSH ANN: top-10 neighbors for a SET of query
+    vectors in one job, with probe-bucket selection entirely inside
+    the plan — the serving shape for "embed a batch, retrieve for
+    each" workloads, vs similarity_ann_lsh's one-vector probe whose
+    bucket is fetched driver-side.
+
+    Dataflow: bucket the corpus once (one pass, one 8-bit key); the
+    query side is the SAME projection behind a ``vec_id <
+    N_QUERY_BATCH`` filter — pushed to the parquet scan, so the
+    second "scan" reads a handful of rows, cheaper at any scale than
+    caching the fully-bucketed corpus. Each query row explodes into
+    its 9 probe buckets (self + all Hamming-1 flips) and the tiny
+    (queries x 9)-row side BROADCASTS onto the corpus's bucket key:
+    no corpus shuffle, no driver round-trips, N more query vectors
+    cost N more broadcast rows. Exact-cosine rerank + per-query
+    row_number keeps the 10 best; only the candidate subset
+    (~9/256 of the corpus per query) reaches that shuffle.
+
+    100 TB shape: corpus side stays a single scan + broadcast-join +
+    filter; the rerank shuffle carries |queries| * expected bucket
+    occupancy * 9 rows. Scale sign bits with corpus size (see
+    ``dedup_band_bits``) to hold occupancy — and with them the probe
+    fan-out — flat."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    queries = bucketed.filter(F.col("vec_id") < N_QUERY_BATCH).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[
+                    F.col("qb").bitwiseXOR(F.lit(1 << p))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = bucketed.join(F.broadcast(probes), "bucket")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", "vec_id")
     )
 
 

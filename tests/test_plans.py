@@ -558,3 +558,20 @@ def test_dedup_incremental_corpus_scanned_once(spark, sf_dir):
     n_joins = sum(plan.count(j) for j in (
         "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins == 2, f"expected the two count joins only, saw {n_joins}"
+
+
+def test_ann_lsh_batch_probes_in_plan(spark, sf_dir):
+    """similarity_ann_lsh_batch keeps probe-bucket selection inside
+    the plan: the (queries x 9)-row probe side BROADCASTS onto the
+    corpus bucket key (no corpus shuffle for candidate generation,
+    no driver round-trip per query), and the query side's vec_id
+    filter is pushed to its parquet scan so the second scan reads a
+    handful of rows instead of re-bucketing the corpus."""
+    df = R["similarity_ann_lsh_batch"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert re.search(r"DataFilters: \[[^\]]*vec_id[^\]]*< 4\)", plan), (
+        "query-side vec_id filter must reach the scan"
+    )
