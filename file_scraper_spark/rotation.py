@@ -150,6 +150,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "tpch_q20_shape",
     "tpch_q21_shape",
     "dedup_incremental",
+    "similarity_ann_lsh_batch",
 )
 
 

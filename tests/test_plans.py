@@ -400,21 +400,29 @@ def test_knn_join_is_bucket_local_not_pair_join(spark, sf_dir):
 
 def test_editdistance_prunes_before_dp(spark, sf_dir):
     """The length-gap lower bound must prune CANDIDATES (bare
-    ids+lengths, below the text joins) and the DP must be evaluated
-    exactly once — the rejected variant that filtered the text-joined
-    frame re-evaluated levenshtein after pushdown and ran 2.2x
-    slower; the candidate-stage placement is 2x faster at 100x
-    (122.0s -> 60.8s, lossless)."""
+    ids+lengths, below the text joins) and the distance kernel must
+    be evaluated exactly once — the rejected variant that filtered
+    the text-joined frame re-evaluated the JVM DP after pushdown and
+    ran 2.2x slower; the candidate-stage placement is 2x faster at
+    100x (122.0s -> 60.8s, lossless). Since round 9 the kernel is
+    the Myers bit-parallel pandas UDF (2.9x faster than the JVM DP
+    at 100x, bit-identical): ExtractPythonUDFs must lift it into
+    exactly ONE ArrowEvalPython node, shared by the output
+    projection and the threshold filter."""
     plan = plan_of("dedup_editdistance", spark, sf_dir)
     lines = plan.lower().splitlines()
     prune = [ln for ln in lines if "abs(" in ln]
     assert prune, "candidate-stage length prune missing from plan"
-    # the prune must be DP-free: levenshtein appearing next to the
-    # length bound is exactly the re-evaluation trap
-    assert all("levenshtein" not in ln for ln in prune)
-    # and the DP only exists in the final (post-text-join) stage —
-    # output projection + survivor filter, never more
-    assert 1 <= plan.lower().count("levenshtein") <= 2
+    # the prune must be kernel-free: the distance appearing next to
+    # the length bound is exactly the re-evaluation trap
+    assert all(
+        "levenshtein" not in ln and "myers" not in ln for ln in prune
+    )
+    # the kernel exists ONCE, in the final (post-text-join) stage
+    assert plan.count("ArrowEvalPython") == 1
+    assert "levenshtein" not in plan.lower(), (
+        "JVM DP resurfaced alongside the Myers kernel"
+    )
 
 
 def test_collapse_always_builds_no_eager_job(spark, sf_dir, monkeypatch):
@@ -531,7 +539,9 @@ def test_editdistance_sampled_filters_blocks_before_join(spark, sf_dir):
         "md5 filter above the block join: sampling is not pruning the join"
     )
     assert all(
-        "levenshtein" not in lines[i].lower() for i in md5_filters
+        "levenshtein" not in lines[i].lower()
+        and "myers" not in lines[i].lower()
+        for i in md5_filters
     )
 
 
