@@ -2149,3 +2149,107 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("new_id", "corpus_id")
     )
+
+
+# --- exact-substring dedup --------------------------------------------
+
+#: window length (tokens) for exact-substring overlap detection —
+#: the "shared 50-token span" dedup of Lee et al. 2022 ("Deduplicating
+#: Training Data Makes Language Models Better"), scaled to the
+#: fixture's 10-99-token docs
+SUBSTR_K = 16
+#: minimum shared distinct windows for a pair to be reported (noise
+#: floor: one boilerplate sentence in common is not a duplicate)
+SUBSTR_MIN_SHARED = 5
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), corpus AS (
+      SELECT doc_id, words FROM base
+      UNION ALL
+      SELECT -(doc_id + 1),
+             list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
+      FROM base WHERE doc_id % 5 = 0
+    ), winset AS (
+      SELECT DISTINCT doc_id, win FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(words) - {SUBSTR_K - 2}),
+                 w -> array_to_string(
+                        list_slice(words, w, w + {SUBSTR_K - 1}), ' ')))
+               AS win
+        FROM corpus
+      )
+    ), win_df AS (
+      SELECT win, COUNT(*) AS df FROM winset GROUP BY win
+    ), capped AS (
+      SELECT s.doc_id, s.win
+      FROM winset s JOIN win_df d ON s.win = d.win
+      WHERE d.df <= {SHINGLE_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b
+      ON a.win = b.win AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {SUBSTR_MIN_SHARED}
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup pairs: documents sharing >= MIN_SHARED
+    distinct SUBSTR_K-token spans (the exact-overlap dedup of Lee et
+    al. 2022, where any shared 50-token span marks training-set
+    duplication — here K=16, matched to the fixture's doc lengths).
+    Distinct from the sketch family: shared spans are detected
+    EXACTLY, so a verbatim quote embedded in otherwise-different
+    documents is found even when global Jaccard/minhash similarity is
+    far below any threshold.
+
+    Scale shape: the window set is one `shingles` pass (16 aligned
+    slices zipped — each O(L) per doc, built JVM-side); windows travel
+    as xxhash64 keys (8 bytes vs ~100-char strings; the oracle groups
+    the strings, so a 64-bit collision fails the gate loudly rather
+    than passing silently); candidates come from ONE posting-list
+    aggregation — per-hash (df, sorted doc list), df capped at
+    SHINGLE_DF_CAP so a boilerplate span expands to at most C(cap,2)
+    pairs — and the pair count is a map-side-combinable groupBy. No
+    all-pairs path exists at any df distribution; the single exchange
+    carries one row per distinct window, corpus-linear at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    wins = shingles(near_dup_corpus(docs), n=SUBSTR_K)
+    hashed = wins.select("doc_id", F.xxhash64("shingle").alias("win"))
+    per = (
+        hashed.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("doc_id").alias("ds"),
+        )
+        .filter((F.col("df") <= SHINGLE_DF_CAP) & (F.col("df") >= 2))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    ds = F.col("ds")
+    pairs = per.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ds,
+                    lambda x, i: F.transform(
+                        F.slice(ds, i + 2, F.size(ds)),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= SUBSTR_MIN_SHARED)
+    )

@@ -715,3 +715,135 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_after_dedup"),
     )
+
+
+# --- BM25 retrieval ---------------------------------------------------
+
+#: Okapi BM25 constants (public-standard defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: query = the QN most frequent content words (length >= MINLEN chars,
+#: the deterministic stopword-free proxy), derived in-plan
+BM25_QN = 3
+BM25_MINLEN = 6
+BM25_TOPK = 10
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    ), dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), qterms AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf WHERE length(word) >= {BM25_MINLEN}
+      GROUP BY word
+      ORDER BY SUM(tf) DESC, word
+      LIMIT {BM25_QN}
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                  / (CAST(q.df AS DOUBLE) + 0.5))
+               * ((CAST(t.tf AS DOUBLE) * 2.2)
+                  / (CAST(t.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75
+                              * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+               * 1000000.0) AS BIGINT) AS sc_q
+      FROM tf t JOIN qterms q USING (word)
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(sc_q) AS BIGINT) AS score_q
+    FROM scored GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+    tags=("text",),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval: score every document against a
+    query of the corpus's BM25_QN most frequent content words
+    (len >= BM25_MINLEN — the deterministic stopword-free proxy) and
+    return the 10 best. The lexical-retrieval primitive of corpus
+    tooling (contamination probes, RAG corpus prep, boilerplate
+    hunting by querying template phrases).
+
+    Determinism: the idf is the RATIONAL Robertson form
+    (N - df + 0.5)/(df + 0.5) — no `log`, whose libm rounding differs
+    between engines (same policy as text_tfidf_topterms); per-term
+    scores are quantized floor(1e6*x) BIGINTs before the per-doc sum,
+    so partial-aggregation order cannot perturb the total, and the
+    final ORDER BY ties are broken by doc_id. All double arithmetic
+    is spelled operation-for-operation identically in both engines
+    (IEEE ops are exact-rounded, so identical trees give identical
+    bits; only libm calls would diverge). Envelope: sc_q <= ~1e6 * N;
+    beyond ~1e12 docs switch the idf to the log form and accept an
+    epsilon gate, or widen to DECIMAL.
+
+    Scale shape: tf is the wordcount aggregation (map-side combined,
+    linear); qterms is a corpus-vocabulary top-QN
+    (TakeOrderedAndProject) that Spark then BROADCASTS into the
+    posting-list join, so only the QN query terms' postings survive
+    the probe — the moral equivalent of reading QN posting lists from
+    an inverted index instead of rank-scanning the corpus; stats is a
+    broadcast one-row cross join (the accepted tiny-dim pattern). The
+    per-doc sum touches <= QN rows per doc and the top-k is again a
+    per-partition heap, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(_words()).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        tf.filter(F.length("word") >= BM25_MINLEN)
+        .groupBy("word")
+        .agg(F.sum("tf").alias("cnt"), F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(BM25_QN)
+        .select("word", "df")
+    )
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5
+    ) / (F.col("df").cast("double") + 0.5)
+    tfs = (F.col("tf").cast("double") * 2.2) / (
+        F.col("tf").cast("double")
+        + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tfs * F.lit(1000000.0)).alias("sc_q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("sc_q").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

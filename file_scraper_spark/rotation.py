@@ -151,6 +151,8 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "tpch_q21_shape",
     "dedup_incremental",
     "similarity_ann_lsh_batch",
+    "text_bm25_topk",
+    "dedup_exact_substring",
 )
 
 

@@ -585,3 +585,30 @@ def test_ann_lsh_batch_probes_in_plan(spark, sf_dir):
     assert re.search(r"DataFilters: \[[^\]]*vec_id[^\]]*< 4\)", plan), (
         "query-side vec_id filter must reach the scan"
     )
+
+
+def test_bm25_probe_terms_broadcast(spark, sf_dir):
+    """text_bm25_topk's posting-list probe: the QN-term query dim and
+    the one-row stats frame must BROADCAST into the tf join — a
+    shuffle of the corpus-sized tf frame keyed on 3 words would be
+    the classic skew disaster at 100 TB. The corpus top-QN itself
+    must be a TakeOrderedAndProject, not a global sort."""
+    plan = plan_of("text_bm25_topk", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 1  # qterms probe
+    assert "BroadcastNestedLoopJoin" in plan     # one-row stats
+    assert "TakeOrderedAndProject" in plan
+    # the final top-10 and the qterms top-3 are the ONLY sorts
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], (
+        "tf reached a shuffle join before the broadcast term probe"
+    )
+
+
+def test_exact_substring_has_no_join(spark, sf_dir):
+    """dedup_exact_substring candidates come from ONE posting-list
+    aggregation with pairs expanded array-side — the physical plan
+    must contain NO join operator at all (the two-sided index
+    self-join it replaces shuffled the corpus twice), and windows
+    must travel as xxhash64 keys, not ~100-char strings."""
+    plan = plan_of("dedup_exact_substring", spark, sf_dir)
+    assert "Join" not in plan, "posting-list formulation regressed to a join"
+    assert "xxhash64" in plan
