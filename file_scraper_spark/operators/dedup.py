@@ -2253,3 +2253,203 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= SUBSTR_MIN_SHARED)
     )
+
+
+# --- asymmetric containment -------------------------------------------
+
+#: minimum |A ∩ B| / |A| for A to count as contained in B
+CONTAIN_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=_CORPUS_SQL
+    + _CAPPED_SQL
+    + f"""
+    , counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), both_counts AS (
+      SELECT doc_a, doc_b, common, ca.n AS na, cb.n AS nb
+      FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+    )
+    SELECT doc_sub, doc_super, containment FROM (
+      SELECT doc_a AS doc_sub, doc_b AS doc_super,
+             CAST(common AS DOUBLE) / na AS containment
+      FROM both_counts
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(common AS DOUBLE) / nb
+      FROM both_counts
+    )
+    WHERE containment >= {CONTAIN_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: |A ∩ B| / |A| over the
+    frequency-capped shingle sets — the SUBSET detector. A document
+    that is a truncation, excerpt, or quote-expansion of another has
+    low symmetric Jaccard (the planted 80%-truncations sit at ~0.8,
+    and a 10%-excerpt at ~0.1 — invisible to any Jaccard threshold)
+    but containment ~1.0 in the sub->super direction. Emits
+    (doc_sub, doc_super, containment): the row's FIRST doc is the
+    contained one, so a pipeline can keep supersets and drop subsets.
+
+    Scale shape: identical to dedup_ngram_jaccard's posting-list
+    formulation (see jaccard_pairs, the canonical annotated form):
+    one exchange builds per-shingle sorted doc lists (df capped),
+    pairs expand array-side from the upper triangle, and the two
+    orientation rows are projections of ONE shared inter⋈counts
+    frame — the union doubles output rows, not work."""
+    return _containment_pairs(spark, sf_dir, sample_mod=None)
+
+
+def _containment_pairs(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None
+) -> DataFrame:
+    """Shared containment dataflow (see dedup_containment).
+    ``sample_mod=k`` keeps only shingles whose 40-bit portable hash is
+    ≡ 0 (mod k) — the same global value-based selection rule as
+    dedup_jaccard_sampled, so sampled sets stay true subsets and the
+    sub ⊆ super relation is preserved under sampling."""
+    docs = load(spark, sf_dir, "documents")
+    raw = shingles(near_dup_corpus(docs))
+    if sample_mod is not None:
+        h1, _ = _portable_hash2(F.col("shingle"))
+        raw = raw.filter(h1 % sample_mod == 0)
+    hashed = raw.select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    per = scoped_cache(
+        hashed.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("doc_id").alias("ds"),
+        )
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("df", "ds")
+    )
+    per.count()
+    counts = (
+        per.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sorted_per = per.filter(F.col("df") >= 2).select(
+        F.array_sort("ds").alias("ds")
+    )
+    ds = F.col("ds")
+    pairs = sorted_per.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ds,
+                    lambda x, i: F.transform(
+                        F.slice(ds, i + 2, F.size(ds)),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    both = (
+        pairs.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    # Both orientations EXPLODE from one row. Measured at the 100x
+    # probe: the unionAll-of-two-projections form costs the SAME
+    # (69.2s vs 73.3s, within ambient swing — ReusedExchange already
+    # dedupes the identical union branches), but the explode form
+    # guarantees single evaluation by CONSTRUCTION instead of relying
+    # on exchange reuse surviving future plan changes, so it stays.
+    c = F.col("common").cast("double")
+    oriented = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_sub"),
+                    F.col("doc_b").alias("doc_super"),
+                    (c / F.col("na")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_sub"),
+                    F.col("doc_a").alias("doc_super"),
+                    (c / F.col("nb")).alias("containment"),
+                ),
+            )
+        ).alias("o")
+    ).select("o.doc_sub", "o.doc_super", "o.containment")
+    return oriented.filter(F.col("containment") >= CONTAIN_THRESHOLD)
+
+
+@query(
+    "dedup_containment_sampled",
+    oracle=_CORPUS_SQL
+    + f"""
+    , sampled AS (
+      SELECT doc_id, shingle FROM shingled
+      WHERE CAST(('0x' || substring(md5(shingle), 1, 10)) AS BIGINT)
+            % {SHINGLE_SAMPLE_MOD} = 0
+    ), shingle_df AS (
+      SELECT shingle, COUNT(*) AS df FROM sampled GROUP BY shingle
+    ), capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM sampled s JOIN shingle_df d ON s.shingle = d.shingle
+      WHERE d.df <= {SHINGLE_DF_CAP}
+    ), counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), both_counts AS (
+      SELECT doc_a, doc_b, common, ca.n AS na, cb.n AS nb
+      FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+    )
+    SELECT doc_sub, doc_super, containment FROM (
+      SELECT doc_a AS doc_sub, doc_b AS doc_super,
+             CAST(common AS DOUBLE) / na AS containment
+      FROM both_counts
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(common AS DOUBLE) / nb
+      FROM both_counts
+    )
+    WHERE containment >= {CONTAIN_THRESHOLD}
+    """,
+    tags=("dedup", "near-dup"),
+)
+def dedup_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-sampled containment — the production lever for the
+    family's new most-expensive exact op (dedup_containment, ~70s at
+    the 100x probe: the full intra-corpus posting-list build).
+    Selection is the same deterministic mod-hash value rule as
+    dedup_jaccard_sampled, which matters MORE here than for Jaccard:
+    because the rule is a function of the shingle value, A ⊆ B
+    implies A' ⊆ B' exactly, so true containments keep estimating ~1.0
+    under sampling (per-doc Bernoulli sampling would break the subset
+    relation and bias containment DOWN on the pairs this op exists to
+    find). Fully oracle-replayable like every sampled variant."""
+    return _containment_pairs(spark, sf_dir, sample_mod=SHINGLE_SAMPLE_MOD)

@@ -1153,3 +1153,88 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("vec_id", "nbr", "cosine", "rank")
     )
+
+
+# --- late-interaction (MaxSim) retrieval --------------------------------
+
+#: the query's "token" vectors (ColBERT-style multi-vector query)
+MAXSIM_QN = 4
+MAXSIM_TOPK = 5
+
+
+@query(
+    "similarity_maxsim",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings WHERE vec_id < {MAXSIM_QN}
+    ), flat AS (
+      SELECT e.vec_id, e.label, q.qid,
+             unnest(e.embedding) AS ev, unnest(q.qe) AS qv
+      FROM embeddings e, q
+    ), dots AS (
+      SELECT vec_id, label, qid,
+             {_oracle_dec_sum('CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)')} AS dp,
+             sqrt({_oracle_dec_sum('CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)')}) AS nv,
+             sqrt({_oracle_dec_sum('CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)')}) AS nq
+      FROM flat GROUP BY vec_id, label, qid
+    ), per AS (
+      SELECT label, qid, MAX(dp / (nv * nq)) AS mc
+      FROM dots GROUP BY label, qid
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_qterms,
+           CAST(SUM(CAST(floor(mc * {QUANT}) AS BIGINT)) AS BIGINT)
+             AS maxsim_q
+    FROM per GROUP BY label
+    ORDER BY maxsim_q DESC, label
+    LIMIT {MAXSIM_TOPK}
+    """,
+)
+def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval, ColBERT-style: the query
+    is a SET of MAXSIM_QN vectors (multi-vector queries are how
+    late-interaction retrievers represent query tokens); each
+    label-group of corpus vectors acts as a multi-vector document;
+    score(doc) = sum over query vectors of the best cosine any doc
+    vector achieves against it. Top-MAXSIM_TOPK labels. The retrieval
+    shape embedding pipelines increasingly serve alongside single
+    -vector ANN — worth its own operator because NO single-vector
+    reduction (centroid, max-pool) computes the same score.
+
+    Determinism: cosines use the quantized _dec_fold (bit-identical
+    folds in both engines); the per-(label, qid) MAX compares
+    identical doubles; the final sum quantizes each max floor(1e9*x)
+    into exact BIGINT addition, so the 4-addend sum cannot reorder.
+
+    Scale shape: the query set is a BROADCAST nested-loop of
+    MAXSIM_QN rows (tiny-grid cross join — the accepted pattern);
+    per-(vector, query) cosines are one linear scan with JVM folds,
+    no corpus shuffle; both aggregations carry label-sized frames
+    (map-side max, then a label-count frame), and the top-k is a
+    TakeOrderedAndProject. At 1000 executors the only data movement
+    is the label-keyed partial-max combine."""
+    emb = load(spark, sf_dir, "embeddings")
+    q4 = emb.filter(F.col("vec_id") < MAXSIM_QN).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    sc = cosine(F.col("embedding"), F.col("qe"))
+    per = (
+        emb.crossJoin(F.broadcast(q4))
+        .select("label", "qid", sc.alias("cos"))
+        .groupBy("label", "qid")
+        .agg(F.max("cos").alias("mc"))
+    )
+    return (
+        per.select(
+            "label",
+            "qid",
+            F.floor(F.col("mc") * F.lit(float(QUANT))).alias("mq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_qterms"),
+            F.sum("mq").alias("maxsim_q"),
+        )
+        .orderBy(F.col("maxsim_q").desc(), "label")
+        .limit(MAXSIM_TOPK)
+    )

@@ -847,3 +847,81 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# --- bigram LM scoring ------------------------------------------------
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH db AS (
+      SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+      FROM (SELECT doc_id, unnest({_ORACLE_BIGRAMS}) AS bigram
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2)
+    ), bc AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bc
+      FROM db GROUP BY bigram
+    ), uc AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS uc
+      FROM db GROUP BY w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(floor(
+                 (CAST(b.bc AS DOUBLE) / CAST(u.uc AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS p_q_sum
+    FROM db JOIN bc b USING (bigram) JOIN uc u USING (w1)
+    GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score: train transition
+    probabilities p(w2|w1) = count(w1 w2)/count(w1 ·) on the corpus
+    itself, then score every document by its summed (quantized)
+    transition probability — the train-LM-then-filter quality gate of
+    pre-training pipelines (docs whose word transitions are atypical
+    for the corpus score low: gibberish, wrong-language, templated
+    key-value noise).
+
+    Determinism: per-occurrence probabilities are single IEEE
+    divisions of exact integer counts, quantized floor(1e6*x) BEFORE
+    the per-doc sum (p in (0,1], so each addend <= 1e6 — summation is
+    exact BIGINT arithmetic in any order; a double sum here would be
+    order-dependent). No log: the quantized-sum score is the same
+    ranking signal for a filter threshold (same policy as
+    text_tfidf_topterms / text_diversity).
+
+    Scale shape: one bigram explode feeding two map-side-combined
+    hash aggregations (bigram model, prefix marginals) and two
+    equi-joins of occurrences against them — both model tables are
+    vocabulary-sized (<< corpus), so AQE broadcasts them when they
+    fit and the occurrence frame never shuffles on a skewed key
+    otherwise; the per-doc sum is again map-side combinable. Linear
+    at 100 TB; at web-scale vocab the joins degrade gracefully to
+    shuffle joins on uniformly-hashed n-gram keys."""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    db = (
+        docs.filter(F.size(words) >= 2)
+        .select("doc_id", F.explode(_bigrams(words)).alias("bigram"))
+        .select(
+            "doc_id",
+            "bigram",
+            F.substring_index("bigram", " ", 1).alias("w1"),
+        )
+    )
+    bc = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    uc = db.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    p = F.col("bc").cast("double") / F.col("uc").cast("double")
+    return (
+        db.join(bc, "bigram")
+        .join(uc, "w1")
+        .select("doc_id", F.floor(p * F.lit(1000000.0)).alias("p_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_q").alias("p_q_sum"),
+        )
+    )

@@ -153,6 +153,10 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "similarity_ann_lsh_batch",
     "text_bm25_topk",
     "dedup_exact_substring",
+    "dedup_containment",
+    "text_lm_score",
+    "similarity_maxsim",
+    "dedup_containment_sampled",
 )
 
 

@@ -612,3 +612,46 @@ def test_exact_substring_has_no_join(spark, sf_dir):
     plan = plan_of("dedup_exact_substring", spark, sf_dir)
     assert "Join" not in plan, "posting-list formulation regressed to a join"
     assert "xxhash64" in plan
+
+
+def test_containment_shares_one_index_and_pair_frame(spark, sf_dir):
+    """dedup_containment's two orientation rows must be projections of
+    ONE shared inter⋈counts frame over the cached posting-list index —
+    the union doubles OUTPUT, never candidate generation. Same
+    posting-list contract as dedup_incremental: the only equi-joins
+    are the two count lookups per union branch, no shingle self-join."""
+    df = R["dedup_containment"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # index consumers read the cache: counts + the pair branch, each
+    # appearing under both union arms
+    assert plan.count("InMemoryTableScan") >= 3
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins <= 4, f"count lookups only, saw {n_joins}"
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_score_models_join_without_cartesian(spark, sf_dir):
+    """text_lm_score joins occurrences against the two model tables on
+    their n-gram keys — equi-joins only (no cartesian), the prefix w1
+    derived from the bigram string (substring_index), never by
+    re-splitting the document text per occurrence."""
+    plan = plan_of("text_lm_score", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "substring_index" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_maxsim_query_set_broadcasts(spark, sf_dir):
+    """similarity_maxsim's multi-vector query must reach the corpus as
+    a BROADCAST nested loop of MAXSIM_QN rows (tiny-grid cross join);
+    the corpus itself must never shuffle un-aggregated (the only
+    exchanges carry label-keyed partial aggregates), the cosines stay
+    JVM-side folds (no Python), and the top-k is a per-partition
+    heap."""
+    plan = plan_of("similarity_maxsim", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
