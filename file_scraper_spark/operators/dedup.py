@@ -2306,8 +2306,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (see jaccard_pairs, the canonical annotated form):
     one exchange builds per-shingle sorted doc lists (df capped),
     pairs expand array-side from the upper triangle, and the two
-    orientation rows are projections of ONE shared inter⋈counts
-    frame — the union doubles output rows, not work."""
+    orientation rows EXPLODE from ONE shared inter⋈counts row —
+    orientation doubles output rows, never candidate work."""
     return _containment_pairs(spark, sf_dir, sample_mod=None)
 
 

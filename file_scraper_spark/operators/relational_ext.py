@@ -877,3 +877,41 @@ def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "window_rank_stats",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistical rank-window family: ntile deciles,
+    percent_rank, cume_dist per event type — the distribution
+    -position primitives behind percentile capping, decile mixing,
+    and score normalization. Total order pinned by (value, event_id)
+    so ties cannot flip rows between engines; percent_rank
+    ((rank-1)/(n-1)) and cume_dist (peers/n) are single IEEE
+    divisions of exact integers — bit-identical without quantization.
+
+    Scale shape: one hash-partitioned sort per event_type (the same
+    shuffle any rank query pays); all three functions evaluate in ONE
+    window pass over the sorted run, no extra exchange. Skewed
+    partition keys inherit the engine's AQE skew handling; at 100 TB
+    the partition is the unit of parallelism, so event_type
+    cardinality bounds parallelism — re-key to (type, day) upstream
+    when a single type dominates."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

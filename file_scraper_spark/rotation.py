@@ -157,6 +157,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "text_lm_score",
     "similarity_maxsim",
     "dedup_containment_sampled",
+    "window_rank_stats",
 )
 
 
