@@ -1710,7 +1710,7 @@ EDIT_REL_DIST = 0.25  # near-dup if dist <= 25% of the longer text
              list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
       FROM base WHERE doc_id % 5 = 0
     ), texts AS (
-      SELECT doc_id, array_to_string(words, ' ') AS text FROM corpus
+      SELECT doc_id, COALESCE(array_to_string(words, ' '), '') AS text FROM corpus
     ), blocked AS (
       SELECT doc_id, text, substring(text, 1, 16) AS blk,
              length(bin(greatest(length(text), 1))) AS band
@@ -1763,7 +1763,14 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Within a block, exact Levenshtein, kept when the distance is
     under 25% of the longer text. Spark runs the Myers bit-parallel
     kernel (below), DuckDB the classic DP — both compute the exact
-    distance, so the integers hash-match bit-for-bit."""
+    distance, so the integers hash-match bit-for-bit.
+
+    Empty-text edge (found by the registry corpus fuzzer, round 9): a
+    sub-2-word doc's truncated twin has ZERO words, and DuckDB's
+    ``array_to_string([], ' ')`` is NULL where Spark's ``array_join``
+    is ``''`` — the NULL block key silently dropped the (doc, twin)
+    pair oracle-side. The engine's semantics (empty text, distance 0,
+    pair emitted) is the contract; the oracle COALESCEs to match."""
     return _editdistance_pairs(spark, sf_dir, block_mod=None)
 
 
@@ -1962,7 +1969,7 @@ EDIT_BLOCK_SAMPLE_MOD = 4
              list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
       FROM base WHERE doc_id % 5 = 0
     ), texts AS (
-      SELECT doc_id, array_to_string(words, ' ') AS text FROM corpus
+      SELECT doc_id, COALESCE(array_to_string(words, ' '), '') AS text FROM corpus
     ), blocked AS (
       SELECT doc_id, text, substring(text, 1, 16) AS blk,
              length(bin(greatest(length(text), 1))) AS band

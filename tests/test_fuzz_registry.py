@@ -1,0 +1,164 @@
+"""Registry-level corpus fuzzing: the gate queries on ADVERSARIAL data.
+
+The driver gate and tools/check_correctness.py run every registered
+query against its DuckDB oracle — but always on the ONE fixed synthetic
+fixture. Data-dependent divergences hide there: empty corpora, empty
+texts, single-word docs, exact-duplicate docs, unicode tokens, ids on
+the perturbation boundary (doc_id % 5), degenerate vocabularies where
+every shingle is hot. This harness generates random `documents` tables
+with exactly those shapes, writes each to a throwaway parquet dir, and
+replays a randomly drawn documents-backed REGISTRY query — the real
+registered fn against its real registered oracle — comparing sorted
+column names + row count + the same canonical value hash as the gate.
+
+Scope: queries whose oracle reads ONLY `documents` (other tables don't
+exist in the throwaway dir) and whose cost is bounded on a ~20-doc
+corpus. The spec under test is the registry entry itself, so a failure
+here is a genuine engine-vs-oracle divergence on legal input, never a
+transcription accident.
+
+Budget: N_EXAMPLES per run (env SPARK_GRAFT_FUZZ_EXAMPLES cranks it,
+same knob as test_fuzz_duckdb); each example runs ONE query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from file_scraper_spark import registry
+from tools.check_correctness import duckdb_run, value_hash
+
+registry._ensure_loaded()
+
+N_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25"))
+
+#: documents-only, bounded-cost registry queries. Excluded on purpose:
+#: pipeline_end2end (composed, pays the whole dedup stage per example),
+#: csv/json/xml roundtrips (file-format IO, covered by their own gate
+#: rows), multimodal_* (binary-column plumbing, fixture-shape-specific
+#: width assumptions), udf_arrow_*/udtf (worker spin-up dominates, the
+#: scalar surface is already covered by udf_surface in the gate).
+QUERIES = (
+    "contamination_check",
+    "context_windows",
+    "corpus_mixture",
+    "corpus_shuffle",
+    "dedup_cluster_cap",
+    "dedup_clusters",
+    "dedup_clusters_sampled",
+    "dedup_containment",
+    "dedup_containment_sampled",
+    "dedup_editdistance",
+    "dedup_editdistance_sampled",
+    "dedup_exact",
+    "dedup_exact_substring",
+    "dedup_incremental",
+    "dedup_jaccard_sampled",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_url",
+    "doc_fingerprint",
+    "path_split",
+    "quality_funnel",
+    "sequence_packing",
+    "text_bm25_topk",
+    "text_diversity",
+    "text_heavy_hitters",
+    "text_langid",
+    "text_lm_score",
+    "text_normalize",
+    "text_quality",
+    "text_redact",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_tokens",
+    "text_topn_ngrams",
+    "text_wordcount",
+    "train_test_split",
+)
+
+#: small vocabulary => forced collisions: hot shingles, duplicate
+#: texts, tied counts. Mixes ASCII, digits, unicode, a stopword, and
+#: PII-shaped tokens (text_redact's regexes must agree cross-engine).
+WORDS = (
+    "the", "a", "data", "spark", "café", "中文",
+    "x1", "zz", "q", "lorem", "7", "bob@x.io",
+)
+
+_texts = st.lists(
+    st.sampled_from(WORDS), min_size=0, max_size=12
+).map(" ".join)
+
+#: 0..22 docs; sequential ids hit the doc_id % 5 == 0 perturbation
+#: branch of near_dup_corpus by construction
+_corpora = st.lists(_texts, min_size=0, max_size=22)
+
+
+def _write_documents(rows: list[tuple]) -> str:
+    d = tempfile.mkdtemp(prefix="fss_fuzz_docs_")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return d
+
+
+@given(texts=_corpora, data=st.data())
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_docs_backed_registry_queries_on_random_corpora(spark, texts, data):
+    qname = data.draw(st.sampled_from(QUERIES))
+    langs = ("en", "de", "zz")
+    rows = [
+        (
+            i,
+            t,
+            langs[i % len(langs)],
+            f"s3://bkt/p{i % 3}/f{i}.txt",
+            len(t),
+        )
+        for i, t in enumerate(texts)
+    ]
+    d = _write_documents(rows)
+    try:
+        spec = registry.REGISTRY[qname]
+        sdf = spec.fn(spark, d)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o_cols, o_rows = duckdb_run(d, spec.oracle)
+        assert sorted(s_cols) == sorted(o_cols), (
+            f"{qname}: schema {sorted(s_cols)} vs {sorted(o_cols)}"
+        )
+        assert len(s_rows) == len(o_rows), (
+            f"{qname}: {len(s_rows)} vs {len(o_rows)} rows on {rows!r}"
+        )
+        assert value_hash(s_cols, s_rows) == value_hash(o_cols, o_rows), (
+            f"{qname}: value hash mismatch on corpus {rows!r}"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fuzz_query_pool_is_registered():
+    missing = [q for q in QUERIES if q not in registry.REGISTRY]
+    assert not missing, f"fuzz pool names unknown queries: {missing}"
