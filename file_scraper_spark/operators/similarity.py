@@ -145,7 +145,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine with the zero-vector contract: NULL, not a crash.
+    ``try_divide`` returns NULL on a zero divisor — which is exactly
+    what DuckDB's double division yields natively, so the oracles
+    need no CASE. Under ANSI mode the plain ``/`` made ONE zero-norm
+    embedding kill the whole job (found by the embeddings corpus
+    fuzzer, round 9); NULL rows instead sort last under every
+    ORDER BY ... DESC in the family (both engines default NULLS LAST
+    on DESC) and drop out of MAX/SUM aggregation identically."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> Column:
@@ -362,8 +370,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, MIN(v) AS lo, MAX(v) AS hi FROM flat GROUP BY vec_id
     ), codes AS (
       SELECT f.vec_id,
-             CAST(floor((f.v - s.lo) / (s.hi - s.lo) * 255) AS BIGINT)
-               AS code
+             CASE WHEN s.hi = s.lo THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((f.v - s.lo) / (s.hi - s.lo) * 255)
+                            AS BIGINT) END AS code
       FROM flat f JOIN stats s ON f.vec_id = s.vec_id
     )
     SELECT vec_id,
@@ -398,11 +407,21 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("v").alias("lo"),
         F.array_max("v").alias("hi"),
     )
+    # Constant-vector guard (found by the embeddings corpus fuzzer,
+    # round 9): hi == lo made the divisor 0 — under ANSI mode ONE
+    # degenerate vector killed the whole job (the exact one-bad-row
+    # -in-a-trillion failure a 100 TB pipeline must absorb). Defined
+    # semantics: a constant vector quantizes to all-zero codes, in
+    # both engines. CASE branches evaluate lazily per row, so the
+    # divide never runs on the degenerate rows.
     rng = F.col("hi") - F.col("lo")
     codes = staged.select(
         "vec_id",
         F.transform(
-            "v", lambda x: F.floor((x - F.col("lo")) / rng * 255)
+            "v",
+            lambda x: F.when(rng == 0, F.lit(0).cast("long")).otherwise(
+                F.floor((x - F.col("lo")) / rng * 255)
+            ),
         ).alias("codes"),
     )
     return codes.select(

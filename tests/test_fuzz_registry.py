@@ -159,6 +159,86 @@ def test_docs_backed_registry_queries_on_random_corpora(spark, texts, data):
         shutil.rmtree(d, ignore_errors=True)
 
 
+#: embeddings-only, bounded-cost queries. Excluded: dedup_embedding /
+#: knn_join (their static 8-bit-band oracles are pinned to the fixture
+#: scale — see _STATIC_BAND_QUERIES in tools/check_correctness.py),
+#: the ANN probes (fixture-dimension hyperplanes + driver-side probe
+#: selection, gate-covered).
+EMB_QUERIES = (
+    "embedding_centroids",
+    "embedding_quantize",
+    "similarity_maxsim",
+    "similarity_pairs",
+    "similarity_topk",
+    "unnest_explode",
+    "unnest_outer",
+)
+
+#: tiny value pool => constant vectors, tied cosines, zero vectors and
+#: duplicate embeddings arise naturally (all exact float32 values)
+_VALS = (-4.0, -1.5, 0.0, 0.25, 1.0, 2.5)
+
+
+def _write_embeddings(vecs: list[list[float]]) -> str:
+    d = tempfile.mkdtemp(prefix="fss_fuzz_emb_")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(
+                [i % 3 for i in range(len(vecs))], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@given(
+    dim=st.integers(min_value=1, max_value=6),
+    n=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_embeddings_backed_registry_queries_on_random_corpora(
+    spark, dim, n, data
+):
+    qname = data.draw(st.sampled_from(EMB_QUERIES))
+    vecs = data.draw(
+        st.lists(
+            st.lists(
+                st.sampled_from(_VALS), min_size=dim, max_size=dim
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    d = _write_embeddings(vecs)
+    try:
+        spec = registry.REGISTRY[qname]
+        sdf = spec.fn(spark, d)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o_cols, o_rows = duckdb_run(d, spec.oracle)
+        assert sorted(s_cols) == sorted(o_cols), (
+            f"{qname}: schema {sorted(s_cols)} vs {sorted(o_cols)}"
+        )
+        assert len(s_rows) == len(o_rows), (
+            f"{qname}: {len(s_rows)} vs {len(o_rows)} rows on {vecs!r}"
+        )
+        assert value_hash(s_cols, s_rows) == value_hash(o_cols, o_rows), (
+            f"{qname}: value hash mismatch on corpus {vecs!r}"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_fuzz_query_pool_is_registered():
-    missing = [q for q in QUERIES if q not in registry.REGISTRY]
+    missing = [
+        q for q in QUERIES + EMB_QUERIES if q not in registry.REGISTRY
+    ]
     assert not missing, f"fuzz pool names unknown queries: {missing}"
