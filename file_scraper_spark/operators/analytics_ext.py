@@ -165,14 +165,24 @@ def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "map_funcs",
     oracle="""
+    WITH p AS (
+      SELECT event_id, props,
+             json_valid(props) AND json_type(props) = 'OBJECT' AS ok,
+             TRY_CAST(TRY_CAST(props AS JSON) AS MAP(VARCHAR, BIGINT))
+               AS m
+      FROM events WHERE event_id < 2000
+    )
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-           CAST(len(json_keys(props)) AS INT) AS n_keys,
-           CAST(event_id AS BIGINT) AS eid_val,
-           CAST((CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
-                AS INT) AS n_big
-    FROM events
-    WHERE event_id < 2000
+           CASE WHEN ok THEN
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_val,
+           CASE WHEN ok THEN CAST(len(json_keys(props)) AS INT)
+           END AS n_keys,
+           CASE WHEN ok THEN CAST(event_id AS BIGINT) END AS eid_val,
+           CASE WHEN ok THEN
+             CAST(len(list_filter(map_values(m), v -> v > 50)) AS INT)
+           END AS n_big
+    FROM p
     """,
     tags=("scalar", "map"),
 )

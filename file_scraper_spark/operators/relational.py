@@ -578,7 +578,9 @@ def microbatch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(value * 100) / 100 AS value_trunc,
            sqrt(abs(value)) AS sqrt_abs,
            value * value AS value_sq,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           CASE WHEN json_valid(props) THEN
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k
     FROM events
     """,
 )

@@ -577,11 +577,17 @@ def unnest_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_transform_funcs",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS tag_val,
-           CAST(len(json_keys(props)) AS INT) + 1 AS n_after_zip
-    FROM events
-    WHERE event_id < 2000
+           CASE WHEN ok THEN
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 2
+           END AS k2,
+           CASE WHEN ok THEN
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS tag_val,
+           CASE WHEN ok THEN CAST(len(json_keys(props)) AS INT) + 1
+           END AS n_after_zip
+    FROM (SELECT event_id, props,
+                 json_valid(props) AND json_type(props) = 'OBJECT' AS ok
+          FROM events WHERE event_id < 2000)
     """,
     tags=("scalar", "map"),
 )

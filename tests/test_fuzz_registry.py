@@ -237,8 +237,153 @@ def test_embeddings_backed_registry_queries_on_random_corpora(
         shutil.rmtree(d, ignore_errors=True)
 
 
+#: events-only, bounded-cost queries. Excluded: stream_* (memory-sink
+#: harness spin-up dominates; the streaming semantics have their own
+#: gate + test_streaming coverage), json/csv/xml roundtrips (file IO),
+#: scrape_merge_full (drives the whole scrape pipeline),
+#: agg_approx_distinct / hll_sketch_merge / bitmap_distinct /
+#: approx_quantile (sketch-estimate envelopes are calibrated to
+#: fixture-scale cardinalities), recursive_cte (session-conf scoped,
+#: covered by its own gate row), zorder_layout (fixture-range
+#: bit-interleave constants).
+EV_QUERIES = (
+    "agg_bitwise",
+    "agg_distinct",
+    "agg_minmax_by",
+    "antijoin_deleted",
+    "array_agg_funcs",
+    "asof_join",
+    "conditional_agg",
+    "date_arith",
+    "funnel_analysis",
+    "map_funcs",
+    "map_transform_funcs",
+    "merge_upsert",
+    "microbatch_window",
+    "null_handling",
+    "pivot_agg",
+    "retention_cohort",
+    "salted_agg",
+    "sample_hash",
+    "sample_stratified",
+    "scalar_datetime_math_json",
+    "scalar_try_funcs",
+    "scd2_history",
+    "sessionize",
+    "timeseries_gapfill",
+    "timeseries_locf",
+    "timeseries_rollup",
+    "union_seen",
+    "unpivot_stack",
+    "window_lag_frame",
+    "window_rank_stats",
+    "window_time_range",
+)
+
+EVENT_TYPES_POOL = ("click", "view", "purchase", "signup", "zz")
+#: exact-double values: ties, zeros, negatives
+VALUES_POOL = (0.0, 1.0, -2.5, 0.25, 100.0, 1.0)
+#: valid, nested, empty-object, and MALFORMED props — malformed JSON
+#: is production-plausible and must degrade per each op's try-/
+#: get-semantics, not crash
+PROPS_POOL = (
+    '{"a": 1}',
+    '{"a": {"b": [1, 2]}}',
+    '{"tag": "x", "n": 7}',
+    "{}",
+    "",
+    "not json",
+)
+#: flat integer-valued objects: the documented cross-engine domain of
+#: the map-parsing queries (Spark's from_json map<string,bigint> nulls
+#: the WHOLE map on any non-bigint value, DuckDB's JSON->MAP cast
+#: coerces per-value — outside this domain the two parses legitimately
+#: differ, see the map_funcs oracle comment)
+FLAT_INT_PROPS = (
+    '{"k": 77}',
+    '{"k": 3, "j": 900}',
+    "{}",
+    '{"a": 1}',
+    '{"k": 0, "a": -5}',
+)
+MAP_DOMAIN_QUERIES = frozenset({"map_funcs", "map_transform_funcs"})
+
+#: one-day micro-second window => bounded gapfill/rollup series
+_TS_BASE = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in micros
+_TS_SPAN = 86_400_000_000
+
+
+def _write_events(rows: list[tuple]) -> str:
+    d = tempfile.mkdtemp(prefix="fss_fuzz_ev_")
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    return d
+
+
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    data=st.data(),
+)
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_events_backed_registry_queries_on_random_corpora(spark, n, data):
+    qname = data.draw(st.sampled_from(EV_QUERIES))
+    props_pool = (
+        FLAT_INT_PROPS if qname in MAP_DOMAIN_QUERIES else PROPS_POOL
+    )
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                _TS_BASE
+                + data.draw(
+                    st.integers(min_value=0, max_value=_TS_SPAN)
+                ),
+                data.draw(st.integers(min_value=0, max_value=4)),
+                data.draw(st.sampled_from(EVENT_TYPES_POOL)),
+                data.draw(st.sampled_from(VALUES_POOL)),
+                data.draw(st.sampled_from(props_pool)),
+            )
+        )
+    d = _write_events(rows)
+    try:
+        spec = registry.REGISTRY[qname]
+        sdf = spec.fn(spark, d)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o_cols, o_rows = duckdb_run(d, spec.oracle)
+        assert sorted(s_cols) == sorted(o_cols), (
+            f"{qname}: schema {sorted(s_cols)} vs {sorted(o_cols)}"
+        )
+        assert len(s_rows) == len(o_rows), (
+            f"{qname}: {len(s_rows)} vs {len(o_rows)} rows on {rows!r}"
+        )
+        assert value_hash(s_cols, s_rows) == value_hash(o_cols, o_rows), (
+            f"{qname}: value hash mismatch on events {rows!r}"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_fuzz_query_pool_is_registered():
     missing = [
-        q for q in QUERIES + EMB_QUERIES if q not in registry.REGISTRY
+        q
+        for q in QUERIES + EMB_QUERIES + EV_QUERIES
+        if q not in registry.REGISTRY
     ]
     assert not missing, f"fuzz pool names unknown queries: {missing}"
