@@ -255,6 +255,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_dsum('o_totalprice')} AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- Spark's expand-based grouping emits NO grand-total row over
+    -- EMPTY input (DuckDB, per ANSI, emits one with n = 0); real
+    -- groups always have count >= 1, so HAVING COUNT(*) > 0 encodes
+    -- the engine's empty-input semantics exactly (pinned by the
+    -- TPC-H corpus fuzzer, round 9)
+    HAVING COUNT(*) > 0
     """,
 )
 def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,6 +273,12 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_dsum('o_totalprice')} AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    -- Spark's expand-based grouping emits NO grand-total row over
+    -- EMPTY input (DuckDB, per ANSI, emits one with n = 0); real
+    -- groups always have count >= 1, so HAVING COUNT(*) > 0 encodes
+    -- the engine's empty-input semantics exactly (pinned by the
+    -- TPC-H corpus fuzzer, round 9)
+    HAVING COUNT(*) > 0
     """,
 )
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

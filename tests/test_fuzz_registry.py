@@ -380,10 +380,220 @@ def test_events_backed_registry_queries_on_random_corpora(spark, n, data):
         shutil.rmtree(d, ignore_errors=True)
 
 
+#: TPC-H-table-backed, bounded-cost queries (the 21 shape suite + the
+#: relational surface). Excluded: orc/xml/csv/partitioned write-read
+#: roundtrips and file_metadata_cols (file IO, gate-covered).
+TPCH_QUERIES = (
+    "agg_groupby",
+    "agg_median_mode",
+    "collation_compare",
+    "filter_predicate",
+    "grouping_sets",
+    "histogram_bucket",
+    "join_family",
+    "lateral_topn",
+    "mime_lookup",
+    "null_aware_antijoin",
+    "rollup_cube",
+    "scan_project",
+    "setops",
+    "setops_all",
+    "subquery_family",
+    "topk_sort_limit",
+    "window_distribution",
+    "window_first_last",
+    "window_rank",
+) + tuple(f"tpch_q{i}_shape" for i in range(2, 23))
+
+_TPCH_TS_BASE = 789_000_000_000_000  # 1995-01-02T06:40Z in micros
+_TPCH_TS_SPAN = 6 * 365 * 86_400_000_000  # ~6 years, spans the shapes'
+#                                           literal date predicates
+_PRICE_POOL = (0.0, 999.99, 25000.0, 49999.5, 123456.75, 499999.0)
+_QTY_POOL = (1.0, 2.0, 24.0, 24.0, 49.0, 50.0)
+_DISC_POOL = (0.0, 0.05, 0.06, 0.07, 0.1)
+_SEGS = ("BUILDING", "AUTOMOBILE", "ZZ")
+_PRIOS = ("1-URGENT", "3-MEDIUM", "5-LOW")
+_PTYPES = ("SMALL BRUSHED COPPER", "LARGE POLISHED STEEL",
+           "ECONOMY ANODIZED TIN")
+
+
+def _int_col(vals, t=pa.int64()):
+    return pa.array(vals, t)
+
+
+def _write_tpch(d: str, draw) -> None:
+    """Consistent-but-adversarial mini TPC-H: unique PKs, DANGLING
+    foreign keys on purpose (joins must agree on the misses too),
+    boundary dates around the shapes' literal predicates, tied values
+    from tiny pools."""
+    n_nat, n_cust, n_ord, n_li = (
+        draw(st.integers(2, 3)),
+        draw(st.integers(0, 6)),
+        draw(st.integers(0, 10)),
+        draw(st.integers(0, 20)),
+    )
+    pq.write_table(pa.table({
+        "r_regionkey": _int_col([0, 1], pa.int32()),
+        "r_name": pa.array(["AMERICA", "ASIA"], pa.string()),
+    }), os.path.join(d, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": _int_col(list(range(n_nat)), pa.int32()),
+        "n_name": pa.array([f"NATION{i}" for i in range(n_nat)], pa.string()),
+        "n_regionkey": _int_col(
+            [draw(st.integers(0, 2)) for _ in range(n_nat)], pa.int32()
+        ),  # 2 dangles
+    }), os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": _int_col(list(range(n_cust))),
+        "c_name": pa.array([f"Customer#{i}" for i in range(n_cust)], pa.string()),
+        "c_nationkey": _int_col(
+            [draw(st.integers(0, n_nat)) for _ in range(n_cust)],
+            pa.int32(),
+        ),
+        "c_acctbal": pa.array(
+            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(n_cust)],
+            pa.float64(),
+        ),
+        "c_mktsegment": pa.array(
+            [draw(st.sampled_from(_SEGS)) for _ in range(n_cust)],
+            pa.string(),
+        ),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": _int_col([0, 1, 2]),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(3)], pa.string()),
+        "s_nationkey": _int_col(
+            [draw(st.integers(0, n_nat)) for _ in range(3)], pa.int32()
+        ),
+        "s_acctbal": pa.array(
+            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(3)],
+            pa.float64(),
+        ),
+    }), os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": _int_col([0, 1, 2, 3]),
+        "p_name": pa.array(
+            ["tomato navy", "green forest", "navy blue", "plum"],
+            pa.string(),
+        ),
+        "p_brand": pa.array(
+            [draw(st.sampled_from(("Brand#1", "Brand#2")))
+             for _ in range(4)],
+            pa.string(),
+        ),
+        "p_type": pa.array(
+            [draw(st.sampled_from(_PTYPES)) for _ in range(4)],
+            pa.string(),
+        ),
+        "p_size": _int_col(
+            [draw(st.integers(1, 9)) for _ in range(4)], pa.int32()
+        ),
+        "p_retailprice": pa.array(
+            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(4)],
+            pa.float64(),
+        ),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": _int_col(list(range(n_ord))),
+        "o_custkey": _int_col(
+            [draw(st.integers(0, n_cust + 1)) for _ in range(n_ord)]
+        ),
+        "o_orderstatus": pa.array(
+            [draw(st.sampled_from(("O", "F", "P"))) for _ in range(n_ord)],
+            pa.string(),
+        ),
+        "o_totalprice": pa.array(
+            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(n_ord)],
+            pa.float64(),
+        ),
+        "o_orderdate": pa.array(
+            [_TPCH_TS_BASE + draw(st.integers(0, _TPCH_TS_SPAN))
+             for _ in range(n_ord)],
+            pa.timestamp("us"),
+        ),
+        "o_orderpriority": pa.array(
+            [draw(st.sampled_from(_PRIOS)) for _ in range(n_ord)],
+            pa.string(),
+        ),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": _int_col(
+            [draw(st.integers(0, n_ord + 1)) for _ in range(n_li)]
+        ),
+        "l_partkey": _int_col(
+            [draw(st.integers(0, 4)) for _ in range(n_li)]
+        ),
+        "l_suppkey": _int_col(
+            [draw(st.integers(0, 3)) for _ in range(n_li)]
+        ),
+        "l_linenumber": _int_col(
+            [draw(st.integers(1, 4)) for _ in range(n_li)], pa.int32()
+        ),
+        "l_quantity": pa.array(
+            [draw(st.sampled_from(_QTY_POOL)) for _ in range(n_li)],
+            pa.float64(),
+        ),
+        "l_extendedprice": pa.array(
+            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(n_li)],
+            pa.float64(),
+        ),
+        "l_discount": pa.array(
+            [draw(st.sampled_from(_DISC_POOL)) for _ in range(n_li)],
+            pa.float64(),
+        ),
+        "l_tax": pa.array(
+            [draw(st.sampled_from(_DISC_POOL)) for _ in range(n_li)],
+            pa.float64(),
+        ),
+        "l_returnflag": pa.array(
+            [draw(st.sampled_from(("A", "N", "R"))) for _ in range(n_li)],
+            pa.string(),
+        ),
+        "l_linestatus": pa.array(
+            [draw(st.sampled_from(("O", "F"))) for _ in range(n_li)],
+            pa.string(),
+        ),
+        "l_shipdate": pa.array(
+            [_TPCH_TS_BASE + draw(st.integers(0, _TPCH_TS_SPAN))
+             for _ in range(n_li)],
+            pa.timestamp("us"),
+        ),
+    }), os.path.join(d, "lineitem.parquet"))
+
+
+@given(data=st.data())
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tpch_backed_registry_queries_on_random_tables(spark, data):
+    qname = data.draw(st.sampled_from(TPCH_QUERIES))
+    d = tempfile.mkdtemp(prefix="fss_fuzz_tpch_")
+    try:
+        _write_tpch(d, data.draw)
+        spec = registry.REGISTRY[qname]
+        sdf = spec.fn(spark, d)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o_cols, o_rows = duckdb_run(d, spec.oracle)
+        assert sorted(s_cols) == sorted(o_cols), (
+            f"{qname}: schema {sorted(s_cols)} vs {sorted(o_cols)}"
+        )
+        assert len(s_rows) == len(o_rows), (
+            f"{qname}: {len(s_rows)} vs {len(o_rows)} rows"
+        )
+        assert value_hash(s_cols, s_rows) == value_hash(o_cols, o_rows), (
+            f"{qname}: value hash mismatch (dir preserved? {d})"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_fuzz_query_pool_is_registered():
     missing = [
         q
-        for q in QUERIES + EMB_QUERIES + EV_QUERIES
+        for q in QUERIES + EMB_QUERIES + EV_QUERIES + TPCH_QUERIES
         if q not in registry.REGISTRY
     ]
     assert not missing, f"fuzz pool names unknown queries: {missing}"
