@@ -34,13 +34,30 @@ QUANT = 1_000_000  # 1e-6 quantization
 DEC = "decimal(38,6)"  # decimal fallback type for extreme magnitudes
 
 
+#: FINITE-INPUT CONTRACT (pinned by the round-9 numeric probe): the
+#: quantized exact-sum REQUIRES finite addends. On NaN/±Inf both
+#: engines fail LOUDLY and symmetrically — Spark's ANSI add overflows
+#: the BIGINT on floor(±Inf) and DuckDB's BIGINT cast rejects NaN —
+#: never silently diverging. This is deliberate: ~33 quantized-sum
+#: sites (these helpers, the SQL-route twins, the window sums, the
+#: vector folds) share one uniform rule, and a production pipeline
+#: that expects non-finite metric values pre-filters with
+#: isfinite()/nanvl (the scalar_try_funcs family is the engine's
+#: documented tool for tolerating bad rows). A pandas-style skipna
+#: variant was prototyped and reverted: applied only to these helpers
+#: it would have made helper-backed queries skip while SQL-route
+#: twins fail — a per-query semantics fork worse than either uniform
+#: choice.
+
+
 def _q(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(c * float(QUANT))
 
 
 def dsum(col: Column | str) -> Column:
-    """Exact (quantized) sum of a double column; returns double."""
+    """Exact (quantized) sum of a double column; returns double.
+    Finite inputs only — see the module contract note."""
     return F.sum(_q(col)).cast("double") / QUANT
 
 
