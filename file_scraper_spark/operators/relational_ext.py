@@ -176,6 +176,10 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE event_type IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
     GROUP BY user_id, event_type
+    -- a group whose values are ALL NULL pivots to a NULL cell, which
+    -- the unpivot's isNotNull drops — COUNT(value) > 0 is exactly
+    -- "the quantized sum is non-NULL" (fuzzer, r9 NULL pass)
+    HAVING COUNT(value) > 0
     """,
 )
 def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,12 +471,22 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "array_agg_funcs",
     oracle="""
+    -- Spark's collect_set DROPS NULL elements (SQL-standard
+    -- array_agg keeps them, as DuckDB's list() does) and an all-NULL
+    -- group aggregates to [] not NULL — the engine's semantics,
+    -- encoded with FILTER + COALESCE (registry corpus fuzzer, r9)
+    WITH agg AS (
+      SELECT user_id,
+             COALESCE(list(DISTINCT event_type)
+                        FILTER (WHERE event_type IS NOT NULL),
+                      CAST([] AS VARCHAR[])) AS types
+      FROM events GROUP BY user_id
+    )
     SELECT user_id,
-           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+           CAST(len(types) AS INT) AS n_types,
+           COALESCE(array_to_string(list_sort(types), ','), '')
              AS types_csv
-    FROM events
-    GROUP BY user_id
+    FROM agg
     """,
 )
 def array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,8 +843,13 @@ def timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
     SELECT user_id,
-           arg_min(event_type, event_id) AS first_type,
-           arg_max(event_type, event_id) AS last_type,
+           -- struct-wrapped: bare arg_min/arg_max SKIP rows whose
+           -- VALUE is NULL, while Spark's min_by/max_by return the
+           -- value at the extremum NULL included — the engine's
+           -- semantics; a never-NULL struct stops the skip (fuzzer,
+           -- r9 NULL pass)
+           arg_min({'v': event_type}, event_id).v AS first_type,
+           arg_max({'v': event_type}, event_id).v AS last_type,
            CAST(MIN(event_id) AS BIGINT) AS first_event,
            CAST(MAX(event_id) AS BIGINT) AS last_event
     FROM events
@@ -898,7 +917,8 @@ def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cum_dist
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value NULLS FIRST, event_id)
     """,
 )
 def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,7 +926,9 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank, cume_dist per event type — the distribution
     -position primitives behind percentile capping, decile mixing,
     and score normalization. Total order pinned by (value, event_id)
-    so ties cannot flip rows between engines; percent_rank
+    so ties cannot flip rows between engines — with NULLS FIRST
+    explicit in the oracle, since Spark's ASC default is nulls-first
+    and DuckDB's is nulls-last (fuzzer, r9 NULL pass); percent_rank
     ((rank-1)/(n-1)) and cume_dist (peers/n) are single IEEE
     divisions of exact integers — bit-identical without quantization.
 

@@ -96,9 +96,16 @@ WORDS = (
     "x1", "zz", "q", "lorem", "7", "bob@x.io",
 )
 
-_texts = st.lists(
+#: ~1-in-8 NULL text: the fixtures are NULL-free, so without this no
+#: registry query has ever seen a NULL in a nullable column — but a
+#: scraped corpus with missing bodies is production-normal, and both
+#: engines NULL-propagate through split/len/md5/lower identically
+_plain_text = st.lists(
     st.sampled_from(WORDS), min_size=0, max_size=12
 ).map(" ".join)
+_texts = st.integers(0, 7).flatmap(
+    lambda i: st.none() if i == 0 else _plain_text
+)
 
 #: 0..22 docs; sequential ids hit the doc_id % 5 == 0 perturbation
 #: branch of near_dup_corpus by construction
@@ -135,7 +142,7 @@ def test_docs_backed_registry_queries_on_random_corpora(spark, texts, data):
             t,
             langs[i % len(langs)],
             f"s3://bkt/p{i % 3}/f{i}.txt",
-            len(t),
+            len(t) if t is not None else None,
         )
         for i, t in enumerate(texts)
     ]
@@ -345,6 +352,14 @@ def test_events_backed_registry_queries_on_random_corpora(spark, n, data):
     props_pool = (
         FLAT_INT_PROPS if qname in MAP_DOMAIN_QUERIES else PROPS_POOL
     )
+
+    def maybe(pool):
+        # ~1-in-8 NULL per nullable cell: the fixtures are NULL-free,
+        # so this is the only place registry queries meet real NULLs
+        if data.draw(st.integers(0, 7)) == 0:
+            return None
+        return data.draw(st.sampled_from(pool))
+
     rows = []
     for i in range(n):
         rows.append(
@@ -354,10 +369,10 @@ def test_events_backed_registry_queries_on_random_corpora(spark, n, data):
                 + data.draw(
                     st.integers(min_value=0, max_value=_TS_SPAN)
                 ),
-                data.draw(st.integers(min_value=0, max_value=4)),
-                data.draw(st.sampled_from(EVENT_TYPES_POOL)),
-                data.draw(st.sampled_from(VALUES_POOL)),
-                data.draw(st.sampled_from(props_pool)),
+                maybe(tuple(range(5))),
+                maybe(EVENT_TYPES_POOL),
+                maybe(VALUES_POOL),
+                maybe(props_pool),
             )
         )
     d = _write_events(rows)
