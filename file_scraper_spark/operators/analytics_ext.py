@@ -31,11 +31,15 @@ HIST_BINS = 20
       SELECT l_returnflag, median(qty_q) / {QUANT} AS median_qty
       FROM q GROUP BY l_returnflag
     ), cnt AS (
+      -- mode over NON-NULL values only (median already ignores NULLs
+      -- natively in both engines): without the filter the NULL group
+      -- joins the ranking and the engines' opposite NULL placement in
+      -- the qty_q tiebreak picks different modes (fuzzer, r9)
       SELECT l_returnflag, qty_q, COUNT(*) AS n,
              row_number() OVER (
                PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, qty_q
              ) AS rn
-      FROM q GROUP BY l_returnflag, qty_q
+      FROM q WHERE qty_q IS NOT NULL GROUP BY l_returnflag, qty_q
     )
     SELECT m.l_returnflag, m.median_qty,
            c.qty_q / {QUANT}.0 AS mode_qty,
@@ -71,7 +75,8 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").desc(), F.col("qty_q")
     )
     cnt = (
-        q.groupBy("l_returnflag", "qty_q")
+        q.filter(F.col("qty_q").isNotNull())
+        .groupBy("l_returnflag", "qty_q")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

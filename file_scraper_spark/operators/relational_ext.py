@@ -242,15 +242,15 @@ def stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            first_value(o_orderkey) OVER w AS cheapest_order,
            last_value(o_orderkey) OVER
-             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS priciest_order,
            nth_value(o_orderkey, 2) OVER
-             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS second_cheapest
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:

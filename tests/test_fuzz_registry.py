@@ -436,6 +436,21 @@ def _int_col(vals, t=pa.int64()):
     return pa.array(vals, t)
 
 
+def _mnull(draw, strategy):
+    """~1-in-8 NULL, else a draw — TPC-H measures and dates are
+    nullable in production even though keys are not (spec NOT NULL);
+    the fixtures are NULL-free, so this is where the relational
+    registry queries meet NULLs."""
+    if draw(st.integers(0, 7)) == 0:
+        return None
+    return draw(strategy)
+
+
+_TPCH_DATE = st.integers(0, _TPCH_TS_SPAN).map(
+    lambda o: _TPCH_TS_BASE + o
+)
+
+
 def _write_tpch(d: str, draw) -> None:
     """Consistent-but-adversarial mini TPC-H: unique PKs, DANGLING
     foreign keys on purpose (joins must agree on the misses too),
@@ -466,7 +481,8 @@ def _write_tpch(d: str, draw) -> None:
             pa.int32(),
         ),
         "c_acctbal": pa.array(
-            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(n_cust)],
+            [_mnull(draw, st.sampled_from(_PRICE_POOL))
+             for _ in range(n_cust)],
             pa.float64(),
         ),
         "c_mktsegment": pa.array(
@@ -481,7 +497,8 @@ def _write_tpch(d: str, draw) -> None:
             [draw(st.integers(0, n_nat)) for _ in range(3)], pa.int32()
         ),
         "s_acctbal": pa.array(
-            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(3)],
+            [_mnull(draw, st.sampled_from(_PRICE_POOL))
+             for _ in range(3)],
             pa.float64(),
         ),
     }), os.path.join(d, "supplier.parquet"))
@@ -504,7 +521,8 @@ def _write_tpch(d: str, draw) -> None:
             [draw(st.integers(1, 9)) for _ in range(4)], pa.int32()
         ),
         "p_retailprice": pa.array(
-            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(4)],
+            [_mnull(draw, st.sampled_from(_PRICE_POOL))
+             for _ in range(4)],
             pa.float64(),
         ),
     }), os.path.join(d, "part.parquet"))
@@ -518,12 +536,12 @@ def _write_tpch(d: str, draw) -> None:
             pa.string(),
         ),
         "o_totalprice": pa.array(
-            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(n_ord)],
+            [_mnull(draw, st.sampled_from(_PRICE_POOL))
+             for _ in range(n_ord)],
             pa.float64(),
         ),
         "o_orderdate": pa.array(
-            [_TPCH_TS_BASE + draw(st.integers(0, _TPCH_TS_SPAN))
-             for _ in range(n_ord)],
+            [_mnull(draw, _TPCH_DATE) for _ in range(n_ord)],
             pa.timestamp("us"),
         ),
         "o_orderpriority": pa.array(
@@ -545,19 +563,23 @@ def _write_tpch(d: str, draw) -> None:
             [draw(st.integers(1, 4)) for _ in range(n_li)], pa.int32()
         ),
         "l_quantity": pa.array(
-            [draw(st.sampled_from(_QTY_POOL)) for _ in range(n_li)],
+            [_mnull(draw, st.sampled_from(_QTY_POOL))
+             for _ in range(n_li)],
             pa.float64(),
         ),
         "l_extendedprice": pa.array(
-            [draw(st.sampled_from(_PRICE_POOL)) for _ in range(n_li)],
+            [_mnull(draw, st.sampled_from(_PRICE_POOL))
+             for _ in range(n_li)],
             pa.float64(),
         ),
         "l_discount": pa.array(
-            [draw(st.sampled_from(_DISC_POOL)) for _ in range(n_li)],
+            [_mnull(draw, st.sampled_from(_DISC_POOL))
+             for _ in range(n_li)],
             pa.float64(),
         ),
         "l_tax": pa.array(
-            [draw(st.sampled_from(_DISC_POOL)) for _ in range(n_li)],
+            [_mnull(draw, st.sampled_from(_DISC_POOL))
+             for _ in range(n_li)],
             pa.float64(),
         ),
         "l_returnflag": pa.array(
@@ -569,8 +591,7 @@ def _write_tpch(d: str, draw) -> None:
             pa.string(),
         ),
         "l_shipdate": pa.array(
-            [_TPCH_TS_BASE + draw(st.integers(0, _TPCH_TS_SPAN))
-             for _ in range(n_li)],
+            [_mnull(draw, _TPCH_DATE) for _ in range(n_li)],
             pa.timestamp("us"),
         ),
     }), os.path.join(d, "lineitem.parquet"))
