@@ -1257,3 +1257,202 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maxsim_q").desc(), "label")
         .limit(MAXSIM_TOPK)
     )
+
+
+# --- SemDeDup (semantic dedup) ------------------------------------------
+
+#: within-cluster cosine above which the higher-id vector is a
+#: semantic duplicate (fixture-calibrated like PAIR_THRESHOLD; the
+#: paper uses ~0.95+ on real embedding spaces)
+SEMDEDUP_TAU = 0.25
+#: cells above this size are md5-sub-blocked before the Gram pass —
+#: the bounded-cost lever: a skewed cell otherwise becomes ONE
+#: quadratic single-worker task (the 100x probe's 78k-vector cell =
+#: 390 GFLOP in one applyInPandas group). Sub-blocking bounds each
+#: task at ~CAP^2 dots and restores parallelism; recall loss is
+#: confined to oversized cells (the same trade dedup_embedding's
+#: bands make). The rule is a pure function of the per-cell COUNT,
+#: so the oracle replays it exactly at any scale; every driver
+#: fixture is far below the cap (largest gate-scale cell ~2k).
+SEMDEDUP_CELL_CAP = 4096
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             (CAST(SUM(CAST(floor(v * {QUANT}) AS BIGINT)) AS DOUBLE)
+              / {QUANT}) / COUNT(*) AS c
+      FROM flat GROUP BY label, pos
+    ), dots AS (
+      SELECT f.vec_id, c.label,
+             SUM(CAST(floor((f.v * c.c) * {QUANT}) AS BIGINT)) AS dp
+      FROM flat f JOIN cent c ON c.pos = f.pos
+      GROUP BY f.vec_id, c.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dp DESC, label ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ), q0 AS (
+      SELECT e.vec_id, a.cell,
+             list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PAIR_QUANT})
+                         AS BIGINT)) AS qe
+      FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+    ), cellsz AS (
+      SELECT cell, (COUNT(*) + {SEMDEDUP_CELL_CAP - 1})
+                   // {SEMDEDUP_CELL_CAP} AS nsub
+      FROM q0 GROUP BY cell
+    ), q AS (
+      SELECT q0.vec_id, q0.cell, q0.qe,
+             CAST(('0x' || substring(md5(CAST(q0.vec_id AS VARCHAR)),
+                                     1, 10)) AS BIGINT) % s.nsub AS sub
+      FROM q0 JOIN cellsz s ON s.cell = q0.cell
+    ), norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(qv * qv) AS DOUBLE)) AS nq
+      FROM (SELECT vec_id, unnest(qe) AS qv FROM q)
+      GROUP BY vec_id
+    ), pdots AS (
+      SELECT cell, vec_a, vec_b, CAST(SUM(av * bv) AS DOUBLE) AS dp
+      FROM (
+        SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               unnest(a.qe) AS av, unnest(b.qe) AS bv
+        FROM q a JOIN q b
+          ON a.cell = b.cell AND a.sub = b.sub
+         AND a.vec_id < b.vec_id
+      )
+      GROUP BY cell, vec_a, vec_b
+    ), dups AS (
+      SELECT d.cell, d.vec_a, d.vec_b,
+             d.dp / (na.nq * nb.nq) AS cosine
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.vec_a
+      JOIN norms nb ON nb.vec_id = d.vec_b
+      WHERE d.dp / (na.nq * nb.nq) >= {SEMDEDUP_TAU}
+    )
+    SELECT vec_b AS vec_id, cell,
+           CAST(MIN(vec_a) AS BIGINT) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MAX(cosine) AS max_cos
+    FROM dups GROUP BY vec_b, cell
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering the embedding space and dropping, within each cluster,
+    every vector that has an above-threshold cosine to a
+    higher-priority member. Catches paraphrases and re-encodings that
+    share no n-grams — the semantic complement to the lexical dedup
+    family. This engine's deterministic instantiation: the coarse
+    codebook is the per-label centroid table (the same deterministic
+    k-means-step stand-in similarity_ann_ivf uses — one Lloyd
+    iteration from a fixed seeding), assignment is quantized-argmax
+    (ties to the lowest label), and the keep-priority is min vec_id
+    (the paper ranks by distance-to-centroid; id-priority is the
+    engine-wide deterministic keeper rule, cf. dedup_exact). Emits
+    one row per DROPPED vector: its cell, its keeper (the smallest
+    above-threshold lower-id neighbor), how many such neighbors, and
+    the strongest cosine.
+
+    Scale shape: centroids are a tiny aggregate collected as the
+    broadcast codebook (the similarity_ann_ivf control-plane-fetch
+    pattern); assignment + PAIR_QUANT quantization run in ONE numpy
+    mapInPandas pass emitting (vec_id, cell, qe) — no joins at all.
+    (The JVM pos-join dots formulation the ORACLE replays was
+    measured first: its 128M-row (N*D*L) pre-aggregation frame blew
+    past the 100x probe budget, while the kernel pass is
+    bit-identical by the ivf argument — floor((v*c)*1e9) per product,
+    integer sums below 2^53, argmax-first == lowest-label ties — and
+    linear.) Within-cell pairs run as ONE integer Gram matmul per
+    (cell, sub-block) via the shared _gram_pairs strip kernel (exact
+    — products stay below 2^53), so the shuffle carries vectors
+    once, never pairs. Cells above SEMDEDUP_CELL_CAP are
+    md5-sub-blocked first (see the constant's note: the 100x probe's
+    skewed 78k-vector cell was one 390-GFLOP single-worker task
+    without it); the rule replays in the oracle from the per-cell
+    COUNT, and no driver fixture reaches the cap, so gate results
+    are bit-identical to the uncapped form."""
+    import pandas as pd  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = embedding_centroids(spark, sf_dir).collect()  # tiny codebook
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cents:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["centroid"]
+    labels_arr = sorted(by_label)
+    dim = max(max(d) for d in by_label.values()) + 1
+    cent_rows = [
+        [by_label[lab].get(p, 0.0) for p in range(dim)]
+        for lab in labels_arr
+    ]
+
+    def assign_quantize(batches):
+        import numpy as np  # noqa: PLC0415
+
+        C = np.array(cent_rows, dtype=np.float64)  # (L, D)
+        L = np.array(labels_arr, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            for s in range(0, len(V), 2048):
+                chunk = V[s : s + 2048]
+                prod = chunk[:, None, :] * C[None, :, :]  # (n, L, D)
+                dots = np.floor(prod * float(QUANT)).sum(axis=2)
+                cell = L[np.argmax(dots, axis=1)]
+                qe = np.floor(chunk * float(PAIR_QUANT)).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[s : s + 2048],
+                        "cell": cell.astype(np.int32),
+                        "qe": list(qe),
+                    }
+                )
+
+    q0 = emb.select("vec_id", "embedding").mapInPandas(
+        assign_quantize, "vec_id long, cell int, qe array<long>"
+    )
+    # md5 sub-blocking of oversized cells (SEMDEDUP_CELL_CAP): the
+    # per-cell counts are a cells-cardinality frame, broadcast back.
+    cellsz = q0.groupBy("cell").agg(
+        (
+            (F.count(F.lit(1)) + (SEMDEDUP_CELL_CAP - 1))
+            / SEMDEDUP_CELL_CAP
+        )
+        .cast("long")
+        .alias("nsub")
+    )
+    h40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    q = q0.join(F.broadcast(cellsz), "cell").select(
+        "vec_id", "cell", "qe", (h40 % F.col("nsub")).alias("sub")
+    )
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = _gram_pairs(pdf, SEMDEDUP_TAU)
+        out["cell"] = pdf["cell"].iloc[0]
+        return out
+
+    dups = q.groupBy("cell", "sub").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long, cosine double, cell int"
+    )
+    return (
+        dups.groupBy(F.col("vec_b").alias("vec_id"), "cell")
+        .agg(
+            F.min("vec_a").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cosine").alias("max_cos"),
+        )
+    )

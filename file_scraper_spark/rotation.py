@@ -158,6 +158,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "similarity_maxsim",
     "dedup_containment_sampled",
     "window_rank_stats",
+    "dedup_semdedup",
 )
 
 

@@ -172,6 +172,7 @@ def test_docs_backed_registry_queries_on_random_corpora(spark, texts, data):
 #: the ANN probes (fixture-dimension hyperplanes + driver-side probe
 #: selection, gate-covered).
 EMB_QUERIES = (
+    "dedup_semdedup",
     "embedding_centroids",
     "embedding_quantize",
     "similarity_maxsim",

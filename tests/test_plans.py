@@ -655,3 +655,23 @@ def test_maxsim_query_set_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_semdedup_pairs_are_cell_local(spark, sf_dir):
+    """dedup_semdedup's within-cell duplicate detection must be ONE
+    applyInPandas Gram pass per (cell, sub-block) — never a
+    pair-materializing SHUFFLE self-join of the embedding frame. The
+    only cell-keyed join allowed is the BROADCAST of the
+    cells-cardinality sub-block-count frame."""
+    df = R["dedup_semdedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    import re
+    for m in re.finditer(
+        r"(SortMergeJoin|ShuffledHashJoin)\s*(?:\w+\s*)?\[([^\]]*)\]", plan
+    ):
+        keys = m.group(2)
+        assert "cell" not in keys, (
+            f"cell-keyed shuffle join (pair join?): {keys}"
+        )
