@@ -467,3 +467,317 @@ def corpus_shuffle_frame(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / paragraph-level dedup / per-domain quotas ([EXT]): the three
+# corpus-shaping stages between raw scraped text and a training shard —
+# RAG-style context chunking, Dolma-style paragraph dedup (duplicate
+# boilerplate removed while the surrounding document survives), and
+# per-domain quota sampling (no single hot domain dominates the mix).
+
+CHUNK_W = 64   # words per chunk
+CHUNK_S = 48   # chunk stride (overlap = W - S = 16 words)
+PARA_W = 32    # words per "paragraph" segment (non-overlapping)
+QUOTA_K = 5    # docs kept per domain
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ), ids AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0,
+               CASE WHEN nw <= {CHUNK_W} THEN CAST(0 AS BIGINT)
+                    ELSE (nw - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} END
+             )) AS i
+      FROM w
+    ), c AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(
+               words[CAST(i*{CHUNK_S}+1 AS BIGINT):CAST(i*{CHUNK_S}+{CHUNK_W} AS BIGINT)],
+               ' ') AS chunk_text
+      FROM ids
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
+    FROM c
+    """,
+    tags=("text", "pipeline"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context chunking: each document becomes overlapping
+    CHUNK_W-word windows at stride CHUNK_S (16-word overlap so no
+    answer span is split across a boundary). Chunk count is
+    1 + ceil((n-W)/S) — the final window always reaches the last word
+    and no start beyond it is emitted (a tail window fully contained
+    in its predecessor would be pure duplication).
+
+    Scale shape: shuffle-FREE — split/slice/array_join are per-row JVM
+    built-ins under one generator, so the op is embarrassingly
+    parallel and pipelines into whatever shuffle follows. Cost is
+    O(words * chunks_per_doc) per doc (Catalyst re-inlines the split
+    under the generator) — bounded by the doc length cap a real
+    pipeline enforces upstream, and independent of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    last = F.when(nw <= CHUNK_W, F.lit(0)).otherwise(
+        F.expr(
+            f"(size(split(text, ' ')) - {CHUNK_W} + {CHUNK_S} - 1)"
+            f" div {CHUNK_S}"
+        )
+    )
+    chunk = F.array_join(
+        F.slice(words, F.col("chunk_id") * CHUNK_S + 1, CHUNK_W), " "
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            chunk.alias("chunk_text"),
+        )
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("chunk_text"), " "))
+        )
+    )
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ), ids AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0, (nw - 1) // {PARA_W})) AS i
+      FROM w
+    ), p AS (
+      SELECT doc_id, i AS pid,
+             array_to_string(
+               words[CAST(i*{PARA_W}+1 AS BIGINT):CAST(i*{PARA_W}+{PARA_W} AS BIGINT)],
+               ' ') AS ptext
+      FROM ids
+    ), r AS (
+      SELECT doc_id, pid, ptext,
+             ROW_NUMBER() OVER (
+               PARTITION BY ptext ORDER BY doc_id, pid
+             ) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           array_to_string(
+             list(ptext ORDER BY pid) FILTER (WHERE rn = 1), ' '
+           ) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM r
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma / RefinedWeb boilerplate
+    stage): documents are segmented into non-overlapping PARA_W-word
+    paragraphs; each distinct paragraph survives only at its FIRST
+    corpus occurrence (min (doc_id, pid)); documents are then
+    reassembled from their surviving paragraphs in order. Unlike
+    doc-level dedup this removes the nav-bar/footer/licence text that
+    repeats across a site while keeping the unique prose around it.
+
+    Scale shape: the keeper decision is a hash groupBy on the
+    paragraph text with min(struct) — partial aggregation collapses a
+    boilerplate paragraph occurring 10^9 times to ONE row per map
+    task before the exchange, so hot paragraphs cause no skew (the
+    window-rank formulation the oracle uses would put every copy of
+    the hottest paragraph in one partition; deliberately avoided).
+    Then one equi-join back (paragraph-hash keyed) and one doc_id
+    groupBy to reassemble. At 100 TB group on xxhash64(ptext) with an
+    (h, ptext) re-verify, exactly as quality_funnel does."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    last = F.expr(f"(size(split(text, ' ')) - 1) div {PARA_W}")
+    paras = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), last)).alias("pid"),
+    ).select(
+        "doc_id",
+        F.col("pid").cast("long").alias("pid"),
+        F.array_join(
+            F.slice(words, F.col("pid") * PARA_W + 1, PARA_W), " "
+        ).alias("ptext"),
+    )
+    keepers = paras.groupBy("ptext").agg(
+        F.min(F.struct("doc_id", "pid")).alias("keeper")
+    )
+    flagged = paras.join(keepers, "ptext").select(
+        "doc_id",
+        "pid",
+        "ptext",
+        (
+            (F.col("keeper.doc_id") == F.col("doc_id"))
+            & (F.col("keeper.pid") == F.col("pid"))
+        ).alias("keep"),
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct("pid", "ptext")
+    )  # NULL when dropped -> collect_list skips it
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["ptext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count_if(~F.col("keep")).alias("n_dropped"),
+    )
+
+
+@query(
+    "sample_domain_quota",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, LEAST(doc_id % 64, 8) AS domain,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    ), r AS (
+      SELECT doc_id, domain, rk,
+             ROW_NUMBER() OVER (
+               PARTITION BY domain ORDER BY rk, doc_id
+             ) AS rn
+      FROM d
+    )
+    SELECT doc_id, CAST(domain AS BIGINT) AS domain, rk,
+           CAST(rn AS BIGINT) AS rank_in_domain
+    FROM r
+    WHERE rn <= {QUOTA_K}
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most QUOTA_K docs per
+    domain, chosen by a deterministic hash rank (md5(doc_id)) so the
+    draw is uniform-but-reproducible — the mix-balancing stage that
+    stops one crawled megasite from dominating a training shard. The
+    derived domain (LEAST(doc_id % 64, 8)) is deliberately SKEWED:
+    domain 8 owns ~87% of the corpus, the exact regime the op must
+    survive.
+
+    Scale shape: rank-limit pushdown. The `filter(rn <= K)` directly
+    above a row_number window triggers Spark's InsertWindowGroupLimit
+    rule: the plan carries a PARTIAL WindowGroupLimit before the
+    exchange (verified, tests/test_plans.py), so every map task
+    forwards at most K rows per domain — the hottest domain ships
+    K * num_map_partitions rows total, never its raw row count, and
+    the post-shuffle sort is over that trickle. This is exactly the
+    manual salted two-phase top-K (tried first: one extra exchange +
+    sort for the same bound), provided natively by the optimizer."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.least(F.col("doc_id") % 64, F.lit(8)).alias("domain"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = Window.partitionBy("domain").orderBy("rk", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_K)
+        .select(
+            "doc_id",
+            F.col("domain").cast("long").alias("domain"),
+            "rk",
+            F.col("rn").cast("long").alias("rank_in_domain"),
+        )
+    )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(floor(sqrt(COUNT(*)) * 1e6) AS BIGINT) AS q
+      FROM documents GROUP BY lang
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(q) AS BIGINT) AS ssq
+      FROM s
+    ), r AS (
+      SELECT lang, n,
+             LEAST(1000, CAST(floor(
+               ((1000.0 * nn) * q) / ssq / n
+             ) AS BIGINT)) AS keep_pm
+      FROM s, t
+    )
+    SELECT d.lang, r.n AS n_total, r.keep_pm,
+           CAST(COUNT(*) FILTER (WHERE
+             CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000 < r.keep_pm
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON d.lang = r.lang
+    GROUP BY d.lang, r.n, r.keep_pm
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual resampling (the mC4/PaLM mixing
+    rule): sample language l with probability proportional to
+    (n_l)^(1/T), here T=2 — over-represented languages are
+    down-weighted toward the temperature distribution while the total
+    budget stays the corpus size (rate capped at 100%). Membership is
+    the md5 permille bucket of doc_id, so the draw is reproducible
+    across runs, engines and partitionings.
+
+    Bit-exactness across engines: each per-language sqrt is quantized
+    to floor(sqrt(n)*1e6) BEFORE the cross-language sum, so the only
+    multi-row float reduction becomes exact integer addition (fp
+    summation ORDER never matters); the remaining scalar double ops
+    run on identical integer inputs with an identical expression
+    tree, and IEEE ops are correctly rounded in both engines.
+
+    Scale shape: per-lang stats are a map-side-combined count (one
+    row per language), the rate table is broadcast back, and the
+    keep decision is a per-row predicate — one tiny aggregation plus
+    one scan, no data-sized shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * 1e6).alias("q"),
+    )
+    t = s.agg(
+        F.sum("n").alias("nn"), F.sum("q").alias("ssq")
+    )
+    r = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1000),
+            F.floor(
+                (F.lit(1000.0) * F.col("nn")) * F.col("q")
+                / F.col("ssq") / F.col("n")
+            ),
+        ).alias("keep_pm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    return (
+        docs.select("lang", bucket.alias("b"))
+        .join(F.broadcast(r), "lang")
+        .groupBy("lang", F.col("n").alias("n_total"), "keep_pm")
+        .agg(F.count_if(F.col("b") < F.col("keep_pm")).alias("n_kept"))
+    )

@@ -159,6 +159,10 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "dedup_containment_sampled",
     "window_rank_stats",
     "dedup_semdedup",
+    "text_chunk",
+    "dedup_paragraph",
+    "sample_domain_quota",
+    "sample_temperature",
 )
 
 

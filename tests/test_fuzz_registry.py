@@ -66,12 +66,16 @@ QUERIES = (
     "dedup_jaccard_sampled",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_paragraph",
     "dedup_simhash",
     "dedup_url",
     "doc_fingerprint",
     "path_split",
     "quality_funnel",
+    "sample_domain_quota",
+    "sample_temperature",
     "sequence_packing",
+    "text_chunk",
     "text_bm25_topk",
     "text_diversity",
     "text_heavy_hitters",

@@ -675,3 +675,36 @@ def test_semdedup_pairs_are_cell_local(spark, sf_dir):
         assert "cell" not in keys, (
             f"cell-keyed shuffle join (pair join?): {keys}"
         )
+
+
+def test_text_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is embarrassingly parallel: split/slice/array_join
+    under one generator, ZERO exchanges — the op must pipeline into
+    whatever shuffle follows, not add one of its own."""
+    plan = plan_of("text_chunk", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_dedup_paragraph_keeper_is_agg_not_window(spark, sf_dir):
+    """The first-occurrence decision must be a hash groupBy with
+    min(struct) — partial aggregation collapses a 10^9-copy
+    boilerplate paragraph to one row per map task before the
+    exchange. A window-rank over ptext partitions (the oracle's
+    spelling) would put every copy of the hottest paragraph in ONE
+    partition; pinned out."""
+    plan = plan_of("dedup_paragraph", spark, sf_dir)
+    assert "Window" not in plan
+    assert "partial_min(struct" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_quota_rank_limit_is_pushed(spark, sf_dir):
+    """filter(rn <= K) over row_number must trigger
+    InsertWindowGroupLimit: a PARTIAL WindowGroupLimit below the
+    exchange bounds what each map task ships to K rows per domain —
+    the property that makes the 87%-hot domain survivable. One
+    exchange total."""
+    plan = plan_of("sample_domain_quota", spark, sf_dir)
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan)
+    assert plan.count("Exchange hashpartitioning") == 1
