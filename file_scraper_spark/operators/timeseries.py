@@ -313,3 +313,50 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             / QUANT
         ).alias("sum_1h"),
     )
+
+
+@query(
+    "timeseries_ohlc",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           first(value ORDER BY ts, event_id) AS open,
+           last(value ORDER BY ts, event_id) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dsum('value')} AS volume
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling — the canonical hypertable
+    continuous aggregate (TimescaleDB's candlestick_agg): per
+    (event_type, hour) the open/close are the values at the earliest/
+    latest (ts, event_id) — min_by/max_by on a composite unique key,
+    single-pass and map-side combinable, NOT a windowed
+    row_number()=1 (no per-bucket sort, no unbounded state; the
+    running extremum is one row per bucket per map task). high/low
+    are plain MIN/MAX (exact comparisons, order-insensitive) and
+    volume is the quantized exact sum.
+
+    Determinism: the ordering key (ts, event_id) is unique, so open/
+    close are well-defined under ties on ts; a NULL value AT the
+    extremum is returned as NULL by both engines (verified — DuckDB
+    first/last ORDER BY and Spark min_by/max_by agree)."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max_by("value", key).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("volume"),
+        )
+    )

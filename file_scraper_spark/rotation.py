@@ -163,6 +163,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "dedup_paragraph",
     "sample_domain_quota",
     "sample_temperature",
+    "timeseries_ohlc",
 )
 
 

@@ -284,6 +284,7 @@ EV_QUERIES = (
     "sessionize",
     "timeseries_gapfill",
     "timeseries_locf",
+    "timeseries_ohlc",
     "timeseries_rollup",
     "union_seen",
     "unpivot_stack",
