@@ -708,3 +708,17 @@ def test_domain_quota_rank_limit_is_pushed(spark, sf_dir):
     plan = plan_of("sample_domain_quota", spark, sf_dir)
     assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ohlc_is_single_pass_agg_not_window(spark, sf_dir):
+    """OHLC open/close must be partial min_by/max_by BELOW the one
+    exchange (map-side combine: one row per bucket per map task) —
+    not a per-bucket row_number window, which would ship every raw
+    event of the hottest (type, hour) bucket into one partition.
+    The scan must also prune to the four needed columns (no props)."""
+    plan = plan_of("timeseries_ohlc", spark, sf_dir)
+    assert "Window" not in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1) and "user_id" not in m.group(1)
