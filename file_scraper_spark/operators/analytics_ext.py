@@ -681,3 +681,144 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+MAD_K = 1.5  # robust-outlier threshold: |dev| > MAD_K * MAD
+
+
+@query(
+    "profile_table",
+    oracle="""
+    WITH long AS (
+      SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val
+      FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+      UNION ALL SELECT 'lang', lang FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+      FROM documents
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(val) AS BIGINT) AS n_filled,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val,
+           CAST(SUM(length(val)) AS BIGINT) AS sum_len
+    FROM long
+    GROUP BY col_name
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile — the pre-ingest audit pass a pipeline
+    runs before committing a new shard (null rates, exact distinct
+    cardinality, lexicographic min/max of the string rendering, total
+    character volume), one output row per column.
+
+    Spark-first shape: `stack` unpivots each record into (col_name,
+    val) rows — a Generate, no shuffle of its own — and ONE
+    aggregation produces every statistic. count/min/max/sum combine
+    map-side; the exact distinct rewrites to a two-phase aggregate
+    keyed on (col_name, val), so cardinality work distributes over
+    the value space rather than funneling each column's rows through
+    one reducer. At 100 TB swap count_distinct for
+    approx_count_distinct (as a SEPARATE aggregation — never fused
+    with exact distincts, see agg_approx_distinct) and keep the rest.
+    Strings compare/measure identically cross-engine: binary
+    collation, codepoint length, and CAST(BIGINT AS STRING) renders
+    the same digits."""
+    docs = load(spark, sf_dir, "documents")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in PROFILE_COLS
+    )
+    long = docs.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, val)"
+        )
+    )
+    return long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_filled"),
+        F.count_distinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(F.length("val")).alias("sum_len"),
+    )
+
+
+@query(
+    "anomaly_mad",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * {QUANT}) AS BIGINT) AS qv, value
+      FROM events
+    ), med AS (
+      SELECT event_type, median(qv) AS med_q
+      FROM q GROUP BY event_type
+    ), dev AS (
+      SELECT q.event_id, q.event_type, q.value, q.qv, med.med_q,
+             abs(q.qv - med.med_q) AS dev_q
+      FROM q JOIN med
+        ON q.event_type IS NOT DISTINCT FROM med.event_type
+    ), mad AS (
+      SELECT event_type, median(dev_q) AS mad_q
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           d.med_q / {QUANT} AS med,
+           m.mad_q / {QUANT} AS mad,
+           d.dev_q / {QUANT} AS dev
+    FROM dev d JOIN mad m
+      ON d.event_type IS NOT DISTINCT FROM m.event_type
+    WHERE d.dev_q > {MAD_K} * m.mad_q
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    data-cleaning gate that survives the contamination it hunts
+    (mean/stddev z-scores move with the outliers; medians don't).
+    Flags every event whose |value - median| exceeds MAD_K * MAD of
+    its event_type.
+
+    Two tiny aggregations (one row per type each) broadcast back onto
+    the full stream, so the event table is rescanned per stage (four
+    column-pruned linear scans in the physical plan — broadcast
+    branches don't dedupe cross-branch) but NEVER shuffled on a hot
+    key: a skewed event_type costs nothing because only the per-type
+    medians move. Exactness: values quantize to BIGINT,
+    median midpoints of (half-)integers are exact in double under
+    both engines' interpolation formulas (agg_median_mode's argument,
+    applied twice), and the MAD_K multiple of a quarter-integer stays
+    exact — the strict > comparison is deterministic cross-engine.
+    NULL values drop out of both medians natively and NULL-valued
+    rows never flag (3VL comparison); NULL event_type groups are
+    preserved via null-safe joins (eqNullSafe — r8 registry-wide
+    audit)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    q = ev.withColumn("qv", F.floor(F.col("value") * float(QUANT)))
+    med = q.groupBy("event_type").agg(F.median("qv").alias("med_q"))
+    dev = q.join(
+        F.broadcast(med.withColumnRenamed("event_type", "met")),
+        q["event_type"].eqNullSafe(F.col("met")),
+    ).withColumn("dev_q", F.abs(F.col("qv") - F.col("med_q")))
+    mad = dev.groupBy("met").agg(F.median("dev_q").alias("mad_q"))
+    return (
+        dev.join(
+            F.broadcast(mad.withColumnRenamed("met", "mat")),
+            dev["met"].eqNullSafe(F.col("mat")),
+        )
+        .filter(F.col("dev_q") > MAD_K * F.col("mad_q"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("med_q") / QUANT).alias("med"),
+            (F.col("mad_q") / QUANT).alias("mad"),
+            (F.col("dev_q") / QUANT).alias("dev"),
+        )
+    )

@@ -164,6 +164,8 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "sample_domain_quota",
     "sample_temperature",
     "timeseries_ohlc",
+    "profile_table",
+    "anomaly_mad",
 )
 
 

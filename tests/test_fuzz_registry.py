@@ -71,6 +71,7 @@ QUERIES = (
     "dedup_url",
     "doc_fingerprint",
     "path_split",
+    "profile_table",
     "quality_funnel",
     "sample_domain_quota",
     "sample_temperature",
@@ -259,6 +260,7 @@ def test_embeddings_backed_registry_queries_on_random_corpora(
 #: covered by its own gate row), zorder_layout (fixture-range
 #: bit-interleave constants).
 EV_QUERIES = (
+    "anomaly_mad",
     "agg_bitwise",
     "agg_distinct",
     "agg_minmax_by",

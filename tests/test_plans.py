@@ -722,3 +722,28 @@ def test_ohlc_is_single_pass_agg_not_window(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "props" not in m.group(1) and "user_id" not in m.group(1)
+
+
+def test_profile_unpivots_once_no_join(spark, sf_dir):
+    """The profile is ONE generate (stack unpivot, no shuffle of its
+    own) feeding one aggregation family — no join, no window, one
+    base scan. The exact-distinct must be the two-phase rewrite
+    (partial agg keyed on (col_name, val)), distributing cardinality
+    work over the value space instead of one reducer per column."""
+    plan = plan_of("profile_table", spark, sf_dir)
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("FileScan") == 1
+    assert "partial_count(distinct" in plan or "partial_count(val" in plan
+
+
+def test_anomaly_mad_is_broadcast_only(spark, sf_dir):
+    """Both median frames are one-row-per-type and must come back as
+    broadcast joins: the full event stream is never shuffled on
+    event_type, so a 90%-hot type costs nothing. No sort-merge join,
+    no window, scans pruned to the three used columns."""
+    plan = plan_of("anomaly_mad", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1) and "user_id" not in m.group(1)
