@@ -166,6 +166,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "timeseries_ohlc",
     "profile_table",
     "anomaly_mad",
+    "stream_minhash_dedup",
 )
 
 

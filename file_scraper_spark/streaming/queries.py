@@ -610,3 +610,185 @@ def pylisting_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return run_to_memory(stream.select("filename"), mode="append")
+
+
+STREAM_BANDS = 4  # one 40-bit min-hash per band (r=1 fingerprints)
+
+
+def _band_key_cols(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, key) min-hash band fingerprints computed with
+    PER-ROW array expressions only — no cross-row aggregation, so the
+    same plan runs unchanged on a batch frame AND inside a streaming
+    micro-batch (a groupBy signature build, the batch-optimal form per
+    NOTES r2, would be a second stateful operator the streaming
+    planner rejects). Shingles come from zip_with over staggered
+    slices (the O(L) form; sequence+element_at re-inlines the split
+    per element, O(L^2) — NOTES r2), and the md5 struct array is
+    staged in its own projection so no O(n)-array expression is
+    referenced from inside a per-element lambda (the r8
+    embedding_quantize rule, pinned in test_plans)."""
+    from file_scraper_spark.operators.dedup import (  # noqa: PLC0415
+        MINHASH_P,
+    )
+
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    g = w.select(
+        "doc_id",
+        "words",
+        F.greatest(F.size("words") - 2, F.lit(0)).alias("g"),
+    )
+    sh = g.select(
+        "doc_id",
+        F.zip_with(
+            F.zip_with(
+                F.slice("words", F.lit(1), F.col("g")),
+                F.slice("words", F.lit(2), F.col("g")),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            F.slice("words", F.lit(3), F.col("g")),
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ).alias("shingles"),
+    )
+    hs = sh.select(
+        "doc_id",
+        F.transform(
+            "shingles",
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 10), 16, 10)
+                .cast("long")
+                .alias("h1"),
+                F.conv(F.substring(F.md5(s), 11, 10), 16, 10)
+                .cast("long")
+                .alias("h2"),
+            ),
+        ).alias("hs"),
+    )
+    def band_min(b: int):
+        # NB: a factory, not `lambda x, b=b`: pyspark's transform()
+        # inspects the lambda arity and passes the ARRAY INDEX as the
+        # second argument, silently clobbering a default-arg capture
+        return F.array_min(
+            F.transform("hs", lambda x: (x.h1 + b * x.h2) % MINHASH_P)
+        ).alias(f"k{b}")
+
+    banded = hs.select(
+        "doc_id", *[band_min(b) for b in range(1, STREAM_BANDS + 1)]
+    )
+    stack_args = ", ".join(
+        f"{b}L, k{b}" for b in range(1, STREAM_BANDS + 1)
+    )
+    return banded.select(
+        "doc_id",
+        F.expr(
+            f"stack({STREAM_BANDS}, {stack_args}) AS (band_id, key)"
+        ),
+    )
+
+
+@query(
+    "stream_minhash_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+               AS shingles
+      FROM base
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s ->
+               CAST(('0x' || substring(md5(s), 1, 10)) AS BIGINT))
+               AS h1s,
+             list_transform(shingles, s ->
+               CAST(('0x' || substring(md5(s), 11, 10)) AS BIGINT))
+               AS h2s
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b.band_id,
+             list_min(list_transform(range(1, len(h1s) + 1),
+               i -> (h1s[i] + b.band_id * h2s[i]) % {1_099_511_627_689}))
+               AS key
+      FROM hs, (SELECT unnest(range(1, {STREAM_BANDS + 1})) AS band_id) b
+    ), owners AS (
+      SELECT band_id, key, MIN(doc_id) AS owner
+      FROM bands WHERE key IS NOT NULL
+      GROUP BY band_id, key
+    ), per_doc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bands,
+             SUM(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END)
+               AS n_owned
+      FROM bands b
+      JOIN owners o ON o.band_id = b.band_id AND o.key = b.key
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(x.n_bands, 0) AS BIGINT) AS n_bands,
+           CAST(COALESCE(x.n_owned, 0) AS BIGINT) AS n_owned,
+           COALESCE(x.n_bands, 0) = COALESCE(x.n_owned, 0) AS survives
+    FROM documents d LEFT JOIN per_doc x ON x.doc_id = d.doc_id
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest filter: the incremental analog of the
+    batch MinHash family. The STREAM maintains the band index — a
+    stateful min(doc_id) per (band, 40-bit min-hash fingerprint),
+    exactly the state a daily-ingest dedup keeps between shards — and
+    the verdict joins each document's bands back against the final
+    index snapshot: a doc survives iff it owns the minimum id in
+    EVERY one of its band buckets (docs with no shingles survive
+    trivially). min() is arrival-order independent, which is what
+    makes a streaming dedup deterministic and SQL-replayable at all —
+    dropDuplicates-style 'first arrival wins' is not, so the batch
+    twin could never oracle-match it.
+
+    Semantics note: this is the band-FINGERPRINT filter (any shared
+    band ⇒ near-dup suspect), the cheap online gate in front of the
+    batch family's verified pairwise forms (dedup_minhash). State is
+    one 24-byte row per distinct band key — linear in corpus novelty,
+    not size. Complete-mode emission is the one-shot replay form;
+    production would run update mode into an upsert sink
+    (merge_sink) so each micro-batch ships only touched buckets."""
+    docs_stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    owners = (
+        _band_key_cols(docs_stream)
+        .filter(F.col("key").isNotNull())
+        .groupBy("band_id", "key")
+        .agg(F.min("doc_id").alias("owner"))
+    )
+    owners_b = run_to_memory(owners, mode="complete")
+
+    docs = load(spark, sf_dir, "documents")
+    bands = _band_key_cols(docs).filter(F.col("key").isNotNull())
+    per_doc = (
+        bands.join(owners_b, ["band_id", "key"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("no"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bands"),
+            F.coalesce("no", F.lit(0)).cast("long").alias("n_owned"),
+            (
+                F.coalesce("nb", F.lit(0)) == F.coalesce("no", F.lit(0))
+            ).alias("survives"),
+        )
+    )
