@@ -242,10 +242,17 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
+           -- NULL guard (r9 docs fuzzer): Spark NULL-propagates
+           -- (split->transform->aggregate of NULL is NULL), but
+           -- DuckDB's list_prepend(0, NULL) RESURRECTS a [0] list
+           -- and the fold returns 0 for a missing document body.
+           -- Engine semantics is the contract: NULL text -> NULL
+           -- fingerprint.
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (acc, c) -> (acc * 31 + c) % {FP_MOD}) AS fingerprint
+             (acc, c) -> (acc * 31 + c) % {FP_MOD}) END AS fingerprint
     FROM documents
     """,
 )
