@@ -748,9 +748,15 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band ⇒ near-dup suspect), the cheap online gate in front of the
     batch family's verified pairwise forms (dedup_minhash). State is
     one 24-byte row per distinct band key — linear in corpus novelty,
-    not size. Complete-mode emission is the one-shot replay form;
-    production would run update mode into an upsert sink
-    (merge_sink) so each micro-batch ships only touched buckets."""
+    not size. The emitted snapshot is smaller still: only CONTESTED
+    buckets (min < max doc_id) leave the state store — an uncontested
+    bucket's owner is definitionally the probing doc itself, so the
+    verdict treats join-miss as owned. Emission is therefore
+    proportional to the corpus's DUPLICATE mass, not its size (a
+    mostly-novel 100 TB shard ships almost nothing through the sink),
+    while the filter rides the same complete-mode snapshot.
+    Production would run update mode into an upsert sink (merge_sink)
+    so each micro-batch ships only touched buckets."""
     docs_stream = (
         spark.readStream.format("parquet")
         .schema(
@@ -764,19 +770,28 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_key_cols(docs_stream)
         .filter(F.col("key").isNotNull())
         .groupBy("band_id", "key")
-        .agg(F.min("doc_id").alias("owner"))
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.max("doc_id").alias("mx"),
+        )
+        .filter(F.col("owner") < F.col("mx"))
+        .select("band_id", "key", "owner")
     )
     owners_b = run_to_memory(owners, mode="complete")
 
     docs = load(spark, sf_dir, "documents")
     bands = _band_key_cols(docs).filter(F.col("key").isNotNull())
     per_doc = (
-        bands.join(owners_b, ["band_id", "key"])
+        bands.join(owners_b, ["band_id", "key"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("nb"),
             F.sum(
-                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+                F.when(
+                    F.col("owner").isNull()
+                    | (F.col("owner") == F.col("doc_id")),
+                    1,
+                ).otherwise(0)
             ).alias("no"),
         )
     )
