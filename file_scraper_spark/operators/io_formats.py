@@ -212,3 +212,44 @@ def file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_linenumber").alias("line_sum"),
     )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+                AS BIGINT) AS n_evolved,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+                AS BIGINT) AS evolved_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet shards WITHOUT rewriting
+    history: generation 1 was written before the n_chars column
+    existed, generation 2 carries it; one mergeSchema read unions the
+    footer schemas and old-shard rows surface the new column as NULL
+    — the append-only evolution contract a 100 TB lake depends on
+    (rewriting petabytes of old shards for a new column is not an
+    option). The aggregate proves both generations participate: every
+    doc counts, only generation-2 docs fill the evolved column.
+
+    Scale note: mergeSchema reads every file footer at planning time;
+    keep it per-evolved-table (as here), not a global default, and
+    compact generations once a column stabilizes."""
+    out = _tmpdir("fss_evo_")
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_evolved"),
+        F.sum("n_chars").alias("evolved_chars"),
+    )

@@ -167,6 +167,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "profile_table",
     "anomaly_mad",
     "stream_minhash_dedup",
+    "schema_evolution_read",
 )
 
 
