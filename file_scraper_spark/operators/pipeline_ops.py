@@ -781,3 +781,94 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", F.col("n").alias("n_total"), "keep_pm")
         .agg(F.count_if(F.col("b") < F.col("keep_pm")).alias("n_kept"))
     )
+
+
+#: data-contract domain: the languages the mixer knows how to rate
+EXPECT_LANGS = tuple(MIX_RATES)
+
+
+@query(
+    "quality_expectations",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0
+               END), 0) AS BIGINT) AS v_null,
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_dup,
+             CAST(COALESCE(SUM(CASE WHEN lang IN
+               {EXPECT_LANGS!r} THEN 0 ELSE 1 END), 0)
+               AS BIGINT) AS v_lang,
+             CAST(COALESCE(SUM(CASE WHEN n_chars < 0 THEN 1 ELSE 0
+               END), 0) AS BIGINT) AS v_neg,
+             CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL
+               AND n_chars IS NOT NULL AND length(text) <> n_chars
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_len
+      FROM documents
+    )
+    SELECT 'text_null_rate_le_10pct' AS expectation, n AS n_rows,
+           v_null AS n_violations, v_null * 10 <= n AS passed FROM a
+    UNION ALL SELECT 'doc_id_unique', n, v_dup, v_dup = 0 FROM a
+    UNION ALL SELECT 'lang_in_domain', n, v_lang, v_lang = 0 FROM a
+    UNION ALL SELECT 'n_chars_nonnegative', n, v_neg, v_neg = 0 FROM a
+    UNION ALL SELECT 'n_chars_matches_text', n, v_len, v_len = 0
+    FROM a
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the Great-Expectations-style gate a
+    pipeline runs before promoting a shard): five expectations
+    evaluated in ONE aggregation pass, one output row each with the
+    violation count and a pass verdict. Contracts: text null rate
+    <= 10%, doc_id unique (NULL ids count as violations on both
+    engines: COUNT(*) includes them, COUNT(DISTINCT) does not), lang
+    within the mixer's known domain (NULL lang = out of domain),
+    n_chars non-negative, and n_chars consistent with length(text).
+
+    Every verdict is INTEGER arithmetic (v * 10 <= n, v = 0) — no
+    rate division, so there is no 0/0 NaN on an empty shard and no
+    float threshold edge; an empty corpus passes every contract
+    vacuously (COALESCE'd zero violations). One scan, one scalar
+    aggregate (the single distinct rides Spark's two-phase rewrite),
+    then a constant-width stack — nothing here grows with anything
+    but the scan."""
+    docs = load(spark, sf_dir, "documents")
+    z = F.lit(0)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)), z
+        ).alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("v_dup"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("lang").isin(*EXPECT_LANGS), 0).otherwise(1)
+            ),
+            z,
+        ).alias("v_lang"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_chars") < 0, 1).otherwise(0)), z
+        ).alias("v_neg"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("text").isNotNull()
+                    & F.col("n_chars").isNotNull()
+                    & (F.length("text") != F.col("n_chars")),
+                    1,
+                ).otherwise(0)
+            ),
+            z,
+        ).alias("v_len"),
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        F.expr(
+            """stack(5,
+            'text_null_rate_le_10pct', v_null, v_null * 10 <= n,
+            'doc_id_unique',           v_dup,  v_dup = 0,
+            'lang_in_domain',          v_lang, v_lang = 0,
+            'n_chars_nonnegative',     v_neg,  v_neg = 0,
+            'n_chars_matches_text',    v_len,  v_len = 0)
+            AS (expectation, n_violations, passed)"""
+        ),
+    )

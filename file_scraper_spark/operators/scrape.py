@@ -259,3 +259,81 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.select("filename", F.lit(1).alias("listed"))
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+    ), j AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.text AS a_text, b.text AS b_text
+      FROM documents a FULL OUTER JOIN b ON b.doc_id = a.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE
+               WHEN a_id IS NULL THEN 'added'
+               WHEN b_id IS NULL THEN 'removed'
+               WHEN a_text IS DISTINCT FROM b_text THEN 'changed'
+               ELSE 'unchanged' END AS status
+      FROM j
+    ) GROUP BY status
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff report between two scrape snapshots —
+    the summary a repeated-scrape pipeline publishes per run (the
+    reference's merge/seen-set/anti-join trio APPLIES the changes;
+    this op REPORTS them). Snapshot B is derived in-plan (deletions:
+    doc_id % 7, mutations: upper() at doc_id % 5, insertions: shifted
+    ids at doc_id % 11) so the classification is deterministic and
+    oracle-replayable.
+
+    One full outer join on the key, then a CASE classification with a
+    null-safe text comparison (IS DISTINCT FROM — a NULL body that
+    appears or disappears IS a change, which naive <> would silently
+    drop under 3VL). Scales as one co-partitioned shuffle on the key;
+    at 100 TB both snapshots would be bucketed on doc_id and the join
+    becomes exchange-free (tests/test_plans.py bucketed-join
+    pattern)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.upper("text")
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+    )
+    bb = b.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    j = a.join(bb, a["a_id"] == bb["b_id"], "full_outer")
+    status = (
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("a_text").eqNullSafe(F.col("b_text")), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -168,6 +168,8 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "anomaly_mad",
     "stream_minhash_dedup",
     "schema_evolution_read",
+    "snapshot_diff",
+    "quality_expectations",
 )
 
 

@@ -72,10 +72,12 @@ QUERIES = (
     "doc_fingerprint",
     "path_split",
     "profile_table",
+    "quality_expectations",
     "quality_funnel",
     "sample_domain_quota",
     "sample_temperature",
     "sequence_packing",
+    "snapshot_diff",
     "text_chunk",
     "text_bm25_topk",
     "text_diversity",
