@@ -731,7 +731,11 @@ def _band_key_cols(docs: DataFrame) -> DataFrame:
     """,
     tags=("streaming", "dedup"),
 )
-def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming near-dup ingest filter: the incremental analog of the
     batch MinHash family. The STREAM maintains the band index — a
     stateful min(doc_id) per (band, 40-bit min-hash fingerprint),
@@ -757,15 +761,23 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the filter rides the same complete-mode snapshot.
     Production would run update mode into an upsert sink (merge_sink)
     so each micro-batch ships only touched buckets."""
-    docs_stream = (
+    reader = (
         spark.readStream.format("parquet")
         .schema(
             "doc_id long, text string, lang string, source string, "
             "n_chars long"
         )
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", "documents*.parquet")
     )
+    if max_files_per_trigger is not None:
+        # test hook: force one file per micro-batch so the band index
+        # genuinely accumulates ACROSS batches (the fixture replay is
+        # otherwise a single batch and never exercises cross-batch
+        # state) — tests/test_streaming.py pins batch-split invariance
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    docs_stream = reader.load(sf_dir)
     owners = (
         _band_key_cols(docs_stream)
         .filter(F.col("key").isNotNull())
@@ -779,7 +791,15 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     owners_b = run_to_memory(owners, mode="complete")
 
-    docs = load(spark, sf_dir, "documents")
+    # the verdict reads EXACTLY the file set the stream indexed (same
+    # glob), so a multi-shard corpus stays symmetric between the two
+    # passes — load() would pin the single-file fixture name
+    docs = (
+        spark.read.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
     bands = _band_key_cols(docs).filter(F.col("key").isNotNull())
     per_doc = (
         bands.join(owners_b, ["band_id", "key"], "left")

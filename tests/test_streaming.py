@@ -165,3 +165,45 @@ def test_transform_with_state_blocked_or_oracle_exact(spark, sf_dir):
     want = set(map(tuple, con.execute(TWS_TOTALS_ORACLE).fetchall()))
     con.close()
     assert got == want
+
+
+def test_minhash_dedup_batch_split_invariant(spark, sf_dir, tmp_path):
+    """The op's core claim: the streaming band index is arrival-order
+    and batch-boundary independent (min() state). Split the corpus
+    into four files, force one file per micro-batch (state must
+    accumulate ACROSS batches — the single-file fixture replay never
+    exercises that), and require the verdict to be IDENTICAL to the
+    single-batch run."""
+    from file_scraper_spark.streaming.queries import stream_minhash_dedup
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    d = str(tmp_path / "split")
+    # 4 shards, interleaved membership so near-dup pairs straddle
+    # batch boundaries
+    for i in range(4):
+        (
+            docs.filter(docs.doc_id % 4 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"tmp{i}"))
+        )
+    import glob as _glob
+    import os
+    import shutil
+
+    os.makedirs(d, exist_ok=True)
+    for i in range(4):
+        (src,) = _glob.glob(str(tmp_path / f"tmp{i}" / "*.parquet"))
+        shutil.copy(src, os.path.join(d, f"documents_{i}.parquet"))
+
+    multi = {
+        tuple(r)
+        for r in stream_minhash_dedup(
+            spark, d, max_files_per_trigger=1
+        ).collect()
+    }
+    single = {tuple(r) for r in stream_minhash_dedup(spark, d).collect()}
+    assert multi == single
+    # sanity: the run found real duplicates to contest
+    assert any(not r[3] for r in multi), "no near-dups in fixture?"
