@@ -822,3 +822,138 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dev_q") / QUANT).alias("dev"),
         )
     )
+
+
+#: winsorization percentile (clip below p5 / above p95)
+WINSOR_PCT = 5
+
+
+@query(
+    "winsorize_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * {QUANT}) AS BIGINT) AS qv
+      FROM events WHERE value IS NOT NULL
+    ), nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY event_type
+    ), r AS (
+      SELECT q.event_type, q.qv,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY qv, event_id) AS rn
+      FROM q
+    ), b AS (
+      SELECT r.event_type,
+             MAX(CASE WHEN rn = ({WINSOR_PCT} * nn.n + 99) // 100
+                 THEN qv END) AS lo_q,
+             MAX(CASE WHEN rn = ((100 - {WINSOR_PCT}) * nn.n + 99)
+                 // 100 THEN qv END) AS hi_q
+      FROM r JOIN nn
+        ON r.event_type IS NOT DISTINCT FROM nn.event_type
+      GROUP BY r.event_type
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN qv < lo_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN qv > hi_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           lo_q / CAST({QUANT} AS DOUBLE) AS p_lo,
+           hi_q / CAST({QUANT} AS DOUBLE) AS p_hi,
+           CAST(SUM(LEAST(GREATEST(qv, lo_q), hi_q)) AS DOUBLE)
+             / COUNT(*) / {QUANT} AS winsorized_mean
+    FROM r JOIN b
+      ON r.event_type IS NOT DISTINCT FROM b.event_type
+    GROUP BY r.event_type, lo_q, hi_q
+    """,
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per event_type — clip values below the
+    exact p5 / above the exact p95, then average: the standard
+    heavy-tail-resistant metric next to anomaly_mad's outlier LISTING
+    (winsorize keeps every row, bounded; MAD flags rows).
+
+    Percentiles are EXACT discrete ranks, all integer arithmetic:
+    rank ceil(p*n) computed as (p*n + 99) div 100 on BIGINTs — no
+    interpolation, so no cross-engine float formula to match (the
+    cont-percentile (hi-lo)*frac product rounds differently per
+    association and is deliberately avoided). Tie-broken rank order
+    (qv, event_id) makes the chosen boundary row unique; the clip and
+    the quantized sum are then order-free.
+
+    Scale shape: one sort per type partition for the ranks (inherent
+    to exact percentiles), one small bounds frame (2 values per type)
+    joined back, everything else map-side. At 100 TB swap the rank
+    pass for approx_percentile(value, [0.05, 0.95]) — the clip and
+    mean stages are unchanged, which is the point of staging bounds
+    as their own frame."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * float(QUANT)).alias("qv"),
+    )
+    nn = q.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("qv", "event_id")
+    r = q.select("event_type", "qv", F.row_number().over(w).alias("rn"))
+    bounds = (
+        r.join(
+            F.broadcast(nn.withColumnRenamed("event_type", "nt")),
+            r["event_type"].eqNullSafe(F.col("nt")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"({WINSOR_PCT} * n + 99) div 100"),
+                    F.col("qv"),
+                )
+            ).alias("lo_q"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(
+                        f"(({100 - WINSOR_PCT}) * n + 99) div 100"
+                    ),
+                    F.col("qv"),
+                )
+            ).alias("hi_q"),
+        )
+    )
+    clipped = r.join(
+        F.broadcast(bounds.withColumnRenamed("event_type", "bt")),
+        r["event_type"].eqNullSafe(F.col("bt")),
+    )
+    return (
+        clipped.groupBy("event_type", "lo_q", "hi_q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("qv") < F.col("lo_q"), 1).otherwise(0)
+            ).alias("n_clip_lo"),
+            F.sum(
+                F.when(F.col("qv") > F.col("hi_q"), 1).otherwise(0)
+            ).alias("n_clip_hi"),
+            (
+                F.sum(
+                    F.least(
+                        F.greatest(F.col("qv"), F.col("lo_q")),
+                        F.col("hi_q"),
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+                / QUANT
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clip_lo",
+            "n_clip_hi",
+            (F.col("lo_q") / float(QUANT)).alias("p_lo"),
+            (F.col("hi_q") / float(QUANT)).alias("p_hi"),
+            "winsorized_mean",
+        )
+    )

@@ -170,6 +170,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "schema_evolution_read",
     "snapshot_diff",
     "quality_expectations",
+    "winsorize_stats",
 )
 
 

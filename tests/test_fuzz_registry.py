@@ -292,6 +292,7 @@ EV_QUERIES = (
     "timeseries_rollup",
     "union_seen",
     "unpivot_stack",
+    "winsorize_stats",
     "window_lag_frame",
     "window_rank_stats",
     "window_time_range",
