@@ -360,3 +360,72 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("volume"),
         )
     )
+
+
+EMA_W = 16  # truncated EMA window (alpha = 1/2, zero-padded history)
+
+_EMA_ORACLE_TERMS = " + ".join(
+    f"COALESCE(lag(xq, {k}) OVER "
+    "(PARTITION BY event_type ORDER BY bucket), 0)"
+    f" * {1 << (EMA_W - 1 - k)}"
+    for k in range(EMA_W)
+)
+
+
+@query(
+    "timeseries_ema",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             COALESCE(SUM(CAST(floor(value * {QUANT}) AS BIGINT)), 0)
+               AS xq
+      FROM events
+      GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type, bucket,
+           CAST(xq AS DOUBLE) / {QUANT} AS x_sum,
+           CAST(({_EMA_ORACLE_TERMS}) AS DOUBLE)
+             / {1 << EMA_W} / {QUANT} AS ema
+    FROM b
+    """,
+)
+def timeseries_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average over hourly buckets — the smoothing
+    continuous-aggregate of hypertable stores, made bit-exact across
+    engines by keeping the recursion INTEGER: the alpha=1/2 EMA
+    truncated to the last {EMA_W} observed buckets is
+    sum(x[i-k] * 2^({EMA_W}-1-k)) — a pure BIGINT dot product with
+    power-of-two weights (no float accumulation to order-diverge) —
+    and only the final rescale divides, first by 2^{EMA_W} (exact)
+    then by the quantization unit. Zero-padded history: a bucket with
+    fewer than {EMA_W} predecessors (or an all-NULL bucket sum,
+    COALESCE'd to 0) smooths against zeros, identically in both
+    engines.
+
+    Plan shape: the {EMA_W} lag() terms share ONE window (same
+    partition/order), so the whole smoothing pass is a single
+    WindowExec behind a single exchange+sort on (type, bucket) — the
+    per-type bucket series, one row per hour, is tiny relative to the
+    event scan that feeds it."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * float(QUANT))), F.lit(0)
+        ).alias("xq")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    y_scaled = None
+    for k in range(EMA_W):
+        term = F.coalesce(F.lag("xq", k).over(w), F.lit(0)) * (
+            1 << (EMA_W - 1 - k)
+        )
+        y_scaled = term if y_scaled is None else y_scaled + term
+    return b.select(
+        "event_type",
+        "bucket",
+        (F.col("xq").cast("double") / QUANT).alias("x_sum"),
+        (y_scaled.cast("double") / (1 << EMA_W) / QUANT).alias("ema"),
+    )

@@ -171,6 +171,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "snapshot_diff",
     "quality_expectations",
     "winsorize_stats",
+    "timeseries_ema",
 )
 
 

@@ -286,6 +286,7 @@ EV_QUERIES = (
     "scalar_try_funcs",
     "scd2_history",
     "sessionize",
+    "timeseries_ema",
     "timeseries_gapfill",
     "timeseries_locf",
     "timeseries_ohlc",
