@@ -1710,7 +1710,13 @@ EDIT_REL_DIST = 0.25  # near-dup if dist <= 25% of the longer text
              list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
       FROM base WHERE doc_id % 5 = 0
     ), texts AS (
-      SELECT doc_id, COALESCE(array_to_string(words, ' '), '') AS text FROM corpus
+      SELECT doc_id,
+             -- NULL-text docs stay NULL (no dedup key, no pairs —
+             -- engine semantics); the COALESCE only repairs DuckDB's
+             -- NULL-on-empty-ARRAY so zero-word twins keep '' keys
+             CASE WHEN words IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(words, ' '), '')
+             END AS text FROM corpus
     ), blocked AS (
       SELECT doc_id, text, substring(text, 1, 16) AS blk,
              length(bin(greatest(length(text), 1))) AS band
@@ -1770,7 +1776,18 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_to_string([], ' ')`` is NULL where Spark's ``array_join``
     is ``''`` — the NULL block key silently dropped the (doc, twin)
     pair oracle-side. The engine's semantics (empty text, distance 0,
-    pair emitted) is the contract; the oracle COALESCEs to match."""
+    pair emitted) is the contract; the oracle COALESCEs to match —
+    but ONLY for empty arrays: a NULL text has no dedup key and forms
+    no pairs (deep fuzz, r9: an unguarded COALESCE resurrected NULL
+    docs as ''-text pairs oracle-side).
+
+    Unit contract (deep fuzz, r9): edit distance counts CODE POINTS —
+    Spark's levenshtein() and the Myers kernel agree ('café' vs
+    'cafe' = 1). DuckDB's levenshtein counts BYTES (= 2), so the
+    oracle replays exactly on ASCII text only; the divergence is
+    pinned in tests/test_fuzz_duckdb.py and the registry fuzzer keeps
+    the editdistance draws in the ASCII domain (the documented
+    cross-engine-domain pattern, cf. map_funcs)."""
     return _editdistance_pairs(spark, sf_dir, block_mod=None)
 
 
@@ -1969,7 +1986,13 @@ EDIT_BLOCK_SAMPLE_MOD = 4
              list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
       FROM base WHERE doc_id % 5 = 0
     ), texts AS (
-      SELECT doc_id, COALESCE(array_to_string(words, ' '), '') AS text FROM corpus
+      SELECT doc_id,
+             -- NULL-text docs stay NULL (no dedup key, no pairs —
+             -- engine semantics); the COALESCE only repairs DuckDB's
+             -- NULL-on-empty-ARRAY so zero-word twins keep '' keys
+             CASE WHEN words IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(words, ' '), '')
+             END AS text FROM corpus
     ), blocked AS (
       SELECT doc_id, text, substring(text, 1, 16) AS blk,
              length(bin(greatest(length(text), 1))) AS band

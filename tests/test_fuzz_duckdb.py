@@ -808,3 +808,26 @@ def test_fuzz_keys_are_unique_in_fixture():
             f"FROM read_parquet('{p}')"
         ).fetchone()
         assert n == nd, f"{t}: key {spec['key']!r} has {n - nd} ties"
+
+
+def test_levenshtein_unit_divergence_pinned(sql_env):
+    """GENUINE cross-engine divergence found by the registry corpus
+    fuzzer (round 9, 250-example docs run): levenshtein's UNIT.
+    Spark counts CODE POINTS ('café' vs 'cafe' = 1, one substitution)
+    — and the engine's Myers bit-parallel kernel agrees by
+    construction (Python str = code points). DuckDB counts BYTES
+    (é is 2 UTF-8 bytes => 2). Pinned so a change in either engine is
+    flagged; the engine contract is code points, the editdistance
+    oracles replay exactly on ASCII, and the registry fuzzer keeps
+    those draws in the ASCII domain (ASCII_DOMAIN_QUERIES)."""
+    s = sql_env.sql(
+        "SELECT levenshtein('café', 'cafe') AS d, "
+        "levenshtein('中文', '中') AS d2"
+    ).collect()[0]
+    assert (s.d, s.d2) == (1, 1)  # Spark: code points
+    _, d_rows = duckdb_run(
+        SF_DIR_SMOKE,
+        "SELECT levenshtein('café', 'cafe') AS d, "
+        "levenshtein('中文', '中') AS d2",
+    )
+    assert tuple(d_rows[0]) == (2, 3)  # DuckDB: bytes

@@ -134,6 +134,15 @@ def _write_documents(rows: list[tuple]) -> str:
     return d
 
 
+#: queries whose DuckDB oracle is exact only on ASCII text (byte- vs
+#: code-point-counting levenshtein; see dedup_editdistance docstring)
+ASCII_DOMAIN_QUERIES = frozenset(
+    {"dedup_editdistance", "dedup_editdistance_sampled"}
+)
+#: ASCII stand-ins preserving word multiplicity structure
+_ASCII_SUBS = {"café": "kafe", "中文": "zhw"}
+
+
 @given(texts=_corpora, data=st.data())
 @settings(
     max_examples=N_EXAMPLES,
@@ -142,6 +151,18 @@ def _write_documents(rows: list[tuple]) -> str:
 )
 def test_docs_backed_registry_queries_on_random_corpora(spark, texts, data):
     qname = data.draw(st.sampled_from(QUERIES))
+    if qname in ASCII_DOMAIN_QUERIES:
+        # documented cross-engine domain (cf. MAP_DOMAIN_QUERIES):
+        # edit distance counts CODE POINTS in the engine (Spark
+        # levenshtein == Myers kernel) but BYTES in DuckDB's
+        # levenshtein, so the oracle replays exactly on ASCII only —
+        # divergence pinned in test_fuzz_duckdb.py
+        texts = [
+            None
+            if t is None
+            else " ".join(_ASCII_SUBS.get(w, w) for w in t.split(" "))
+            for t in texts
+        ]
     langs = ("en", "de", "zz")
     rows = [
         (
