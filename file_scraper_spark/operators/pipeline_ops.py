@@ -577,9 +577,15 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p
     )
     SELECT doc_id,
-           array_to_string(
+           -- COALESCE (deep fuzz, r9): a doc whose EVERY paragraph
+           -- lost the keeper race reassembles to '' in the engine
+           -- (array_join of an empty collection) but the FILTERed
+           -- list() aggregate over zero rows is NULL here. NULL-text
+           -- docs never reach this (no paragraph rows on either
+           -- engine), so the guard cannot resurrect them.
+           COALESCE(array_to_string(
              list(ptext ORDER BY pid) FILTER (WHERE rn = 1), ' '
-           ) AS clean_text,
+           ), '') AS clean_text,
            CAST(COUNT(*) AS BIGINT) AS n_paras,
            CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
     FROM r
