@@ -172,6 +172,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "quality_expectations",
     "winsorize_stats",
     "timeseries_ema",
+    "interval_join",
 )
 
 

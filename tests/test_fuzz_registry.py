@@ -284,6 +284,7 @@ def test_embeddings_backed_registry_queries_on_random_corpora(
 #: bit-interleave constants).
 EV_QUERIES = (
     "anomaly_mad",
+    "interval_join",
     "agg_bitwise",
     "agg_distinct",
     "agg_minmax_by",

@@ -747,3 +747,15 @@ def test_anomaly_mad_is_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "Window" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "props" not in m.group(1) and "user_id" not in m.group(1)
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The overlap join must ride the (day, hour-cell) EQUI keys — a
+    hash or sort-merge join — never a nested-loop/cartesian over the
+    range predicates, which is the shape that dies first at 100 TB.
+    (At fixture scale AQE broadcasts the smaller exploded side; on a
+    balanced deployment the same plan sort-merges on the cell key.)"""
+    plan = plan_of("interval_join", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
