@@ -17,16 +17,16 @@ bench asserts nothing about results — the correctness gate already
 covers the live form and the pair equality was checked when the
 rewrite landed.
 
-Round 9 entry (the round's one rewrite; round-8 entries deleted per
-the one-round contract — their numbers are preserved in BENCH_r08 /
-BENCH_LOCAL_r8.json and NOTES.md):
+Round 10 entries (round-9's dedup_editdistance entry deleted per the
+one-round contract — its numbers live in BENCH_r09 /
+BENCH_LOCAL_r9.json and NOTES.md):
 
-- ``dedup_editdistance``: the pre-rewrite form computed the DP with
-  the JVM ``levenshtein()`` expression; the live form runs the Myers
-  bit-parallel kernel (O(ceil(m/64)*n) words vs O(m*n) cells) in an
-  Arrow-batched pandas UDF. Landing A/B at the 100x fixture,
-  same-JVM interleaved min-of-2: JVM DP 64.6s vs Myers 22.2s
-  (ratio 0.34), output bit-identical at sf0.01 (135 rows).
+- ``dedup_containment`` / ``dedup_containment_sampled``: the
+  pre-rewrite form expanded the FULL capped posting-list upper
+  triangle and aggregated co-occurrence counts per pair; the live
+  form is the pigeonhole prefix-filtered inverted index (index each
+  doc's rarest ~(1-t) shingles, probe with all, verify candidates
+  with one array_intersect) — lossless at t = 0.9 by construction.
 """
 
 from __future__ import annotations
@@ -36,14 +36,21 @@ from pyspark.sql import DataFrame, SparkSession
 from file_scraper_spark.operators import dedup
 
 
-def _old_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup._editdistance_pairs(
-        spark, sf_dir, block_mod=None, myers=False
+def _old_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup._containment_pairs_triangle(spark, sf_dir, sample_mod=None)
+
+
+def _old_dedup_containment_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dedup._containment_pairs_triangle(
+        spark, sf_dir, sample_mod=dedup.SHINGLE_SAMPLE_MOD
     )
 
 
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
-    "dedup_editdistance": _old_dedup_editdistance,
+    "dedup_containment": _old_dedup_containment,
+    "dedup_containment_sampled": _old_dedup_containment_sampled,
 }

@@ -2332,19 +2332,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_sub, doc_super, containment): the row's FIRST doc is the
     contained one, so a pipeline can keep supersets and drop subsets.
 
-    Scale shape: identical to dedup_ngram_jaccard's posting-list
-    formulation (see jaccard_pairs, the canonical annotated form):
-    one exchange builds per-shingle sorted doc lists (df capped),
-    pairs expand array-side from the upper triangle, and the two
-    orientation rows EXPLODE from ONE shared inter⋈counts row —
-    orientation doubles output rows, never candidate work."""
+    Scale shape (round-10 rewrite): PREFIX-FILTERED inverted index
+    (Chaudhuri et al.'s SSJoin prefix filter, specialized to the
+    asymmetric threshold). For C(A,B) = |A∩B|/|A| >= t, pigeonhole
+    gives: A shares at least one of its |A| - ceil(t|A|) + 1 RAREST
+    shingles (global-df ascending canonical order) with any B that
+    contains it — so only that ~(1-t) prefix of each doc is indexed,
+    probes carry all tokens, and candidates are verified exactly with
+    one array_intersect over the cached per-doc token arrays. Replaces
+    the full posting-list upper triangle (every co-occurrence row
+    shuffled into a pair-count aggregation); candidate volume drops
+    from sum_s C(df_s, 2) co-occurrences to sum_s idxdf_s * df_s
+    collisions, ~10x less at t=0.9, and the expensive aggregation
+    becomes a distinct over directed candidate ids. Lossless by the
+    pigeonhole bound — byte-identical output, same oracle."""
     return _containment_pairs(spark, sf_dir, sample_mod=None)
 
 
-def _containment_pairs(
+def _containment_prep(
     spark: SparkSession, sf_dir: str, sample_mod: int | None
 ) -> DataFrame:
-    """Shared containment dataflow (see dedup_containment).
+    """(doc_id, shingle-hash) rows of the frequency-capped containment
+    corpus — the shared front end of both containment dataflows.
     ``sample_mod=k`` keeps only shingles whose 40-bit portable hash is
     ≡ 0 (mod k) — the same global value-based selection rule as
     dedup_jaccard_sampled, so sampled sets stay true subsets and the
@@ -2354,9 +2363,152 @@ def _containment_pairs(
     if sample_mod is not None:
         h1, _ = _portable_hash2(F.col("shingle"))
         raw = raw.filter(h1 % sample_mod == 0)
-    hashed = raw.select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
+    return raw.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+
+
+def _containment_pairs(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None
+) -> DataFrame:
+    """Shared containment dataflow (see dedup_containment).
+
+    Three sound prunes stand between the shingle-collision join and
+    the (array-shipping, so per-row expensive) exact verify — measured
+    at the 100x fixture: 18.6M collisions / 17.6M distinct directed
+    candidates, i.e. verifying raw candidates ships ~15 GB of token
+    arrays and LOSES to the triangle form (156s vs 69s); the prunes
+    below cut the verify set to near the true-pair count:
+
+    - SIZE: |A∩B| <= min(|A|,|B|), so C(A,B) >= t needs
+      n_super >= ceil(t*n_sub). Applied pre-aggregation, on ints.
+    - COUNT (prefix extension k=2): indexing the rarest
+      n - ceil(t*n) + 2 tokens guarantees a qualifying pair >= 2
+      collisions (pigeonhole, +1 token over the minimal prefix), so
+      cnt >= 2 prunes the single-rare-token coincidences that
+      dominate the candidate set. Docs too short for the extended
+      prefix fall back to requiring exactly the collisions their
+      whole-doc index can guarantee (req >= 1).
+    - POSITIONAL: both token arrays share ONE global canonical order
+      (ascending global df, hash tie-break), so every common token
+      sits at position >= the first collision's position in EACH doc
+      (a common token before it in either array would itself be an
+      earlier collision, or canonically precede a token it follows —
+      contradiction). Hence |A∩B| <= min(n_sub - min(i),
+      n_sup - min(j)) with independent per-side minima.
+    """
+    hashed = _containment_prep(spark, sf_dir, sample_mod)
+    capped = (
+        hashed.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("doc_id").alias("ds"),
+        )
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("df", "shingle", F.explode("ds").alias("doc_id"))
     )
+    # Per-doc token arrays in CANONICAL order — ascending (global df,
+    # hash): rarest first, deterministic ties. Cached: read 4x below
+    # (index prefixes, probe explode, and both verify sides).
+    docs_arr = scoped_cache(
+        capped.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ts")
+        )
+        .select(
+            "doc_id",
+            F.transform("ts", lambda s: s["shingle"]).alias("toks"),
+            F.size("ts").alias("n"),
+        )
+    )
+    docs_arr.count()
+    n = F.col("n")
+    # ceil(t*n) with t = 0.9 in exact BIGINT arithmetic (ceil(9n/10)
+    # = (9n + 9) div 10) — a float t*n product would round
+    # differently at n = multiples of 10 and silently index one token
+    # too few (lossy filter).
+    need = F.floor((n * 9 + 9) / 10)
+    # extended prefix (k = 2), clamped to the doc; req = the
+    # collision count the clamped prefix actually guarantees
+    pref_len = F.least(n, n - need + 2).cast("int")
+    req = (pref_len - (n - need)).cast("int")
+    idx = docs_arr.select(
+        F.col("doc_id").alias("doc_sub"),
+        n.alias("n_sub"),
+        need.alias("need_sub"),
+        req.alias("req_sub"),
+        F.posexplode(F.slice("toks", F.lit(1), pref_len)).alias(
+            "i", "shingle"
+        ),
+    )
+    probe = docs_arr.select(
+        F.col("doc_id").alias("doc_super"),
+        n.alias("n_sup"),
+        F.posexplode("toks").alias("j", "shingle"),
+    )
+    cand = (
+        idx.join(probe, "shingle")
+        .filter(
+            (F.col("doc_sub") != F.col("doc_super"))
+            & (F.col("n_sup") >= F.col("need_sub"))
+        )
+        .groupBy("doc_sub", "doc_super")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("i").alias("i_min"),
+            F.min("j").alias("j_min"),
+            F.min("n_sub").alias("n_sub"),
+            F.min("n_sup").alias("n_sup"),
+            F.min("need_sub").alias("need_sub"),
+            F.min("req_sub").alias("req_sub"),
+        )
+        .filter(
+            (F.col("cnt") >= F.col("req_sub"))
+            & (
+                F.least(
+                    F.col("n_sub") - F.col("i_min"),
+                    F.col("n_sup") - F.col("j_min"),
+                )
+                >= F.col("need_sub")
+            )
+        )
+        .select("doc_sub", "doc_super", "n_sub")
+    )
+    # Exact verify on the survivors only: one set intersection per
+    # DIRECTED candidate (the shingle sets are distinct-per-doc by
+    # construction, so array_intersect size == co-occurrence count).
+    # Both orientations arrive as independent candidates; a pair
+    # contained both ways emits two rows with per-direction scores.
+    sub = docs_arr.select(
+        F.col("doc_id").alias("doc_sub"), F.col("toks").alias("t_sub")
+    )
+    sup = docs_arr.select(
+        F.col("doc_id").alias("doc_super"), F.col("toks").alias("t_sup")
+    )
+    return (
+        cand.join(sub, "doc_sub")
+        .join(sup, "doc_super")
+        .select(
+            "doc_sub",
+            "doc_super",
+            (
+                F.size(F.array_intersect("t_sub", "t_sup")).cast("double")
+                / F.col("n_sub")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+def _containment_pairs_triangle(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None
+) -> DataFrame:
+    """SUPERSEDED round-10 (kept one round as the bench A/B baseline —
+    see ab_variants): the pre-prefix-filter dataflow. Expands the FULL
+    capped posting-list upper triangle and aggregates co-occurrence
+    counts per pair; both orientations explode from one inter⋈counts
+    row."""
+    hashed = _containment_prep(spark, sf_dir, sample_mod)
     per = scoped_cache(
         hashed.groupBy("shingle")
         .agg(
@@ -2404,12 +2556,6 @@ def _containment_pairs(
             "doc_b",
         )
     )
-    # Both orientations EXPLODE from one row. Measured at the 100x
-    # probe: the unionAll-of-two-projections form costs the SAME
-    # (69.2s vs 73.3s, within ambient swing — ReusedExchange already
-    # dedupes the identical union branches), but the explode form
-    # guarantees single evaluation by CONSTRUCTION instead of relying
-    # on exchange reuse surviving future plan changes, so it stays.
     c = F.col("common").cast("double")
     oriented = both.select(
         F.explode(
