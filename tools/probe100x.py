@@ -131,44 +131,71 @@ EXTRA = {
 }
 
 
+def _run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100X"
     only = sys.argv[2:] or SUBSET
     spark = get_spark("probe100x")
     queries = registry.all_queries()
-    # MIN over reps (default 1; SPARK_GRAFT_PROBE_REPS): timing noise
-    # at this box is strictly additive (page-cache misses, IO stalls,
-    # neighboring load), so the min is the faithful per-query cost;
-    # reps interleave round-robin so a slow window hits one pass
+    # UNIFIED COLD PROTOCOL (round 10; VERDICT r9 next-#1): PROBE_r9
+    # mixed warm rows (queries riding a memoized edge-pipeline
+    # checkpoint from an earlier query in the sweep) with cold ones,
+    # which inverted at least one sampled-vs-exact comparison. Every
+    # row now records BOTH temperatures, measured in a fixed order:
+    #   cold = min over `reps` runs, each preceded by
+    #          tables.reset_session_state (memos, SQL cache, every
+    #          persisted/localCheckpoint block dropped);
+    #   warm = one further run with NO reset, riding whatever state
+    #          the last cold run left (memos, caches, checkpoints) —
+    #          the number a multi-query session actually sees.
+    # MIN over reps for cold: timing noise on this box is strictly
+    # additive (page-cache misses, IO stalls, neighboring load).
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "1"))
-    samples: dict[str, list[float]] = {name: [] for name in only}
+    from file_scraper_spark.tables import reset_session_state
+
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(reps):
-        for name in only:
-            if name in errors:
-                continue  # failed once; don't pay it per rep
-            fn = EXTRA.get(name) or queries[name]
-            t0 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as e:  # record and continue: one bad
-                # query must not lose the rest of a long sweep (the
-                # r8 sweep died 46 queries in on a recursion cap)
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
-                print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
-                continue
-            samples[name].append(time.perf_counter() - t0)
-            print(
-                f"  {name}: {samples[name][-1]:.2f}s", file=sys.stderr
-            )
-    timings = {
-        name: round(min(ts), 2) for name, ts in samples.items() if ts
+    for name in only:
+        fn = EXTRA.get(name) or queries[name]
+        samples = []
+        try:
+            for _ in range(reps):
+                reset_session_state(spark)
+                samples.append(_run_once(fn, spark, sf_dir))
+            warm[name] = round(_run_once(fn, spark, sf_dir), 2)
+        except Exception as e:  # record and continue: one bad query
+            # must not lose the rest of a long sweep (the r8 sweep
+            # died 46 queries in on a recursion cap)
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        cold[name] = round(min(samples), 2)
+        print(
+            f"  {name}: cold {cold[name]:.2f}s warm {warm[name]:.2f}s",
+            file=sys.stderr,
+        )
+    out = {
+        "metric": "probe100x_sec",
+        "sf_dir": sf_dir,
+        "protocol": {
+            "cold_reps": reps,
+            "note": (
+                "cold: min over reps, reset_session_state before each "
+                "run (all memos + SQL cache + persisted RDDs dropped); "
+                "warm: one run immediately after, no reset. 'queries' "
+                "IS the cold map (comparable across rounds)."
+            ),
+        },
+        "queries": cold,
+        "warm": warm,
+        "total": round(sum(cold.values()), 2),
     }
-    out = {"metric": "probe100x_sec", "sf_dir": sf_dir,
-           "queries": timings,
-           "total": round(sum(timings.values()), 2)}
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
