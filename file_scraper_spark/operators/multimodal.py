@@ -533,3 +533,74 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(run, WAV_SCHEMA)
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 640 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT)
+             AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-metadata decode end-to-end — the image twin of
+    multimodal_wav_decode: each payload is framed as a top-down BMP
+    (14-byte file header + BITMAPINFOHEADER with width = 16+id%640
+    and NEGATIVE height = -(len%480+1), the top-down encoding the
+    parser must abs()) and decoded by the genuine ``parse_bmp``
+    header walk inside one Arrow-batched mapInPandas. The oracle
+    recomputes the expected dimensions from the same integer
+    formulas, so a parser regression (e.g. dropping the negative-
+    height normalization) hash-mismatches. Same 100 TB plumbing
+    contract as the WAV path: binary in, typed metadata out, one
+    Python batch hop, linear partitioning; PIL/libjpeg would replace
+    only the header walk for compressed formats."""
+    import struct  # noqa: PLC0415
+
+    media = media_table(spark, sf_dir)
+
+    def bmp_header(width: int, height: int, n_data: int) -> bytes:
+        return (
+            b"BM"
+            + struct.pack("<I", 54 + n_data)
+            + b"\x00\x00\x00\x00"
+            + struct.pack("<I", 54)
+            + struct.pack("<IiiHH", 40, width, height, 1, 24)
+            + b"\x00" * 24  # rest of BITMAPINFOHEADER
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                width = 16 + int(doc_id) % 640
+                height = -((len(payload) % 480) + 1)  # top-down BMP
+                bmp = bmp_header(width, height, len(payload)) + bytes(
+                    payload
+                )
+                feats = decode_media(bmp)  # the REAL parser path
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "payload_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("width", T.LongType()),
+                T.StructField("height", T.LongType()),
+                T.StructField("payload_bytes", T.LongType()),
+            ]
+        ),
+    )

@@ -173,6 +173,9 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "winsorize_stats",
     "timeseries_ema",
     "interval_join",
+    # added round-10 (new ops — unverified, so reorder() pulls them
+    # to the head of the r10 driver window automatically)
+    "multimodal_bmp_decode",
 )
 
 

@@ -32,6 +32,79 @@ if TYPE_CHECKING:
 from file_scraper_spark.sources.mime import with_mime_type
 from file_scraper_spark.sources.url import S3Location
 
+#: (env var, fs.s3a.* key) pairs configure_s3a reads. STANDARD AWS
+#: SDK names only — the same env every AWS tool honors — so a cluster
+#: user points the engine at real S3, a MinIO box, or a moto endpoint
+#: with zero code changes:
+#:   AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY / AWS_SESSION_TOKEN
+#:   AWS_ENDPOINT_URL_S3 (else AWS_ENDPOINT_URL) — custom endpoint;
+#:     setting one also flips path-style access on (virtual-host
+#:     style rarely resolves against private endpoints).
+_S3A_ENV = (
+    ("AWS_ACCESS_KEY_ID", "fs.s3a.access.key"),
+    ("AWS_SECRET_ACCESS_KEY", "fs.s3a.secret.key"),
+    ("AWS_SESSION_TOKEN", "fs.s3a.session.token"),
+)
+
+
+def configure_s3a(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    session_token: str | None = None,
+    path_style: bool | None = None,
+) -> dict[str, str]:
+    """Apply S3A client configuration to the LIVE session's Hadoop
+    conf from explicit arguments, falling back to the standard AWS
+    env vars (see _S3A_ENV) — called by every s3a listing before the
+    scan so a real-cluster user gets the executor-parallel S3A path
+    configured the same way their boto3/aws-cli already is.
+
+    Explicit args > env > leave-unset (hadoop's own provider chain —
+    instance profiles, ~/.aws — still applies when nothing is set
+    here; this function only ever ADDS keys, so an empty env is a
+    no-op and IAM-role clusters keep working untouched).
+
+    Returns the applied {fs.s3a.* key: value} map (secrets included —
+    caller-side use only, never logged here) so tests and operators
+    can assert the contract without re-deriving it."""
+    import os  # noqa: PLC0415
+
+    applied: dict[str, str] = {}
+    explicit = {
+        "fs.s3a.access.key": access_key,
+        "fs.s3a.secret.key": secret_key,
+        "fs.s3a.session.token": session_token,
+    }
+    for env_name, key in _S3A_ENV:
+        val = explicit.get(key) or os.environ.get(env_name)
+        if val:
+            applied[key] = val
+    ep = (
+        endpoint
+        or os.environ.get("AWS_ENDPOINT_URL_S3")
+        or os.environ.get("AWS_ENDPOINT_URL")
+    )
+    if ep:
+        applied["fs.s3a.endpoint"] = ep
+        if path_style is None:
+            path_style = True  # virtual-host style breaks on custom endpoints
+    if path_style is not None:
+        applied["fs.s3a.path.style.access"] = str(path_style).lower()
+    if applied and "fs.s3a.access.key" in applied:
+        # pin the static-credentials provider ahead of the default
+        # chain so an instance profile can't shadow explicit creds
+        applied.setdefault(
+            "fs.s3a.aws.credentials.provider",
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider",
+        )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in applied.items():
+        hconf.set(k, v)
+    return applied
+
+
 def raise_translated_s3a_error(e: Exception) -> "NoReturn":
     """Re-raise ``e``, upgrading missing-s3a-jar failures to an
     actionable NotImplementedError; everything else (credentials,
@@ -140,6 +213,7 @@ def scrape_s3(
     if use_s3a:
         from file_scraper_spark.sources.fs import list_files  # noqa: PLC0415
 
+        configure_s3a(spark)  # env-driven credentials/endpoint, no-op if unset
         s3a_root = f"s3a://{loc.bucket}/{loc.path}".rstrip("/")
         try:
             listed = list_files(spark, s3a_root).select(

@@ -37,7 +37,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = os.environ.get("SPARK_GRAFT_RATCHET_DIR", "/tmp/sf100X")
 RATCHET_FACTOR = 3.0
-TOP_N = 10
+TOP_N = 20  # widened from 10 (VERDICT r9 next-#1)
 #: rows below this are dominated by fixed session/stream-harness cost,
 #: not by the query's scaling behavior; ratcheting them would pin noise
 MIN_BASELINE_SEC = 5.0
@@ -67,7 +67,7 @@ def newest_probe() -> tuple[int, dict[str, float]]:
 
 
 @ratchet
-def test_top10_within_ratchet():
+def test_top20_within_ratchet():
     if not os.path.isdir(FIXTURE):
         pytest.skip(f"{FIXTURE} missing — build with tools/build_scale_probe.py")
     rnd, baseline = newest_probe()

@@ -144,3 +144,67 @@ def test_s3a_conf_contract(spark):
     # the error is the translated, actionable one — not a raw Java
     # ClassNotFound stack
     assert "s3a" in str(ei.value).lower() or "S3A" in str(ei.value)
+
+
+def test_configure_s3a_env_mapping(spark, monkeypatch):
+    """configure_s3a maps the STANDARD AWS env (the same names boto3
+    and the aws cli honor) onto fs.s3a.* Hadoop conf, so a cluster
+    user points the s3a listing at real S3/MinIO/moto with zero code
+    changes. Explicit args shadow env; empty env is a no-op (IAM-role
+    clusters keep hadoop's own provider chain)."""
+    from file_scraper_spark.sources.s3 import configure_s3a
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKENV")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SECENV")
+    monkeypatch.setenv("AWS_ENDPOINT_URL_S3", "http://127.0.0.1:5000")
+    monkeypatch.delenv("AWS_SESSION_TOKEN", raising=False)
+    applied = configure_s3a(spark, access_key="AKARG")
+    assert applied["fs.s3a.access.key"] == "AKARG"  # arg > env
+    assert applied["fs.s3a.secret.key"] == "SECENV"
+    assert applied["fs.s3a.endpoint"] == "http://127.0.0.1:5000"
+    # custom endpoint flips path-style on (virtual-host style rarely
+    # resolves against private endpoints) unless caller overrides
+    assert applied["fs.s3a.path.style.access"] == "true"
+    assert "token" not in str(applied.keys()) or (
+        "fs.s3a.session.token" not in applied
+    )
+    # explicit static creds pin the simple provider ahead of the chain
+    assert applied["fs.s3a.aws.credentials.provider"].endswith(
+        "SimpleAWSCredentialsProvider"
+    )
+    # the values landed on the LIVE hadoop conf the s3a client reads
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKARG"
+    assert hconf.get("fs.s3a.endpoint") == "http://127.0.0.1:5000"
+
+
+def test_configure_s3a_empty_env_noop(spark, monkeypatch):
+    for var in (
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+        "AWS_SESSION_TOKEN",
+        "AWS_ENDPOINT_URL_S3",
+        "AWS_ENDPOINT_URL",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    from file_scraper_spark.sources.s3 import configure_s3a
+
+    assert configure_s3a(spark) == {}
+
+
+def test_s3a_dispatch_applies_env_conf(spark, monkeypatch):
+    """The use_s3a listing path calls configure_s3a BEFORE the scan:
+    dispatching a s3:// path through Source.scrape must land the env
+    credentials on the hadoop conf even though the listing itself
+    fails here (no hadoop-aws jar in the container)."""
+    from file_scraper_spark.sources.dispatch import source_for_path
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKDISPATCH")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SECDISPATCH")
+    src = source_for_path("s3://bkt/prefix")
+    assert src.kind == "s3"
+    with pytest.raises(Exception):
+        src.scrape(spark).collect()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKDISPATCH"
+    assert hconf.get("fs.s3a.secret.key") == "SECDISPATCH"
