@@ -1456,3 +1456,150 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cosine").alias("max_cos"),
         )
     )
+
+
+@query(
+    "embedding_gram",
+    oracle="""
+    WITH e AS (
+      SELECT row_number() OVER () AS rid, embedding AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), ij AS (
+      SELECT rid, v, unnest(range(len(v))) AS i FROM e
+    ), pij AS (
+      SELECT a.rid, a.v, a.i, b.i AS j
+      FROM ij a JOIN ij b ON a.rid = b.rid AND a.i <= b.i
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(SUM(CAST(floor(
+                 CAST(v[CAST(i + 1 AS INT)] AS DOUBLE)
+                 * CAST(v[CAST(j + 1 AS INT)] AS DOUBLE)
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS gram_q6
+    FROM pij GROUP BY i, j
+    """,
+    tags=("embedding",),
+)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact Gramian X'X over the embedding column — THE
+    building block for PCA / whitening / linear-probe covariance at
+    scale (Spark MLlib's RowMatrix.computeGramian shape, re-expressed
+    exact-quantized so it is oracle-checkable bit-for-bit).
+
+    Scale design: each partition folds its vectors into ONE local
+    d x d int64 accumulator inside Arrow-batched mapInPandas (BLAS
+    -vectorized outer products, chunked so the (rows, d, d) temp stays
+    ~32 MB); the shuffle then carries only n_partitions x d(d+1)/2
+    tiny rows into a final groupBy sum. Corpus size never appears in
+    shuffle volume — 100 TB of embeddings reduces through the same
+    2080-cell (d=64) frame. A naive explode-pairs spelling would
+    shuffle n x d^2 rows (2 x 10^9 at the 100x probe); this is the
+    canonical partial-aggregate rewrite.
+
+    Exactness contract (same policy as functions/exact.py): each
+    addend x_i*x_j is one correctly-rounded double product (float32
+    inputs widen exactly), quantized floor(p * 1e6) BEFORE summation,
+    so the sum is order-independent BIGINT arithmetic and numpy's
+    accumulation order cannot diverge from DuckDB's. Ragged corpora
+    (fuzz domain) define a cell (i, j) wherever some row has both
+    dims; rows shorter than a cell simply don't contribute."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+    def partial(batches):
+        acc = None  # (seen_d, seen_d) int64, grows to the max dim seen
+        seen_d = 0
+        for pdf in batches:
+            byd: dict[int, list] = {}
+            for v in pdf["embedding"]:
+                if v is None or len(v) == 0:
+                    continue
+                byd.setdefault(len(v), []).append(v)
+            for dlen, lst in byd.items():
+                x = np.asarray(lst, dtype=np.float64)
+                if dlen > seen_d:
+                    g = np.zeros((dlen, dlen), dtype=np.int64)
+                    if acc is not None:
+                        g[:seen_d, :seen_d] = acc
+                    acc, seen_d = g, dlen
+                # bound the (rows, d, d) outer-product temp to ~32 MB
+                step = max(1, 4_000_000 // (dlen * dlen))
+                for s in range(0, len(x), step):
+                    c = x[s : s + step]
+                    p = np.floor(c[:, :, None] * c[:, None, :] * 1e6)
+                    acc[:dlen, :dlen] += p.astype(np.int64).sum(axis=0)
+        if acc is None:
+            return
+        iu = np.triu_indices(seen_d)
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int64"),
+                "j": iu[1].astype("int64"),
+                "gram_q6": acc[iu],
+            }
+        )
+
+    partials = emb.select("embedding").mapInPandas(
+        partial, "i long, j long, gram_q6 long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("gram_q6").alias("gram_q6")
+    )
+
+
+def pca_components(spark: SparkSession, sf_dir: str, k: int = 8):
+    """Top-k principal directions of the embedding corpus from the
+    distributed Gramian: run embedding_gram (corpus-sized work, d^2
+    -sized result), collect the TINY d x d matrix to the driver —
+    control-plane, same legitimacy class as the IVF codebook collect
+    (similarity.py ann_ivf) — and eigendecompose it there. Uncentered
+    PCA (second moment, not covariance): the standard choice for
+    whitening embedding spaces whose mean is ~0, and it keeps the
+    pipeline one-pass; subtract embedding_centroids first if a
+    centered transform is needed.
+
+    Returns (components, eigenvalues): numpy (d, k) with columns in
+    DESCENDING eigenvalue order, and the matching (k,) eigenvalues.
+    Deterministic up to per-column sign (inherent to eigenvectors —
+    callers compare subspaces, not signs)."""
+    import numpy as np  # noqa: PLC0415
+
+    rows = embedding_gram(spark, sf_dir).collect()
+    d = max(r["j"] for r in rows) + 1
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["gram_q6"] / 1e6
+    w, v = np.linalg.eigh(g)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    return v[:, order], w[order]
+
+
+def pca_project(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """Project every embedding onto the corpus' top-k principal
+    directions — JVM-side: the (d, k) component matrix is inlined as
+    literal arrays and each coordinate is one zip_with/aggregate dot
+    product, so the projection is whole-stage-codegen over the scan
+    with NO Python in the per-row path (the only Python was the d x d
+    eigh above). (vec_id, proj: array<double>) out."""
+    comps, _ = pca_components(spark, sf_dir, k)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cols = []
+    for j in range(comps.shape[1]):
+        cvec = F.array(*[F.lit(float(x)) for x in comps[:, j]])
+        cols.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    cvec,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return emb.select("vec_id", F.array(*cols).alias("proj"))

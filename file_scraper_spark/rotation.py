@@ -176,6 +176,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     # added round-10 (new ops — unverified, so reorder() pulls them
     # to the head of the r10 driver window automatically)
     "multimodal_bmp_decode",
+    "embedding_gram",
 )
 
 

@@ -447,3 +447,50 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(_canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_pca_project_matches_numpy(spark):
+    """pca_project (distributed Gram -> driver eigh -> codegen
+    projection) must match a single-box numpy PCA of the same
+    vectors: same top-k eigenvalues, same projected coordinates up to
+    the inherent per-component sign. Pins both the Gram assembly
+    (quantization error bounded by 1e-6 per addend) and the
+    literal-array projection expressions."""
+    import numpy as np
+
+    from file_scraper_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+    from file_scraper_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    x = np.array(
+        [
+            r["embedding"]
+            for r in load(spark, sf, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    # k=2: the top eigengaps are O(1) here, so the quantization
+    # perturbation of the Gram (floor bias < n_rows*1e-6 per cell,
+    # eigenvalue shift bounded by d * that ~ 3e-3) cannot rotate the
+    # compared components into a neighboring one
+    k = 2
+    comps, eig = pca_components(spark, sf, k)
+    w_ref, v_ref = np.linalg.eigh(x.T @ x)
+    order = np.argsort(w_ref)[::-1][:k]
+    assert np.allclose(eig, w_ref[order], atol=2e-2)
+    ref = x @ v_ref[:, order]
+    got_rows = {
+        r["vec_id"]: r["proj"]
+        for r in pca_project(spark, sf, k).collect()
+    }
+    ids = sorted(got_rows)
+    got = np.array([got_rows[i] for i in ids])
+    # align the inherent per-column sign before comparing
+    for j in range(k):
+        if np.dot(got[:, j], ref[:, j]) < 0:
+            ref[:, j] = -ref[:, j]
+    assert got.shape == ref.shape == (len(x), k)
+    assert np.allclose(got, ref, atol=2e-2)
