@@ -261,6 +261,23 @@ def _prev_bench(repo_dir: str) -> tuple[int, dict] | None:
         data = by_round[rnd]
         if not data.get("value"):
             data = local_by_round.get(rnd, data)
+        elif rnd in local_by_round:
+            # heal PARTIAL truncation: tail reconstruction recovers
+            # `value` but the bulky head sections (headline list,
+            # reps) are exactly what the 2000-char tail loses — so a
+            # truncated driver capture with a surviving local twin
+            # used to flunk the comparability check forever after
+            # (r10: vs_prev.comparable false against r9 despite an
+            # identical headline set). Missing keys only; the driver
+            # capture stays authoritative where it has data.
+            loc = local_by_round[rnd]
+            fill = {
+                k: loc[k]
+                for k in ("headline", "reps", "sf", "queries")
+                if data.get(k) in (None, [], {}) and loc.get(k) is not None
+            }
+            if fill:
+                data = {**data, **fill}
         if data.get("value") and (best is None or rnd > best[0]):
             best = (rnd, data)
     return best
