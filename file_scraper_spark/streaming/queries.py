@@ -126,11 +126,36 @@ class _stream_shuffle:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+#: Bounded-leak memory-sink registry (same pattern as
+#: _scoped_checkpoint_dir and tables.scoped_cache): a memory sink
+#: pins its ENTIRE result set in driver memory for as long as its
+#: temp view exists, and the returned frame reads that view lazily —
+#: so the view cannot be dropped before the caller's action runs.
+#: Each run_to_memory call instead drops the PREVIOUS call's view: a
+#: many-query harness holds at most one live sink instead of one per
+#: stream run (181-query sweeps measurably drifted slower as dozens
+#: of undropped sinks accumulated driver heap; round-10 probe).
+_SINK_TABLES: list = []  # (SparkSession, name)
+
+
+def _scoped_sink_name(spark: SparkSession) -> str:
+    while _SINK_TABLES:
+        s, prev = _SINK_TABLES.pop()
+        try:
+            s.catalog.dropTempView(prev)
+        except Exception:
+            pass  # session already stopped; nothing is pinned then
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    _SINK_TABLES.append((spark, name))
+    return name
+
+
 def run_to_memory(result: DataFrame, mode: str = "append") -> DataFrame:
     """Drive a streaming frame to completion synchronously; returns the
-    materialized result as a batch DataFrame."""
-    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    materialized result as a batch DataFrame (valid until the NEXT
+    run_to_memory call — see _SINK_TABLES)."""
     spark = result.sparkSession
+    name = _scoped_sink_name(spark)
     with _stream_shuffle(spark):
         q = (
             result.writeStream.outputMode(mode)
