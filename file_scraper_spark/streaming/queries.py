@@ -505,7 +505,11 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 1_000_000)).alias("sv_q"),
         )
     )
-    name = f"state_inspect_{uuid.uuid4().hex[:12]}"
+    # scoped like run_to_memory's sink: the state read below goes to
+    # the CHECKPOINT, not the memory view, so the view is pure
+    # leak-surface here — still registered under the shared registry
+    # so the next stream run reclaims it
+    name = _scoped_sink_name(spark)
     with _stream_shuffle(spark):
         q = (
             agg.writeStream.outputMode("update")
