@@ -122,10 +122,19 @@ def reset_session_state(spark: SparkSession) -> None:
     while _SCOPED_CACHE:
         _SCOPED_CACHE.pop().unpersist()
     from file_scraper_spark.operators import dedup, timeseries  # noqa: PLC0415
+    from file_scraper_spark.streaming import queries as _sq  # noqa: PLC0415
 
     dedup._DUP_PROBE_CACHE.clear()
     dedup._EDGES_MEMO.clear()
     timeseries._TYPE_CARD_CACHE.clear()
+    # the one live memory-sink view (bounded by _SINK_TABLES, but a
+    # cold measurement should not carry even that single result set)
+    while _sq._SINK_TABLES:
+        s, prev = _sq._SINK_TABLES.pop()
+        try:
+            s.catalog.dropTempView(prev)
+        except Exception:
+            pass
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     it = jsc.getPersistentRDDs().values().iterator()
