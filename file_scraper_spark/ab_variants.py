@@ -17,16 +17,19 @@ bench asserts nothing about results — the correctness gate already
 covers the live form and the pair equality was checked when the
 rewrite landed.
 
-Round 10 entries (round-9's dedup_editdistance entry deleted per the
-one-round contract — its numbers live in BENCH_r09 /
-BENCH_LOCAL_r9.json and NOTES.md):
+Round 11 entries (round-10's containment entries deleted per the
+one-round contract — their numbers live in BENCH_r10 /
+BENCH_LOCAL_r10.json and NOTES.md; the round-9 JVM-levenshtein arm
+retired the same way, numbers in BENCH_r09):
 
-- ``dedup_containment`` / ``dedup_containment_sampled``: the
-  pre-rewrite form expanded the FULL capped posting-list upper
-  triangle and aggregated co-occurrence counts per pair; the live
-  form is the pigeonhole prefix-filtered inverted index (index each
-  doc's rarest ~(1-t) shingles, probe with all, verify candidates
-  with one array_intersect) — lossless at t = 0.9 by construction.
+- ``dedup_ngram_jaccard``: the pre-rewrite form expanded the FULL
+  capped posting-list upper triangle, aggregated co-occurrence
+  counts per pair, and joined per-doc counts twice for the quotient;
+  the live form is the symmetric PPJoin prefix filter (index each
+  doc's rarest floor(n/2)+1 shingles in one global df-ascending
+  canonical order, prune candidates by size/count/position, verify
+  survivors with one array_intersect) — lossless at t = 1/2 by the
+  prefix theorem.
 """
 
 from __future__ import annotations
@@ -36,21 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from file_scraper_spark.operators import dedup
 
 
-def _old_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup._containment_pairs_triangle(spark, sf_dir, sample_mod=None)
-
-
-def _old_dedup_containment_sampled(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    return dedup._containment_pairs_triangle(
-        spark, sf_dir, sample_mod=dedup.SHINGLE_SAMPLE_MOD
-    )
+def _old_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup._jaccard_pairs_triangle(spark, sf_dir)
 
 
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
-    "dedup_containment": _old_dedup_containment,
-    "dedup_containment_sampled": _old_dedup_containment_sampled,
+    "dedup_ngram_jaccard": _old_dedup_ngram_jaccard,
 }

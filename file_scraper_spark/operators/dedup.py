@@ -571,16 +571,38 @@ def jaccard_pairs(
     shingles whose hash is ≡ 0 (mod k) — see dedup_jaccard_sampled
     for the estimator argument.
 
-    Why not PPJoin-style prefix filtering (the classic exact lever):
-    picking each doc's rarest ``|A|-ceil(t*|A|)+1`` shingles as index
-    keys requires global df joined BACK onto the (doc, shingle) frame
-    and a per-doc sort/slice — two additional exchanges of the full
-    index, where this formulation pays exactly one; and the df<=CAP
-    filter already bounds pair expansion at C(CAP,2) per key, which
-    is the blow-up prefix filtering exists to prevent. Under a much
-    higher threshold (t>=0.9) with no cap, prefix filtering would win
-    on candidate volume; at t=0.5 with the cap, the exchange count
-    dominates. ``sample_fast`` selects on the
+    Scale shape (round-11 rewrite, the containment-proven PPJoin
+    prefix filter — Xiao et al., specialized to t = 1/2): per-doc
+    token arrays are built in ONE global canonical order (ascending
+    global df, hash tie-break; rarest first) and only the first
+    ``floor(n/2)+1`` tokens of each doc are indexed. Soundness: for
+    J(A,B) >= t the overlap o >= alpha = ceil((|A|+|B|)/3), and if the
+    two prefixes shared no token then (taking WLOG the smaller prefix
+    last-element) every common token would sit strictly after A's
+    prefix — at most ``ceil(|A|/2)-1 < alpha`` tokens — contradiction.
+    Three sound prunes run between the prefix-collision aggregation
+    and the exact verify (the same trio as _containment_pairs, with
+    the symmetric-threshold bounds):
+
+    - SIZE: o <= min(na, nb), so least(na, nb) >= alpha.
+    - COUNT: common tokens absent from the prefix intersection are
+      canonically greater than one side's prefix end, so
+      o <= cnt + max(na - p_a, nb - p_b); require
+      cnt >= alpha - max(ceil(na/2), ceil(nb/2)) + 1 (scales ~n/6,
+      far stronger than the containment k=2 extension).
+    - POSITIONAL: the canonically-first collision has the minimum
+      position in BOTH arrays, every common token sits at position
+      >= it in each, so o <= min(na - i_min, nb - j_min) >= alpha.
+
+    Survivors get one exact array_intersect over the cached per-doc
+    arrays. Lossless: byte-identical output, same DuckDB oracle.
+    Replaces the full posting-list upper triangle (sum_s C(df_s, 2)
+    co-occurrence rows shuffled into the pair aggregation); the
+    prefix keeps only each doc's rarest half, which evacuates the
+    hot (high-df) shingles whose C(df,2) terms dominate that sum.
+    Measured on containment (t=0.9, narrower prefix): 69.2s -> 26.8s
+    cold at the 100x probe; A/B for this symmetric rewrite is in
+    BENCH_r11's ab section. ``sample_fast`` selects on the
     xxhash64 JOIN KEY the index already computes (zero added hash
     cost — the production path; measured: the md5 portable selection
     costs ~as much as the smaller join saves at the 100x probe),
@@ -629,49 +651,66 @@ def jaccard_pairs(
         # interpreted per element and measured SLOWER at the 100x
         # probe (26.9s vs 21.4s) despite materializing 4x fewer rows.
         hashed = hashed.filter(F.pmod(F.col("shingle"), F.lit(sample_mod)) == 0)
-    # POSTING-LIST formulation — ONE exchange of the index builds
-    # per-shingle (df, sorted doc list); everything downstream reads
-    # the (much smaller) posting-list frame:
-    # - the old two-sided self-join exchanged + sorted the full index
-    #   TWICE (and the cap's anti-join, AQE-converted to a broadcast
-    #   anti, added a third full pass that did NOT pre-partition the
-    #   groupBy as hoped — measured 158s vs 86s at the 100x probe);
-    # - the df<=CAP filter applies POST-aggregation: pair expansion
-    #   (the quadratic danger the cap exists for) stays bounded at
-    #   C(CAP,2) per key, while aggregation STATE for a hot key is
-    #   LINEAR in df (8 B/doc; collect_list falls back to sort-based
-    #   spill) — on corpora with stopword-scale hot shingles (df ~
-    #   10^8+) pre-filter with cap_hot_shingles before calling;
-    # - array_sort makes the emitted (doc_a < doc_b) orientation
-    #   deterministic regardless of collect_list's arrival order;
-    # - the cache is scoped (tables.scoped_cache) and eagerly counted
-    #   so the two consumers (counts, pairs) share one aggregation.
-    per = scoped_cache(
+    # Canonical per-doc token arrays — the capped inverted index is
+    # still built ONCE (df <= CAP applies POST-aggregation, so state
+    # for a hot key stays linear while pair expansion never happens
+    # on it at all: hot shingles land in the rare-first arrays' TAILS,
+    # outside every prefix), then regrouped per doc in (global df,
+    # hash) ascending order. Cached: read three times below (prefix
+    # explode + both verify sides).
+    capped = (
         hashed.groupBy("shingle")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.collect_list("doc_id").alias("ds"),
         )
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("df", "ds")
+        .select("df", "shingle", F.explode("ds").alias("doc_id"))
     )
-    per.count()
-    counts = (
-        per.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+    docs_arr = scoped_cache(
+        capped.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ts")
+        )
+        .select(
+            "doc_id",
+            F.transform("ts", lambda s: s["shingle"]).alias("toks"),
+            F.size("ts").alias("n"),
+        )
     )
-    # ds staged as a REAL column (own select), never an expression
-    # referenced from inside the outer lambda: slice(ds, ..) and
-    # size(ds) sit in the per-element body, so an expression-form ds
-    # re-runs array_sort twice per member — O(k^2 log k) per bucket
-    # instead of O(k log k + k^2) (the embedding_quantize bug class,
-    # NOTES round 8).
-    sorted_per = per.filter(F.col("df") >= 2).select(
-        F.array_sort("ds").alias("ds")
+    docs_arr.count()
+    n = F.col("n")
+    # prefix length p = n - ceil(t*n) + 1 with t = 1/2, in exact
+    # BIGINT arithmetic: floor(n/2) + 1 (a float t*n product would
+    # round differently at even n and silently index one token too
+    # few — lossy filter).
+    pref_len = (F.floor(n / 2) + 1).cast("int")
+    pref = docs_arr.select(
+        "doc_id",
+        n,
+        F.posexplode(F.slice("toks", F.lit(1), pref_len)).alias(
+            "i", "shingle"
+        ),
+    )
+    # Prefix posting lists (subsets of the capped lists, so <= CAP
+    # members by construction). ds staged as a REAL column (own
+    # select), never an expression referenced from inside the outer
+    # lambda: slice(ds, ..) and size(ds) sit in the per-element body,
+    # so an expression-form ds re-runs array_sort twice per member —
+    # O(k^2 log k) per bucket (the embedding_quantize bug class,
+    # NOTES round 8). array_sort on struct(doc_id, ..) orders by
+    # doc_id first, so the triangle emits doc_a < doc_b
+    # deterministically regardless of collect_list arrival order.
+    per = (
+        pref.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "i", "n")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.array_sort("ds").alias("ds"))
     )
     ds = F.col("ds")
-    pairs = sorted_per.select(
+    pairs = per.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -679,31 +718,64 @@ def jaccard_pairs(
                     lambda x, i: F.transform(
                         F.slice(ds, i + 2, F.size(ds)),
                         lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
+                            x["doc_id"].alias("doc_a"),
+                            x["i"].alias("i"),
+                            x["n"].alias("na"),
+                            y["doc_id"].alias("doc_b"),
+                            y["i"].alias("j"),
+                            y["n"].alias("nb"),
                         ),
                     ),
                 )
             )
         ).alias("p")
+    ).select("p.*")
+    cand = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("i").alias("i_min"),
+        F.min("j").alias("j_min"),
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
     )
-    inter = (
-        pairs.select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    na, nb = F.col("na"), F.col("nb")
+    # alpha = ceil((na+nb)/3) exactly: floor((na+nb+2)/3)
+    alpha = F.floor((na + nb + 2) / 3)
+    # tokens outside the larger prefix: max(ceil(n/2)) - 1, with
+    # ceil(n/2) = floor((n+1)/2)
+    outside = (
+        F.greatest(F.floor((na + 1) / 2), F.floor((nb + 1) / 2)) - 1
+    )
+    cand = cand.filter(
+        (F.least(na, nb) >= alpha)
+        & (F.least(na - F.col("i_min"), nb - F.col("j_min")) >= alpha)
+        & (F.col("cnt") >= alpha - outside)
+    ).select("doc_a", "doc_b", "na", "nb")
+    # Exact verify on the survivors only (near the true-pair count
+    # after the prunes): one array_intersect per pair, `common`
+    # staged as a real column so the quotient reads it, not
+    # re-intersects.
+    ta = docs_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("t_a")
+    )
+    tb = docs_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("t_b")
+    )
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("t_a", "t_b")).alias("common"),
+        )
     )
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     )
     out = (
-        inter.join(
-            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     if key is not None:
@@ -1854,15 +1926,12 @@ def _myers_dist_udf():
 
 
 def _editdistance_pairs(
-    spark: SparkSession, sf_dir: str, block_mod: int | None,
-    myers: bool = True,
+    spark: SparkSession, sf_dir: str, block_mod: int | None
 ) -> DataFrame:
     """Shared editdistance dataflow; see dedup_editdistance for the
     blocking design. ``block_mod=k`` keeps only block keys whose
     portable md5 hash is ≡ 0 (mod k) — the pair-space subsample of
-    dedup_editdistance_sampled. ``myers=False`` swaps the default
-    bit-parallel kernel back to the JVM ``levenshtein`` DP (kept for
-    the bench A/B; see the measurement note at the call site)."""
+    dedup_editdistance_sampled."""
     docs = load(spark, sf_dir, "documents")
     corpus = near_dup_corpus(docs)
     texts = corpus.select(
@@ -1953,11 +2022,10 @@ def _editdistance_pairs(
     #   O(ceil(m/64)) machine words under Python big-int bitops —
     #   the rare case where an Arrow-batched Python path beats the
     #   JVM expression, because the algorithm (not the runtime) is
-    #   the 30x. JVM form kept one round in ab_variants.py.
-    if myers:
-        dist = _myers_dist_udf()(F.col("ta"), F.col("tb"))
-    else:
-        dist = F.levenshtein("ta", "tb").cast("long")
+    #   the 30x. (The JVM form `F.levenshtein("ta","tb")` served its
+    #   one A/B round in ab_variants and is retired; BENCH_r09 holds
+    #   the numbers.)
+    dist = _myers_dist_udf()(F.col("ta"), F.col("tb"))
     return (
         cand.select(
             "doc_a",
@@ -2500,15 +2568,17 @@ def _containment_pairs(
     )
 
 
-def _containment_pairs_triangle(
-    spark: SparkSession, sf_dir: str, sample_mod: int | None
+def _jaccard_pairs_triangle(
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """SUPERSEDED round-10 (kept one round as the bench A/B baseline —
-    see ab_variants): the pre-prefix-filter dataflow. Expands the FULL
-    capped posting-list upper triangle and aggregates co-occurrence
-    counts per pair; both orientations explode from one inter⋈counts
-    row."""
-    hashed = _containment_prep(spark, sf_dir, sample_mod)
+    """SUPERSEDED round-11 (kept one round as the bench A/B baseline —
+    see ab_variants): the pre-prefix-filter jaccard_pairs dataflow.
+    Expands the FULL capped posting-list upper triangle, aggregates
+    co-occurrence counts per pair, and joins per-doc counts twice for
+    the quotient."""
+    docs = load(spark, sf_dir, "documents")
+    raw = shingles(near_dup_corpus(docs))
+    hashed = raw.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     per = scoped_cache(
         hashed.groupBy("shingle")
         .agg(
@@ -2543,37 +2613,30 @@ def _containment_pairs_triangle(
             )
         ).alias("p")
     )
-    both = (
+    inter = (
         pairs.select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
-        .join(
-            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        inter.join(
+            counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ),
             "doc_a",
         )
         .join(
-            counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ),
             "doc_b",
         )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    c = F.col("common").cast("double")
-    oriented = both.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("doc_a").alias("doc_sub"),
-                    F.col("doc_b").alias("doc_super"),
-                    (c / F.col("na")).alias("containment"),
-                ),
-                F.struct(
-                    F.col("doc_b").alias("doc_sub"),
-                    F.col("doc_a").alias("doc_super"),
-                    (c / F.col("nb")).alias("containment"),
-                ),
-            )
-        ).alias("o")
-    ).select("o.doc_sub", "o.doc_super", "o.containment")
-    return oriented.filter(F.col("containment") >= CONTAIN_THRESHOLD)
 
 
 @query(

@@ -1568,6 +1568,12 @@ def pca_components(spark: SparkSession, sf_dir: str, k: int = 8):
     import numpy as np  # noqa: PLC0415
 
     rows = embedding_gram(spark, sf_dir).collect()
+    if not rows:
+        raise ValueError(
+            "pca_components: embeddings table at "
+            f"{sf_dir!r} has no non-null embedding rows "
+            "(embedding_gram returned an empty Gramian)"
+        )
     d = max(r["j"] for r in rows) + 1
     g = np.zeros((d, d))
     for r in rows:

@@ -81,6 +81,18 @@ def configure_s3a(
         val = explicit.get(key) or os.environ.get(env_name)
         if val:
             applied[key] = val
+    if ("fs.s3a.access.key" in applied) != ("fs.s3a.secret.key" in applied):
+        # half a static credential pair (e.g. only AWS_ACCESS_KEY_ID
+        # in env) can never authenticate — setting it would just pin
+        # SimpleAWSCredentialsProvider below and shadow the default
+        # chain on clusters that would have authenticated via an
+        # instance profile. Drop the fragment, keep the chain.
+        for key in (
+            "fs.s3a.access.key",
+            "fs.s3a.secret.key",
+            "fs.s3a.session.token",
+        ):
+            applied.pop(key, None)
     ep = (
         endpoint
         or os.environ.get("AWS_ENDPOINT_URL_S3")

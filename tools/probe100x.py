@@ -168,7 +168,6 @@ def main() -> None:
             for _ in range(reps):
                 reset_session_state(spark)
                 samples.append(_run_once(fn, spark, sf_dir))
-            warm[name] = round(_run_once(fn, spark, sf_dir), 2)
         except Exception as e:  # record and continue: one bad query
             # must not lose the rest of a long sweep (the r8 sweep
             # died 46 queries in on a recursion cap)
@@ -176,8 +175,17 @@ def main() -> None:
             print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         cold[name] = round(min(samples), 2)
+        # warm failure must not discard the valid cold samples (a
+        # cold regression row would vanish — and the ratchet would
+        # then skip the query — over a warm-only fault)
+        try:
+            warm[name] = round(_run_once(fn, spark, sf_dir), 2)
+        except Exception as e:
+            errors[name] = f"warm: {type(e).__name__}: {e}"[:300]
+            print(f"  {name}: WARM ERROR {errors[name]}", file=sys.stderr)
         print(
-            f"  {name}: cold {cold[name]:.2f}s warm {warm[name]:.2f}s",
+            f"  {name}: cold {cold[name]:.2f}s"
+            + (f" warm {warm[name]:.2f}s" if name in warm else ""),
             file=sys.stderr,
         )
     out = {
