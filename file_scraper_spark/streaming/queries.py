@@ -112,11 +112,11 @@ class _stream_shuffle:
     resumed state — harness streams start fresh per run.
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, parts: str | None = None):
         import os  # noqa: PLC0415
 
         self.spark = spark
-        self.n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+        self.n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE") or parts or "8"
 
     def __enter__(self) -> None:
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -126,37 +126,107 @@ class _stream_shuffle:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-#: Bounded-leak memory-sink registry (same pattern as
-#: _scoped_checkpoint_dir and tables.scoped_cache): a memory sink
-#: pins its ENTIRE result set in driver memory for as long as its
-#: temp view exists, and the returned frame reads that view lazily —
-#: so the view cannot be dropped before the caller's action runs.
-#: Each run_to_memory call instead drops the PREVIOUS call's view: a
-#: many-query harness holds at most one live sink instead of one per
-#: stream run (181-query sweeps measurably drifted slower as dozens
-#: of undropped sinks accumulated driver heap; round-10 probe).
-_SINK_TABLES: list = []  # (SparkSession, name)
+#: Bounded-leak sink registry (same pattern as _scoped_checkpoint_dir
+#: and tables.scoped_cache): a memory sink pins its ENTIRE result set
+#: in driver memory for as long as its temp view exists, and a parquet
+#: sink's read-back frame scans its temp dir — in both cases the
+#: returned frame reads the sink lazily, so it cannot be reclaimed
+#: before the caller's action runs. Each run_to_memory call instead
+#: reclaims the PREVIOUS call's sink: a many-query harness holds at
+#: most one live sink instead of one per stream run (181-query sweeps
+#: measurably drifted slower as dozens of undropped memory sinks
+#: accumulated driver heap; round-10 probe). The bound is a few
+#: sinks, not ONE: a parquet-sink frame physically loses its files
+#: when reclaimed (a memory-sink frame merely lost its view name), and
+#: callers legitimately hold two or three stream results side by side
+#: to compare modes — tests/test_streaming.py does exactly that.
+_SINK_TABLES: list = []  # ("view", SparkSession, name) | ("dir", None, path)
+_SINK_CAP = 4
+_SINK_SWEEP_REGISTERED = False
+
+
+def _reclaim_sink(entry: tuple) -> None:
+    import shutil  # noqa: PLC0415
+
+    kind, s, payload = entry
+    if kind == "view":
+        try:
+            s.catalog.dropTempView(payload)
+        except Exception:
+            pass  # session already stopped; nothing is pinned then
+    else:
+        shutil.rmtree(payload, ignore_errors=True)
+
+
+def _drain_sinks() -> None:
+    while _SINK_TABLES:
+        _reclaim_sink(_SINK_TABLES.pop())
+
+
+def _register_sink(entry: tuple) -> None:
+    import atexit  # noqa: PLC0415
+
+    global _SINK_SWEEP_REGISTERED
+    while len(_SINK_TABLES) >= _SINK_CAP:
+        _reclaim_sink(_SINK_TABLES.pop(0))
+    if not _SINK_SWEEP_REGISTERED:
+        atexit.register(_drain_sinks)
+        _SINK_SWEEP_REGISTERED = True
+    _SINK_TABLES.append(entry)
 
 
 def _scoped_sink_name(spark: SparkSession) -> str:
-    while _SINK_TABLES:
-        s, prev = _SINK_TABLES.pop()
-        try:
-            s.catalog.dropTempView(prev)
-        except Exception:
-            pass  # session already stopped; nothing is pinned then
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    _SINK_TABLES.append((spark, name))
+    _register_sink(("view", spark, name))
     return name
 
 
-def run_to_memory(result: DataFrame, mode: str = "append") -> DataFrame:
+def _scoped_sink_dir() -> str:
+    import tempfile  # noqa: PLC0415
+
+    d = tempfile.mkdtemp(prefix="fss_sink_")
+    _register_sink(("dir", None, d))
+    return d
+
+
+def run_to_memory(
+    result: DataFrame, mode: str = "append", parts: str | None = None
+) -> DataFrame:
     """Drive a streaming frame to completion synchronously; returns the
     materialized result as a batch DataFrame (valid until the NEXT
-    run_to_memory call — see _SINK_TABLES)."""
+    run_to_memory call — see _SINK_TABLES).
+
+    Append-mode streams land in a PARQUET sink and are read back —
+    the write is executor-parallel and the driver never materializes
+    the rows (a memory sink collects everything single-threaded into
+    driver heap: at the 100x probe stream_session_window spent ~75s
+    of its 96s in exactly that collect; the output schema is passed
+    to the read so a zero-row stream still yields a typed empty
+    frame). Update/complete modes keep the memory sink — the file
+    sink cannot express them, and their outputs are per-key
+    aggregates, small by construction. ``parts`` is a shuffle-
+    partition hint forwarded to _stream_shuffle (see
+    _python_stateful_parts)."""
+    import os  # noqa: PLC0415
+
     spark = result.sparkSession
-    name = _scoped_sink_name(spark)
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, parts):
+        if mode == "append":
+            root = _scoped_sink_dir()
+            out_dir = os.path.join(root, "out")
+            q = (
+                result.writeStream.outputMode(mode)
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return spark.read.schema(result.schema).parquet(out_dir)
+        name = _scoped_sink_name(spark)
         q = (
             result.writeStream.outputMode(mode)
             .format("memory")
@@ -170,6 +240,27 @@ def run_to_memory(result: DataFrame, mode: str = "append") -> DataFrame:
     # materialize before the sink table is dropped from the registry
     out = spark.table(name)
     return out
+
+
+def _python_stateful_parts(spark: SparkSession, sf_dir: str) -> str:
+    """Shuffle-partition hint for Python-stateful streams
+    (applyInPandasWithState / transformWithStateInPandas): these are
+    WORKER-bound, not state-store bound — one Arrow stream and one
+    Python worker per partition — so the 8-partition family pin that
+    wins for JVM state stores starves them at scale (100x probe:
+    stream_stateful_counter 60.7s at 8 partitions vs 26.4s at 32 on
+    32 cores, identical verdicts). Scale with input bytes, ~4 MB per
+    partition, between the state-store-friendly floor of 8 and the
+    session's core count; the env override in _stream_shuffle still
+    wins."""
+    import os  # noqa: PLC0415
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        size = 0
+    cores = spark.sparkContext.defaultParallelism
+    return str(max(8, min(cores, size // (4 << 20))))
 
 
 @query(
@@ -314,7 +405,9 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    result = run_to_memory(out, mode="update")
+    result = run_to_memory(
+        out, mode="update", parts=_python_stateful_parts(spark, sf_dir)
+    )
     # update mode re-emits a row per (user, batch); with availableNow the
     # whole replay is one batch, but keep the reduction general: the
     # final (max) counter per user is the converged state
@@ -633,7 +726,9 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        result = run_to_memory(out, mode="update")
+        result = run_to_memory(
+            out, mode="update", parts=_python_stateful_parts(spark, sf_dir)
+        )
     finally:
         if prev is None:
             spark.conf.unset(provider_key)

@@ -127,14 +127,10 @@ def reset_session_state(spark: SparkSession) -> None:
     dedup._DUP_PROBE_CACHE.clear()
     dedup._EDGES_MEMO.clear()
     timeseries._TYPE_CARD_CACHE.clear()
-    # the one live memory-sink view (bounded by _SINK_TABLES, but a
-    # cold measurement should not carry even that single result set)
-    while _sq._SINK_TABLES:
-        s, prev = _sq._SINK_TABLES.pop()
-        try:
-            s.catalog.dropTempView(prev)
-        except Exception:
-            pass
+    # the one live stream sink (memory view or parquet dir; bounded by
+    # _SINK_TABLES, but a cold measurement should not carry even that
+    # single result set)
+    _sq._drain_sinks()
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     it = jsc.getPersistentRDDs().values().iterator()

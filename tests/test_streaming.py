@@ -207,3 +207,72 @@ def test_minhash_dedup_batch_split_invariant(spark, sf_dir, tmp_path):
     assert multi == single
     # sanity: the run found real duplicates to contest
     assert any(not r[3] for r in multi), "no near-dups in fixture?"
+
+
+def test_append_sink_is_parquet_not_driver_collect(spark, sf_dir):
+    """Append-mode streams must land in the executor-parallel parquet
+    sink (the memory sink collects the whole result single-threaded
+    into driver heap — ~75s of stream_session_window's 96s at the
+    100x probe), and the read-back must carry the aggregation schema
+    even when zero rows were emitted."""
+    from file_scraper_spark.streaming import queries as sq
+
+    out = sq.stream_watermark(spark, sf_dir)
+    files = out.inputFiles()
+    assert files and all(".parquet" in f or "fss_sink_" in f for f in files)
+    assert any("fss_sink_" in f for f in files), files
+    # zero-row append stream: impossible watermark seal -> empty, but typed
+    ev = sq.events_stream(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    agg = (
+        ev.withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    empty = sq.run_to_memory(agg, mode="append")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["ws", "n"]
+
+
+def test_sink_registry_bounded_but_not_single(spark, sf_dir):
+    """The bounded-leak sink registry must hold a FEW live sinks (a
+    reclaimed parquet sink physically deletes files a still-held
+    result frame reads; callers compare 2-3 stream results side by
+    side) and never grow past the cap."""
+    from file_scraper_spark.streaming import queries as sq
+
+    a = sq.stream_watermark(spark, sf_dir)
+    b = sq.stream_late_data(spark, sf_dir)
+    # both frames stay readable with two sinks live
+    assert a.count() > 0 and b.count() > 0
+    for _ in range(sq._SINK_CAP + 2):
+        sq.stream_watermark(spark, sf_dir).count()
+    assert len(sq._SINK_TABLES) <= sq._SINK_CAP
+
+
+def test_python_stateful_parts_scales_with_input(spark, tmp_path):
+    """The Python-stateful partition hint: floor 8 at fixture scale,
+    rises with input bytes, capped at the session's core count; the
+    env override in _stream_shuffle still wins over the hint."""
+    import os
+
+    from file_scraper_spark.streaming import queries as sq
+
+    p = tmp_path / "events.parquet"
+    p.write_bytes(b"x" * (100 << 20))  # 100 MB -> 25 partitions
+    cores = spark.sparkContext.defaultParallelism
+    assert sq._python_stateful_parts(spark, str(tmp_path)) == str(
+        max(8, min(cores, 25))
+    )
+    p.write_bytes(b"x")  # tiny -> floor
+    assert sq._python_stateful_parts(spark, str(tmp_path)) == "8"
+    assert sq._python_stateful_parts(spark, str(tmp_path / "nope")) == "8"
+    os.environ["SPARK_GRAFT_STREAM_SHUFFLE"] = "5"
+    try:
+        assert sq._stream_shuffle(spark, parts="26").n == "5"
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_SHUFFLE"]
+    assert sq._stream_shuffle(spark, parts="26").n == "26"
+    assert sq._stream_shuffle(spark).n == "8"
