@@ -290,11 +290,19 @@ def _ab_pairs(spark, sf_dir, fn_a, fn_b, reps: int) -> dict:
     min-of-interleaved-reps is the noise-robust statistic NOTES.md's
     methodology section prescribes for optimization claims on this
     box (~2x ambient swing run-to-run)."""
+    from file_scraper_spark.tables import reset_session_state
+
     ta, tb = [], []
     for _ in range(reps):
+        # reset BOTH arms to cold: without it a memoizing query (the
+        # jaccard edge memo) measures the memo hit against the other
+        # arm's full pipeline — the r11 first capture recorded 0.015s
+        # vs 1.7s that way, a cache artifact, not a comparison
+        reset_session_state(spark)
         t0 = time.perf_counter()
         materialize(fn_a(spark, sf_dir))
         ta.append(round(time.perf_counter() - t0, 3))
+        reset_session_state(spark)
         t0 = time.perf_counter()
         materialize(fn_b(spark, sf_dir))
         tb.append(round(time.perf_counter() - t0, 3))

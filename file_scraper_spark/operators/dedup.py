@@ -523,8 +523,9 @@ def cap_hot_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
 
 #: Session-scoped memo for the near-dup EDGE LIST: dedup_ngram_jaccard,
 #: dedup_clusters and dedup_cluster_cap all consume the same edge
-#: pipeline (~64s of the 100x probe), and without a memo a session
-#: running jaccard + clusters + cap pays it three times. The memoized
+#: pipeline (~26s cold at the 100x probe after the round-11 PPJoin
+#: rewrite), and without a memo a session running jaccard + clusters +
+#: cap pays it three times. The memoized
 #: value is the returned frame behind a LAZY localCheckpoint: nothing
 #: eager happens at plan-build; the first caller's action materializes
 #: the (tiny — pairs above threshold) edge list to executor block
@@ -601,8 +602,14 @@ def jaccard_pairs(
     prefix keeps only each doc's rarest half, which evacuates the
     hot (high-df) shingles whose C(df,2) terms dominate that sum.
     Measured on containment (t=0.9, narrower prefix): 69.2s -> 26.8s
-    cold at the 100x probe; A/B for this symmetric rewrite is in
-    BENCH_r11's ab section. ``sample_fast`` selects on the
+    cold at the 100x probe. This symmetric rewrite's same-JVM
+    interleaved A/B: 0.50x at the 100x fixture (52.6s -> 26.1s, min
+    of 2) but 1.36x at sf0.1 (1.76s -> 2.39s, BENCH_r11 ab) — the
+    canonical-array build is a fixed ~2-exchange constant that only
+    pays for itself once candidate volume dominates. The scale
+    target is explicit (100 TB), so the plan keeps ONE path, the
+    scale-optimal one, rather than a size dispatch on a superseded
+    form. ``sample_fast`` selects on the
     xxhash64 JOIN KEY the index already computes (zero added hash
     cost — the production path; measured: the md5 portable selection
     costs ~as much as the smaller join saves at the 100x probe),

@@ -197,7 +197,12 @@ def main() -> None:
                 "cold: min over reps, reset_session_state before each "
                 "run (all memos + SQL cache + persisted RDDs dropped); "
                 "warm: one run immediately after, no reset. 'queries' "
-                "IS the cold map (comparable across rounds)."
+                "IS the cold map (comparable across rounds). Warm rows "
+                "are SINGLE-SHOT and carry this box's full ambient "
+                "swing (~2x run-to-run, NOTES.md) — a warm > cold row "
+                "is noise unless it reproduces standalone; use warm "
+                "only for memo/cache signatures (e.g. the edge-memo "
+                "~0.03s hits)."
             ),
         },
         "queries": cold,
