@@ -30,21 +30,50 @@ retired the same way, numbers in BENCH_r09):
   canonical order, prune candidates by size/count/position, verify
   survivors with one array_intersect) — lossless at t = 1/2 by the
   prefix theorem.
+- ``similarity_pairs``: the pre-rewrite form ran ONE applyInPandas
+  task per label block (10 tasks total on this corpus — a
+  parallelism wall at 32 cores, O(b^2 d) per task at any scale); the
+  live form triangle-partitions each block into PAIR_STRIPS strips
+  and computes pairs in K(K+1)/2 tasks per label.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from file_scraper_spark.operators import dedup
+from file_scraper_spark.operators import dedup, similarity
+from file_scraper_spark.tables import load
 
 
 def _old_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup._jaccard_pairs_triangle(spark, sf_dir)
 
 
+def _old_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * similarity.PAIR_QUANT
+            ).cast("long"),
+        ).alias("qe"),
+    )
+
+    def block_pairs(pdf):
+        return similarity._gram_pairs(pdf, similarity.PAIR_THRESHOLD)
+
+    return q.groupBy("label").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cosine double"
+    )
+
+
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
     "dedup_ngram_jaccard": _old_dedup_ngram_jaccard,
+    "similarity_pairs": _old_similarity_pairs,
 }

@@ -217,6 +217,15 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: float64 matmul over the quantized integers is EXACT (see below)
 PAIR_QUANT = 10_000
 
+#: strip count for the triangle partitioning of each label block —
+#: every block splits into PAIR_STRIPS strips and pairs compute in
+#: K(K+1)/2 independent tasks per label. K=4 turns the 10-label
+#: corpus into 100 tasks (fills 32 cores; the un-stripped form left
+#: 22 idle at 100x where blocks reach ~20k rows) at a 4x row
+#: replication in ONE shuffle of the vectors. Raise for fatter blocks:
+#: per-task memory is O((b/K)^2) and replication stays linear.
+PAIR_STRIPS = 4
+
 
 @query(
     "similarity_pairs",
@@ -256,22 +265,26 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why this shape: the naive per-pair expression fold is interpreted
     (no codegen for higher-order lambdas) and quadratic in block size
-    — measured 468s on the 10x probe. Here each label block arrives
-    once via applyInPandas and the all-pairs dot products are ONE
-    matrix multiply per row-strip. Exactness is preserved because the
+    — measured 468s on the 10x probe. Each strip-pair task arrives
+    once via applyInPandas and its dot products are ONE matrix
+    multiply per row-strip. Exactness is preserved because the
     quantized elements are integers with |dot| < 2^53: every float64
     product and partial sum is an exactly-representable integer, so
     BLAS summation order cannot perturb the result and the value
     hash-matches DuckDB's integer arithmetic bit-for-bit.
 
-    Scale shape: shuffle is one pass of the vectors (not pairs); per
-    block the work is O(b^2 d) at BLAS speed with memory bounded by
-    the 1024-row strip. Block size is the scale knob — when a label
-    block outgrows a worker, sub-block the key (LSH band, as
-    dedup_embedding does) or fall back to the ANN paths."""
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
+    Scale shape (round 11): TRIANGLE PARTITIONING. A label block is
+    a pair-parallelism wall — 10 labels = 10 tasks no matter how many
+    cores — and O(b^2 d) per block at 1000x. Each row deterministically
+    lands in strip s = xxhash64(vec_id) % K and is shipped to the K
+    tasks {(min(s,t), max(s,t)) : t < K}; task (p, q) computes exactly
+    the pairs whose strips are {p, q} (cross Gram for p != q, intra
+    for p == q), so every pair is produced exactly once and the task
+    grid is K(K+1)/2 per label regardless of block size. Shuffle is
+    K copies of the vectors (never pairs); per-task memory is bounded
+    by (b/K)^2. K is the scale knob now — sub-blocking no longer
+    changes the plan shape, only the constant."""
+    K = PAIR_STRIPS
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -280,13 +293,71 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             lambda x: F.floor(x.cast("double") * PAIR_QUANT).cast("long"),
         ).alias("qe"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(K)).cast("int").alias("s"),
+    )
+    tasks = q.select(
+        "vec_id",
+        "label",
+        "qe",
+        "s",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {K - 1}), "
+                "t -> struct(least(s, t) AS sa, greatest(s, t) AS sb))"
+            )
+        ).alias("task"),
     )
 
-    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        return _gram_pairs(pdf, PAIR_THRESHOLD)
+    def strip_pairs(key, pdf):
+        _, sa, sb = key
+        return _gram_pairs_striped(pdf, PAIR_THRESHOLD, sa, sb)
 
-    return q.groupBy("label").applyInPandas(
-        block_pairs, "vec_a long, vec_b long, cosine double"
+    return tasks.groupBy("label", "task.sa", "task.sb").applyInPandas(
+        strip_pairs, "vec_a long, vec_b long, cosine double"
+    )
+
+
+def _gram_pairs_striped(pdf, threshold: float, sa: int, sb: int):
+    """Pairs for one triangle task: intra-strip (sa == sb, classic
+    upper-triangle Gram) or cross-strip (sa != sb, rectangular Gram
+    between the two strips, ids ordered per pair). Same exact-integer
+    float64 argument as _gram_pairs."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    if sa == sb:
+        return _gram_pairs(pdf, threshold)
+    a = pdf[pdf["s"] == sa]
+    b = pdf[pdf["s"] == sb]
+    if a.empty or b.empty:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+    ida = a["vec_id"].to_numpy()
+    idb = b["vec_id"].to_numpy()
+    A = np.array(a["qe"].tolist(), dtype=np.float64)
+    B = np.array(b["qe"].tolist(), dtype=np.float64)
+    na = np.sqrt((A * A).sum(axis=1))
+    nb = np.sqrt((B * B).sum(axis=1))
+    out_a: list = []
+    out_b: list = []
+    out_c: list = []
+    strip = 1024
+    for s in range(0, len(ida), strip):
+        G = A[s : s + strip] @ B.T
+        C = G / np.outer(na[s : s + strip], nb)
+        ia, ib = np.nonzero(C >= threshold)
+        va = ida[s + ia]
+        vb = idb[ib]
+        out_a.append(np.minimum(va, vb))
+        out_b.append(np.maximum(va, vb))
+        out_c.append(C[ia, ib])
+    if not out_a:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        }
     )
 
 
