@@ -494,3 +494,52 @@ def test_pca_project_matches_numpy(spark):
             ref[:, j] = -ref[:, j]
     assert got.shape == ref.shape == (len(x), k)
     assert np.allclose(got, ref, atol=2e-2)
+
+
+def test_triangle_striping_covers_every_pair_once():
+    """similarity_pairs' triangle partitioning must be a PARTITION of
+    the pair set: the union of per-task outputs over the K(K+1)/2
+    strip tasks equals the un-striped full-block Gram pairs, with no
+    pair produced twice. Pure-pandas replica of the executor-side
+    math (the Spark plan only routes rows; _gram_pairs_striped does
+    the pairing), seeded across several block shapes including empty
+    strips and singleton strips."""
+    import numpy as np
+    import pandas as pd
+
+    from file_scraper_spark.operators.similarity import (
+        _gram_pairs,
+        _gram_pairs_striped,
+    )
+
+    K = 4
+    for seed, n in [(0, 1), (1, 7), (2, 64), (3, 257)]:
+        rng = np.random.default_rng(seed)
+        ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+        qe = rng.integers(-100, 100, size=(n, 8)).astype(np.int64)
+        # at least one non-zero element per row (norm > 0)
+        qe[:, 0] = np.maximum(np.abs(qe[:, 0]), 1)
+        strips = (ids % K).astype(np.int64)  # any deterministic rule
+        pdf = pd.DataFrame(
+            {"vec_id": ids, "qe": list(qe), "s": strips}
+        )
+        thr = -2.0  # below any cosine: keep EVERY pair, coverage is total
+        full = _gram_pairs(pdf, thr)
+        want = {
+            (int(a), int(b)): c
+            for a, b, c in zip(full.vec_a, full.vec_b, full.cosine)
+        }
+        got: dict = {}
+        for p in range(K):
+            for q in range(p, K):
+                task = pdf[pdf["s"].isin([p, q])]
+                if task.empty:
+                    continue
+                part = _gram_pairs_striped(task, thr, p, q)
+                for a, b, c in zip(part.vec_a, part.vec_b, part.cosine):
+                    key = (int(a), int(b))
+                    assert key not in got, f"pair {key} produced twice"
+                    got[key] = c
+        assert got.keys() == want.keys()
+        for key, c in got.items():
+            assert c == want[key], f"cosine mismatch at {key}"
