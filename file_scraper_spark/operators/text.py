@@ -932,3 +932,146 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_q").alias("p_q_sum"),
         )
     )
+
+
+#: vocabulary-coverage checkpoints (top-k vocab sizes a tokenizer
+#: designer actually compares); the plan only ever materializes the
+#: largest one
+VOCAB_COVERAGE_KS = (100, 1000, 10000)
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), pairs AS (
+      SELECT substring(word, CAST(i AS INT), 2) AS pair, wf
+      FROM (
+        SELECT word, wf, unnest(range(1, length(word))) AS i
+        FROM vocab WHERE length(word) >= 2
+      )
+    )
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS weight
+    FROM pairs GROUP BY pair
+    ORDER BY weight DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop at corpus scale: the top adjacent
+    character pairs, weighted by word frequency — the pair a byte-pair
+    tokenizer would merge next.
+
+    Scale shape: the pair explosion runs over the VOCAB TABLE, not the
+    corpus — one corpus-linear wordcount (map-side combined, shuffle
+    carries one row per (partition, word)), then O(|vocab| x word_len)
+    pair generation and a second vocabulary-sized aggregation, closed
+    by TakeOrderedAndProject(20) (per-partition top-20, no global
+    sort). A 100 TB corpus with a 100M-word vocab never materializes
+    corpus-sized pair lists — this is exactly why production BPE
+    trainers count over the word-frequency table. All JVM built-ins;
+    substring semantics (1-based, character-counted) are identical in
+    DuckDB, so the oracle replays bit-exactly."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "wf",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk
+      FROM tok
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tok
+    )
+    SELECT ks.k,
+           CAST(SUM(CASE WHEN rk <= ks.k THEN cnt ELSE 0 END) AS BIGINT)
+             AS covered,
+           MAX(tot.total) AS total_tokens,
+           CAST(SUM(CASE WHEN rk <= ks.k THEN cnt ELSE 0 END) AS DOUBLE)
+             / MAX(tot.total) AS coverage
+    FROM ranked, tot,
+         (VALUES {", ".join(f"({k})" for k in VOCAB_COVERAGE_KS)}) ks(k)
+    GROUP BY ks.k
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary planning: what fraction of all corpus
+    token occurrences the top-k most frequent words cover, at the
+    vocab sizes a tokenizer designer compares (k in 100/1k/10k).
+
+    Scale shape: the ONLY ordered structure is the top-max(k) slice,
+    fetched with TakeOrderedAndProject (per-partition top-k + driver
+    merge — never a global sort of the vocabulary); the row_number
+    window then runs over those max(k) rows in one task by
+    construction. The corpus-scale work is a single map-side-combined
+    wordcount; the total is a scalar broadcast. Coverage is one IEEE
+    division of two exact BIGINTs — engine-identical (the
+    contamination_check precedent)."""
+    docs = load(spark, sf_dir, "documents")
+    kmax = max(VOCAB_COVERAGE_KS)
+    tok = (
+        docs.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tok.orderBy(F.desc("cnt"), F.asc("word")).limit(kmax)
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rk"),
+    )
+    covered = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"cov_{k}")
+            for k in VOCAB_COVERAGE_KS
+        ]
+    )
+    total = tok.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    one = covered.crossJoin(F.broadcast(total))
+    stack = ", ".join(
+        f"{k}, cov_{k}" for k in VOCAB_COVERAGE_KS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(VOCAB_COVERAGE_KS)}, {stack}) AS (k, covered)"
+        ),
+        "total_tokens",
+    ).select(
+        F.col("k").cast("int").alias("k"),
+        "covered",
+        "total_tokens",
+        (F.col("covered").cast("double") / F.col("total_tokens")).alias(
+            "coverage"
+        ),
+    )

@@ -177,6 +177,10 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     # to the head of the r10 driver window automatically)
     "multimodal_bmp_decode",
     "embedding_gram",
+    # added round-11 (new ops — unverified, so reorder() pulls them
+    # to the head of the r11 driver window automatically)
+    "bpe_merge_candidates",
+    "vocab_coverage",
 )
 
 
