@@ -759,3 +759,34 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bpe_merge_candidates_vocab_sized(spark, sf_dir):
+    """bpe_merge_candidates' pair explosion must hang off the VOCAB
+    aggregate (two hash aggregates, each with a map-side partial),
+    and the top-20 must be a distributed TakeOrderedAndProject —
+    never a global sort, never a corpus-sized pair list shuffled
+    raw."""
+    plan = plan_of("bpe_merge_candidates", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    # both aggregations are map-side combined (partial_count on the
+    # vocab build, partial_sum on the pair weights)
+    assert "partial_count" in plan
+    assert "partial_sum" in plan
+
+
+def test_vocab_coverage_no_global_vocab_sort(spark, sf_dir):
+    """vocab_coverage's only ordered structure must be the
+    TakeOrderedAndProject(max k) slice; the row_number window is
+    allowed ONLY above it (bounded 10k rows in one task by
+    construction). A rangepartitioning exchange would mean the full
+    vocabulary is being globally sorted — the web-scale killer this
+    plan shape exists to avoid."""
+    plan = plan_of("vocab_coverage", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), (
+        "window must sit ABOVE the bounded top-k slice "
+        "(executed-plan strings list parents before children)"
+    )
