@@ -35,6 +35,13 @@ retired the same way, numbers in BENCH_r09):
   parallelism wall at 32 cores, O(b^2 d) per task at any scale); the
   live form triangle-partitions each block into PAIR_STRIPS strips
   and computes pairs in K(K+1)/2 tasks per label.
+- ``dedup_exact_substring`` (representative of the whole
+  near_dup_corpus family): the pre-rewrite form ran the heavy
+  shingle/minhash projections directly on the raw parquet splits
+  (byte-sized and skewed — 15 of 32 cores busy at 100x); the live
+  form round-robin-balances the derived corpus first
+  (NEAR_DUP_BALANCE). Same-JVM at 100x: 0.33x here, 0.62x
+  ngram_jaccard, 0.67x minhash.
 """
 
 from __future__ import annotations
@@ -71,9 +78,21 @@ def _old_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _old_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the balance flag is consulted at PLAN BUILD time, so flipping it
+    # around the build yields the genuine unbalanced plan
+    prev = dedup.NEAR_DUP_BALANCE
+    dedup.NEAR_DUP_BALANCE = False
+    try:
+        return dedup.dedup_exact_substring(spark, sf_dir)
+    finally:
+        dedup.NEAR_DUP_BALANCE = prev
+
+
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
     "dedup_ngram_jaccard": _old_dedup_ngram_jaccard,
     "similarity_pairs": _old_similarity_pairs,
+    "dedup_exact_substring": _old_dedup_exact_substring,
 }

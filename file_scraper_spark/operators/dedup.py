@@ -116,6 +116,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", "n_copies")
 
 
+#: round-robin-balance the derived corpus before the family's heavy
+#: per-doc stages (shingling, minhash, canonical arrays). The raw
+#: parquet scan yields BYTE-sized splits (15 on the 100x fixture —
+#: half a 32-core box idle) and per-doc text compute tracks row/
+#: shingle counts, not bytes, so byte-balanced splits still skew; one
+#: words-array exchange costs ~input size while the projections
+#: behind it cost several times that (measured on the band-minhash
+#: twin: 31.0 -> 8.8s for one pass at 100x). Flag, not hardcode, so
+#: the bench can A/B the two forms in one JVM.
+NEAR_DUP_BALANCE = True
+
+
 def near_dup_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, words) corpus with deterministic perturbed copies.
 
@@ -129,7 +141,12 @@ def near_dup_corpus(docs: DataFrame) -> DataFrame:
             F.col("words"), 1, F.floor(F.size("words") * 0.8).cast("int")
         ).alias("words"),
     )
-    return base.unionAll(perturbed)
+    out = base.unionAll(perturbed)
+    if NEAR_DUP_BALANCE:
+        out = out.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
+    return out
 
 
 #: Memo for exact_collapse's adaptive duplicate probe. The probe is an
