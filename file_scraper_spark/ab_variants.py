@@ -17,82 +17,37 @@ bench asserts nothing about results — the correctness gate already
 covers the live form and the pair equality was checked when the
 rewrite landed.
 
-Round 11 entries (round-10's containment entries deleted per the
-one-round contract — their numbers live in BENCH_r10 /
-BENCH_LOCAL_r10.json and NOTES.md; the round-9 JVM-levenshtein arm
-retired the same way, numbers in BENCH_r09):
+Round 12 entries (round-11's three arms — the pre-PPJoin jaccard
+triangle, the block-task similarity_pairs, the unbalanced
+dedup_exact_substring — deleted per the one-round contract along with
+dedup._jaccard_pairs_triangle and the ``NEAR_DUP_BALANCE=False``
+escape hatch; their numbers live in BENCH_r11 / BENCH_LOCAL_r11.json
+and NOTES.md):
 
-- ``dedup_ngram_jaccard``: the pre-rewrite form expanded the FULL
-  capped posting-list upper triangle, aggregated co-occurrence
-  counts per pair, and joined per-doc counts twice for the quotient;
-  the live form is the symmetric PPJoin prefix filter (index each
-  doc's rarest floor(n/2)+1 shingles in one global df-ascending
-  canonical order, prune candidates by size/count/position, verify
-  survivors with one array_intersect) — lossless at t = 1/2 by the
-  prefix theorem.
-- ``similarity_pairs``: the pre-rewrite form ran ONE applyInPandas
-  task per label block (10 tasks total on this corpus — a
-  parallelism wall at 32 cores, O(b^2 d) per task at any scale); the
-  live form triangle-partitions each block into PAIR_STRIPS strips
-  and computes pairs in K(K+1)/2 tasks per label.
-- ``dedup_exact_substring`` (representative of the whole
-  near_dup_corpus family): the pre-rewrite form ran the heavy
-  shingle/minhash projections directly on the raw parquet splits
-  (byte-sized and skewed — 15 of 32 cores busy at 100x); the live
-  form round-robin-balances the derived corpus first
-  (NEAR_DUP_BALANCE). Same-JVM at 100x: 0.33x here, 0.62x
-  ngram_jaccard, 0.67x minhash.
+- ``dedup_clusters``: the pre-rewrite propagation loop ran plain
+  min-label propagation (one join+groupBy per round, rounds bounded
+  by component DIAMETER) and rebuilt the shared jaccard edge list
+  from scratch on every cold consumer; the live form runs
+  two-phase star contraction (large-star/small-star, O(log n)
+  rounds) over an edge list the trio shares via the disk spill tier.
+  The baseline here pins ONLY the propagation-loop change: both arms
+  read the same memoized edge list inside one JVM.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from file_scraper_spark.operators import dedup, similarity
-from file_scraper_spark.tables import load
+from file_scraper_spark.operators import dedup
 
 
-def _old_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup._jaccard_pairs_triangle(spark, sf_dir)
-
-
-def _old_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                x.cast("double") * similarity.PAIR_QUANT
-            ).cast("long"),
-        ).alias("qe"),
-    )
-
-    def block_pairs(pdf):
-        return similarity._gram_pairs(pdf, similarity.PAIR_THRESHOLD)
-
-    return q.groupBy("label").applyInPandas(
-        block_pairs, "vec_a long, vec_b long, cosine double"
-    )
-
-
-def _old_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the balance flag is consulted at PLAN BUILD time, so flipping it
-    # around the build yields the genuine unbalanced plan
-    prev = dedup.NEAR_DUP_BALANCE
-    dedup.NEAR_DUP_BALANCE = False
-    try:
-        return dedup.dedup_exact_substring(spark, sf_dir)
-    finally:
-        dedup.NEAR_DUP_BALANCE = prev
+def _old_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dedup.jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup._propagate_clusters_minlabel(spark, sf_dir, edges)
 
 
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
-    "dedup_ngram_jaccard": _old_dedup_ngram_jaccard,
-    "similarity_pairs": _old_similarity_pairs,
-    "dedup_exact_substring": _old_dedup_exact_substring,
+    "dedup_clusters": _old_dedup_clusters,
 }
