@@ -181,6 +181,8 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     # to the head of the r11 driver window automatically)
     "bpe_merge_candidates",
     "vocab_coverage",
+    # added round-12
+    "stream_minhash_dedup_upsert",
 )
 
 

@@ -208,6 +208,68 @@ def test_minhash_dedup_batch_split_invariant(spark, sf_dir, tmp_path):
     # sanity: the run found real duplicates to contest
     assert any(not r[3] for r in multi), "no near-dups in fixture?"
 
+    # the update-mode upsert-sink twin must produce the identical
+    # verdicts under the same cross-batch accumulation: each
+    # micro-batch ships only its touched contested buckets into the
+    # DB table, and the LEAST/GREATEST merge must reassemble the same
+    # global band index the complete-mode state snapshot holds
+    from file_scraper_spark.streaming.queries import (
+        stream_minhash_dedup_upsert,
+    )
+
+    upsert_multi = {
+        tuple(r)
+        for r in stream_minhash_dedup_upsert(
+            spark, d, max_files_per_trigger=1
+        ).collect()
+    }
+    assert upsert_multi == single
+
+
+def test_band_index_sink_replay_idempotent(tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch upserts
+    the same staged rows again. min/max merge must leave the table
+    byte-identical, and a later batch must still be able to improve
+    (lower) an owner or extend mx."""
+    import duckdb
+
+    from file_scraper_spark.sinks.band_index_sink import BandIndexSink
+
+    db = str(tmp_path / "t.duckdb")
+    sink = BandIndexSink(lambda: duckdb.connect(db))
+    sink.ensure_target()
+    b1 = [(1, 100, 5, 9), (2, 200, 7, 8)]
+    sink.upsert_rows(b1)
+    sink.upsert_rows(b1)  # replay
+    assert sink.contested_rows() == [(1, 100, 5), (2, 200, 7)]
+    # a later batch lowers bucket (1,100)'s owner and contests a new one
+    sink.upsert_rows([(1, 100, 3, 3), (3, 300, 1, 4)])
+    assert sink.contested_rows() == [
+        (1, 100, 3),
+        (2, 200, 7),
+        (3, 300, 1),
+    ]
+
+
+def test_band_index_sink_rejects_partial_batch(tmp_path):
+    """One micro-batch == one transaction: a failure mid-executemany
+    must leave the table at the previous batch's state (the A15
+    atomicity contract carried over from merge_sink)."""
+    import duckdb
+
+    from file_scraper_spark.sinks.band_index_sink import BandIndexSink
+
+    import pytest
+
+    db = str(tmp_path / "t.duckdb")
+    sink = BandIndexSink(lambda: duckdb.connect(db), batch_size=1)
+    sink.ensure_target()
+    sink.upsert_rows([(1, 100, 5, 9)])
+    with pytest.raises(Exception):
+        # second row violates NOT NULL -> whole batch must roll back
+        sink.upsert_rows([(1, 100, 2, 9), (4, None, 1, 2)])
+    assert sink.contested_rows() == [(1, 100, 5)]
+
 
 def test_append_sink_is_parquet_not_driver_collect(spark, sf_dir):
     """Append-mode streams must land in the executor-parallel parquet
