@@ -32,13 +32,31 @@ and NOTES.md):
   rounds) over an edge list the trio shares via the disk spill tier.
   The baseline here pins ONLY the propagation-loop change: both arms
   read the same memoized edge list inside one JVM.
+
+Round 12 also carries three DRIFT ANCHORS (agg_groupby, join_family,
+window_rank — VERDICT r11 task #4): the sf0.1 single-window headline
+drifted UP three rounds running (r9 15.44 → r10 18.20 → r11 20.41),
+each step inside the documented ~2x ambient swing but now trend-shaped.
+These arms execute the UNTOUCHED r11 tree's registered form of each
+query (loaded from a `git archive bd92284` snapshot via an isolated
+sys.modules swap — relational.py is byte-identical between the trees,
+verified by `git diff bd92284..HEAD`), interleaved same-JVM against
+the r12 tree. Expected ratio ~1.0: that CONFIRMS the drift is ambient
+box noise, any other ratio localizes a real regression to tree code
+rather than load. Skipped silently when the snapshot dir is absent
+(another machine / cleaned tmp).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from file_scraper_spark.operators import dedup
+
+#: `git archive bd92284 | tar -x -C /tmp/r11tree` (round-11 tip)
+R11_TREE = "/tmp/r11tree"
 
 
 def _old_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,8 +64,45 @@ def _old_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup._propagate_clusters_minlabel(spark, sf_dir, edges)
 
 
+def _r11_tree_fn(name: str):
+    """Callable running ``name``'s REGISTERED r11-tree implementation:
+    swap every file_scraper_spark module out of sys.modules, import
+    the snapshot's registry, build the frame, restore. The returned
+    DataFrame stays valid after the swap — these three queries are
+    pure JVM plans (no pandas_udf closures pinning Python modules)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import importlib  # noqa: PLC0415
+        import sys  # noqa: PLC0415
+
+        saved = {
+            k: v
+            for k, v in sys.modules.items()
+            if k.startswith("file_scraper_spark")
+        }
+        for k in saved:
+            del sys.modules[k]
+        sys.path.insert(0, R11_TREE)
+        try:
+            reg = importlib.import_module("file_scraper_spark.registry")
+            reg._ensure_loaded()
+            return reg.REGISTRY[name].fn(spark, sf_dir)
+        finally:
+            sys.path.remove(R11_TREE)
+            for k in list(sys.modules):
+                if k.startswith("file_scraper_spark"):
+                    del sys.modules[k]
+            sys.modules.update(saved)
+
+    return run
+
+
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
     "dedup_clusters": _old_dedup_clusters,
 }
+
+if os.path.isdir(R11_TREE):
+    for _n in ("agg_groupby", "join_family", "window_rank"):
+        AB_BASELINES[_n] = _r11_tree_fn(_n)
