@@ -64,35 +64,52 @@ def _old_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup._propagate_clusters_minlabel(spark, sf_dir, edges)
 
 
+#: the r11 snapshot's registry, imported ONCE on first use via an
+#: isolated sys.modules swap. The swap is only needed during IMPORT
+#: (so the snapshot's intra-package imports resolve to snapshot
+#: modules, not the live tree's cached ones); the captured query
+#: functions keep their own module globals afterwards, so calling
+#: them needs no further swapping. Caching matters for measurement
+#: honesty: a per-call import of the whole 183-query package inside
+#: the timed region biased the first drift capture to 0.78-0.87x on
+#: BYTE-IDENTICAL code — pure import cost, not execution.
+_R11_REGISTRY: dict = {}
+
+
+def _r11_registry() -> dict:
+    if _R11_REGISTRY:
+        return _R11_REGISTRY
+    import importlib  # noqa: PLC0415
+    import sys  # noqa: PLC0415
+
+    saved = {
+        k: v
+        for k, v in sys.modules.items()
+        if k.startswith("file_scraper_spark")
+    }
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, R11_TREE)
+    try:
+        reg = importlib.import_module("file_scraper_spark.registry")
+        reg._ensure_loaded()
+        _R11_REGISTRY.update(reg.REGISTRY)
+    finally:
+        sys.path.remove(R11_TREE)
+        for k in list(sys.modules):
+            if k.startswith("file_scraper_spark"):
+                del sys.modules[k]
+        sys.modules.update(saved)
+    return _R11_REGISTRY
+
+
 def _r11_tree_fn(name: str):
-    """Callable running ``name``'s REGISTERED r11-tree implementation:
-    swap every file_scraper_spark module out of sys.modules, import
-    the snapshot's registry, build the frame, restore. The returned
-    DataFrame stays valid after the swap — these three queries are
-    pure JVM plans (no pandas_udf closures pinning Python modules)."""
+    """Callable running ``name``'s REGISTERED r11-tree implementation
+    (plan building only — these three queries are pure JVM plans, no
+    pandas_udf closures pinning Python modules)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import importlib  # noqa: PLC0415
-        import sys  # noqa: PLC0415
-
-        saved = {
-            k: v
-            for k, v in sys.modules.items()
-            if k.startswith("file_scraper_spark")
-        }
-        for k in saved:
-            del sys.modules[k]
-        sys.path.insert(0, R11_TREE)
-        try:
-            reg = importlib.import_module("file_scraper_spark.registry")
-            reg._ensure_loaded()
-            return reg.REGISTRY[name].fn(spark, sf_dir)
-        finally:
-            sys.path.remove(R11_TREE)
-            for k in list(sys.modules):
-                if k.startswith("file_scraper_spark"):
-                    del sys.modules[k]
-            sys.modules.update(saved)
+        return _r11_registry()[name].fn(spark, sf_dir)
 
     return run
 
