@@ -14,6 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from file_scraper_spark.operators.text import (
+    STOPWORDS,
+    _marker_count,
+    _oracle_marker_count,
+    _words,
+)
 from file_scraper_spark.registry import query
 from file_scraper_spark.tables import load
 
@@ -878,3 +884,181 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS (expectation, n_violations, passed)"""
         ),
     )
+
+
+#: corpus_token_budget keeps the highest-quality docs until this
+#: fraction (1/DEN) of total corpus tokens is reached
+TOKEN_BUDGET_DEN = 4
+
+#: quality buckets for the broadcast prefix table (quality_q div 1000
+#: -> <= 1001 buckets)
+_QUALITY_BUCKET_DIV = 1000
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST({_oracle_marker_count(STOPWORDS)} AS BIGINT)
+               AS stop_cnt
+      FROM documents
+    ), q AS (
+      SELECT doc_id, n_tokens,
+             (1000000 * stop_cnt) // n_tokens AS quality_q
+      FROM base
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) // {TOKEN_BUDGET_DEN} AS BIGINT) AS budget
+      FROM q
+    ), c AS (
+      SELECT doc_id, n_tokens, quality_q,
+             SUM(n_tokens) OVER (ORDER BY quality_q DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q
+    )
+    SELECT doc_id, n_tokens, quality_q,
+           cum <= (SELECT budget FROM tot) AS kept
+    FROM c
+    """,
+    tags=("pipeline", "sampling"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-thresholded token-budget selection: keep the
+    highest-quality documents, ties broken by doc_id, until 1/4 of
+    the corpus's tokens are selected — the step that turns a scored
+    crawl into a fixed-size training mix ("give me the best N
+    tokens"). Quality here is integer stopword density
+    ((1e6*stop_cnt) div n_tokens — exact integer math, so ordering
+    and the budget comparison are bit-identical cross-engine).
+
+    Scale shape — semantically a GLOBAL cumulative sum in quality
+    order, executed with NO global sort: docs aggregate into <= 1001
+    quality buckets; one <= 1001-row broadcast prefix table decides
+    99.9% of docs outright (whole bucket fits the remaining budget ->
+    keep; prefix already exceeds it -> drop); only the SINGLE
+    boundary bucket — ~1/1000 of the corpus — runs a per-doc ordered
+    cumsum, partition-pruned to that bucket. The only ordered
+    structures in the plan are the bucket-table window (<= 1001 rows)
+    and the boundary bucket's cumsum; at 100 TB the boundary bucket
+    can be re-bucketed recursively by the next quality digit if even
+    1/1000 of the corpus is too much for one ordered partition.
+    Oracle: the straightforward global-window formulation (DuckDB),
+    proving the two-phase plan computes exactly it."""
+    from file_scraper_spark.tables import scoped_cache  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        _marker_count(_words(), STOPWORDS).cast("long").alias("stop_cnt"),
+    )
+    q = scoped_cache(
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(1000000 * stop_cnt) div n_tokens").alias("quality_q"),
+        ).withColumn(
+            # -1 sentinel for NULL quality (NULL text): an equi-join on
+            # a NULL bucket key would silently DROP those rows; -1 also
+            # sorts after every real bucket under DESC, matching the
+            # oracle's NULLS LAST global order
+            "bucket",
+            F.coalesce(
+                F.expr(f"quality_q div {_QUALITY_BUCKET_DIV}"), F.lit(-1)
+            ),
+        )
+    )
+    buckets = q.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
+    # <= 1001 rows: the single-partition window is bounded by
+    # construction (same justification as vocab_coverage's top-k)
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = buckets.select(
+        "bucket",
+        "bt",
+        F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("prefix"),
+    )
+    tot = q.agg(
+        F.expr(f"sum(n_tokens) div {TOKEN_BUDGET_DEN}").alias("budget")
+    )
+    marked = prefix.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "prefix",
+        "budget",
+        F.when(F.col("prefix") + F.col("bt") <= F.col("budget"), "keep")
+        .when(F.col("prefix") >= F.col("budget"), "drop")
+        .otherwise("edge")
+        .alias("cls"),
+    )
+    joined = q.join(F.broadcast(marked), "bucket")
+    decided = joined.filter(F.col("cls") != "edge").select(
+        "doc_id",
+        "n_tokens",
+        "quality_q",
+        (F.col("cls") == "keep").alias("kept"),
+    )
+    wc = Window.partitionBy("bucket").orderBy(
+        F.col("quality_q").desc(), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    # coalesce(n_tokens, 0) inside the cumsum: the oracle's window SUM
+    # SKIPS a NULL-token row (cum unchanged), while a plain Spark sum
+    # would poison the running total to NULL for every later row in
+    # the bucket. Adding 0 is the same arithmetic the skip performs.
+    # The all-NULL-prefix case still yields NULL kept in both engines:
+    # budget itself is NULL there (sum of an all-NULL column).
+    edge = joined.filter(F.col("cls") == "edge").select(
+        "doc_id",
+        "n_tokens",
+        "quality_q",
+        (
+            F.col("prefix")
+            + F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).over(wc)
+            <= F.col("budget")
+        ).alias("kept"),
+    )
+    return decided.unionAll(edge)
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+    SELECT doc_id, n_tokens, stop_cnt FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST({_oracle_marker_count(STOPWORDS)} AS BIGINT)
+               AS stop_cnt,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+               AS BIGINT) AS u
+      FROM documents
+    )
+    WHERE u * n_tokens < stop_cnt * 1099511627776
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED sampling: keep each doc with probability equal
+    to its stopword density (the soft alternative to
+    corpus_token_budget's hard threshold — low-quality docs still
+    contribute, proportionally less, preserving distribution tails).
+    Membership is the deterministic hash-vs-weight test
+    u40 < p * 2^40, evaluated in exact integer cross-multiplied form
+    (u40 * n_tokens < stop_cnt * 2^40, every operand < 2^57): same
+    sample under re-runs, re-partitioning and engine swaps — RNG
+    sampling is none of these. One scan, one pushed-down per-row
+    predicate, no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        _marker_count(_words(), STOPWORDS).cast("long").alias("stop_cnt"),
+        u.alias("u"),
+    )
+    return base.filter(
+        F.col("u") * F.col("n_tokens")
+        < F.col("stop_cnt") * F.lit(1099511627776)
+    ).select("doc_id", "n_tokens", "stop_cnt")

@@ -183,6 +183,8 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "vocab_coverage",
     # added round-12
     "stream_minhash_dedup_upsert",
+    "corpus_token_budget",
+    "sample_quality_weighted",
 )
 
 

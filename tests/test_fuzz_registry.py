@@ -53,6 +53,7 @@ QUERIES = (
     "context_windows",
     "corpus_mixture",
     "corpus_shuffle",
+    "corpus_token_budget",
     "dedup_cluster_cap",
     "dedup_clusters",
     "dedup_clusters_sampled",
@@ -75,6 +76,7 @@ QUERIES = (
     "quality_expectations",
     "quality_funnel",
     "sample_domain_quota",
+    "sample_quality_weighted",
     "sample_temperature",
     "sequence_packing",
     "snapshot_diff",
