@@ -119,13 +119,14 @@ def _jaccard_edges_build(spark, sf_dir):
     price still measured, on its own honest row. reset_session_state
     deliberately leaves the spill on disk (it is a materialized
     intermediate table, not session state)."""
-    from file_scraper_spark.operators.dedup import (
-        clear_edge_spill,
-        jaccard_pairs,
-    )
+    from file_scraper_spark.operators import dedup
 
-    clear_edge_spill()
-    return jaccard_pairs(spark, sf_dir)
+    dedup.clear_edge_spill()
+    # the memo too: a surviving memo entry is a frame over the files
+    # clear_edge_spill just deleted — the warm (no-reset) run would
+    # read a deleted parquet. A builder's warm run = full rebuild.
+    dedup._EDGES_MEMO.clear()
+    return dedup.jaccard_pairs(spark, sf_dir)
 
 
 def _dedup_jaccard_sampled_fast(spark, sf_dir):
