@@ -1507,6 +1507,90 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: drop a training doc once it shares this many capped shingles with
+#: ANY eval doc (the GPT-3/Pile-style n-gram decontamination rule)
+DECONTAM_HITS = 5
+
+
+@query(
+    "decontaminate_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), shingled AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS shingle
+        FROM base
+      )
+    ), shingle_df AS (
+      SELECT shingle, COUNT(*) AS df FROM shingled GROUP BY shingle
+    ), capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s JOIN shingle_df d ON s.shingle = d.shingle
+      WHERE d.df <= {SHINGLE_DF_CAP}
+    ), eval_keys AS (
+      SELECT DISTINCT shingle FROM capped WHERE doc_id < 10
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM capped
+      WHERE doc_id >= 10
+        AND shingle IN (SELECT shingle FROM eval_keys)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n, 0) < {DECONTAM_HITS} AS kept
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id >= 10
+    """,
+    tags=("dedup", "pipeline"),
+)
+def decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT on benchmark contamination: a per-training-doc keep/drop
+    decision table — drop any training doc sharing >= DECONTAM_HITS
+    frequency-capped 3-gram shingles with ANY eval doc (doc_id < 10
+    as the stand-in eval set, as in contamination_check). This is the
+    filter step downstream of contamination_check's REPORT, the same
+    detection->action pairing as dedup_clusters -> dedup_cluster_cap.
+
+    Scale shape: eval sets are small by nature (thousands of docs vs
+    billions), so the eval shingle-key set is BROADCAST — the train
+    side never shuffles for the probe; per train doc the state is one
+    counter. The df <= CAP hot-shingle guard keeps boilerplate
+    ("all rights reserved") from contaminating everything, exactly as
+    in the report op. Join keys are xxhash64 of the shingle (equality
+    + counts only; a 64-bit collision would fail the oracle loudly,
+    same argument as jaccard_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = cap_hot_shingles(
+        shingles(
+            docs.select("doc_id", F.split("text", " ").alias("words"))
+        ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
+    eval_keys = (
+        sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(eval_keys), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 10)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n", F.lit(0)) < DECONTAM_HITS).alias("kept"),
+        )
+    )
+
+
 _MINHASH_ORACLE = (
     _CORPUS_SQL
     + f"""

@@ -1062,3 +1062,69 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u") * F.col("n_tokens")
         < F.col("stop_cnt") * F.lit(1099511627776)
     ).select("doc_id", "n_tokens", "stop_cnt")
+
+
+#: pseudo-shard count for the output-layout audit
+N_SHARDS = 32
+
+
+@query(
+    "shard_skew_report",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % {N_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM tagged GROUP BY shard
+    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT shard, n_docs, n_tokens,
+           CAST((1000000 * n_tokens) // (SELECT t FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM per
+    """,
+    tags=("pipeline",),
+)
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-layout skew audit: token/doc volume per pseudo-shard
+    (deterministic md5 bucket of doc_id into N_SHARDS), each shard's
+    corpus share in exact integer ppm — the pre-write check a 100 TB
+    pipeline runs before committing a sharded export (one hot shard =
+    one straggler for every downstream reader). Hash sharding is the
+    recommendation this report validates: a skewed share_ppm column
+    under hash sharding means a pathological key distribution that
+    range sharding would only make worse.
+
+    One scan, one map-side-combinable aggregation into N_SHARDS
+    groups, one single-row broadcast for the total — no ordered
+    structures, no driver data path. ppm is (1e6 * shard_tokens) div
+    total: exact BIGINT math (no double shares to tie-break), safe to
+    ~9e12 tokens per shard before overflow."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % N_SHARDS
+    )
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(_words()).cast("long").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) div t").alias("share_ppm"),
+    )

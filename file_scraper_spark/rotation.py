@@ -185,6 +185,8 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "stream_minhash_dedup_upsert",
     "corpus_token_budget",
     "sample_quality_weighted",
+    "decontaminate_filter",
+    "shard_skew_report",
 )
 
 

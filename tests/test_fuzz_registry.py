@@ -70,6 +70,7 @@ QUERIES = (
     "dedup_paragraph",
     "dedup_simhash",
     "dedup_url",
+    "decontaminate_filter",
     "doc_fingerprint",
     "path_split",
     "profile_table",
@@ -79,6 +80,7 @@ QUERIES = (
     "sample_quality_weighted",
     "sample_temperature",
     "sequence_packing",
+    "shard_skew_report",
     "snapshot_diff",
     "text_chunk",
     "text_bm25_topk",

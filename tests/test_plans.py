@@ -814,3 +814,19 @@ def test_vocab_coverage_no_global_vocab_sort(spark, sf_dir):
         "window must sit ABOVE the bounded top-k slice "
         "(executed-plan strings list parents before children)"
     )
+
+
+def test_token_budget_has_no_global_sort(spark, sf_dir):
+    """corpus_token_budget is semantically a GLOBAL cumsum in quality
+    order but must never plan one: no range-partitioned exchange and
+    no global Sort anywhere — the only ordered structures are the
+    <=1001-row bucket-prefix window (single partition by construction)
+    and the boundary bucket's per-bucket local sort. The heavy per-doc
+    projection must come from the scoped cache, scanned once."""
+    plan = plan_of("corpus_token_budget", spark, sf_dir)
+    assert "rangepartitioning" not in plan.lower()
+    for ln in plan.splitlines():
+        if re.search(r"\bSort \[", ln):
+            # Sort [...], global, offset — global sorts print 'true'
+            assert "], false, 0" in ln, f"global sort in plan: {ln}"
+    assert "InMemoryTableScan" in plan
