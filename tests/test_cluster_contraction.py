@@ -165,3 +165,18 @@ def test_sampled_edges_never_spill(spark, sf_dir, tmp_path, monkeypatch):
         spark, sf_dir, sample_mod=dedup.SHINGLE_SAMPLE_MOD
     ).count()
     assert not (tmp_path / "s").exists()
+
+
+def test_near_dup_ids_matches_corpus_nodes(spark, sf_dir):
+    """near_dup_ids is a shuffle-free id-only twin of near_dup_corpus;
+    the two derivations must never drift (the clusterer's singleton
+    anti-join quietly mislabels docs if they do)."""
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    ids = {r.doc_id for r in dedup.near_dup_ids(docs).collect()}
+    nodes = {
+        r.doc_id
+        for r in dedup.near_dup_corpus(docs).select("doc_id").collect()
+    }
+    assert ids == nodes and len(ids) > 0
