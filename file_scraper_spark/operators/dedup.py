@@ -2618,6 +2618,216 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- maintained corpus index (incremental dedup, round 12) -------------
+
+#: session-scoped memo: data fingerprint -> the three maintained table
+#: names. NOT cleared by reset_session_state — like the edge spill,
+#: the index is a materialized table, not session cache (catalog
+#: registrations survive a cache reset too; only a fresh session
+#: rebuilds). Bucket count is the knob a real deployment sizes to its
+#: executor count.
+_SIDX_MEMO: dict[object, tuple[str, str, str]] = {}
+SIDX_BUCKETS = 16
+
+
+def corpus_shingle_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build (or reuse) the MAINTAINED corpus-side index
+    dedup_incremental's docstring promises: three warehouse tables,
+    keyed by the corpus fingerprint —
+
+    - ``fss_sidx_<slug>``: capped posting lists (shingle -> corpus doc
+      ids), BUCKETED AND SORTED BY shingle, so the daily shard join
+      needs no exchange and no sort on the corpus side — the shuffle
+      moved to maintenance time, paid once per corpus change and
+      amortized over every daily run;
+    - ``fss_cnt_<slug>``: per-corpus-doc capped set sizes, bucketed by
+      doc_id, for the exchange-free side of the final count join;
+    - ``fss_hot_<slug>``: the df > SHINGLE_DF_CAP hot shingles (tiny),
+      broadcast to prune the shard side before the probe.
+
+    Rebuilding drops every other ``fss_sidx_*`` generation first, so
+    the warehouse holds at most one corpus index per table family
+    (plus this one) — the same bounded-retention contract as the edge
+    spill."""
+    key = data_key(sf_dir, "documents")
+    hit = _SIDX_MEMO.get(key)
+    if hit is not None and all(
+        spark.catalog.tableExists(t) for t in hit
+    ):
+        return hit
+    slug = _spill_slug(key)
+    names = (f"fss_sidx_{slug}", f"fss_cnt_{slug}", f"fss_hot_{slug}")
+    for t in spark.catalog.listTables():
+        if t.name.startswith(("fss_sidx_", "fss_cnt_", "fss_hot_")):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    # ALSO sweep orphaned warehouse dirs: the in-memory catalog forgets
+    # tables at session end but their managed locations persist, and
+    # saveAsTable refuses a name whose location already exists
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    try:
+        for d in os.scandir(wh):
+            if d.name.startswith(("fss_sidx_", "fss_cnt_", "fss_hot_")):
+                shutil.rmtree(d.path, ignore_errors=True)
+    except OSError:
+        pass
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    per = scoped_cache(
+        sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("doc_id").alias("cs"),
+        )
+    )
+    (
+        per.filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+        .write.mode("overwrite")
+        .saveAsTable(names[2])
+    )
+    capped = per.filter(F.col("df") <= SHINGLE_DF_CAP)
+    (
+        capped.select("shingle", "cs")
+        .write.mode("overwrite")
+        .bucketBy(SIDX_BUCKETS, "shingle")
+        .sortBy("shingle")
+        .saveAsTable(names[0])
+    )
+    (
+        capped.select(F.explode("cs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .bucketBy(SIDX_BUCKETS, "doc_id")
+        .saveAsTable(names[1])
+    )
+    _SIDX_MEMO[key] = names
+    return names
+
+
+@query(
+    "dedup_incremental_indexed",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), corpus_sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS shingle
+        FROM base
+      )
+    ), shard_base AS (
+      SELECT -(doc_id + 1) AS new_id,
+             list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
+               AS words
+      FROM base WHERE doc_id % 5 = 0
+    ), shard_sh AS (
+      SELECT DISTINCT new_id, shingle FROM (
+        SELECT new_id,
+               unnest(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS shingle
+        FROM shard_base
+      )
+    ), hot AS (
+      SELECT shingle FROM corpus_sh
+      GROUP BY shingle HAVING COUNT(*) > {SHINGLE_DF_CAP}
+    ), capped_c AS (
+      SELECT doc_id, shingle FROM corpus_sh
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), capped_s AS (
+      SELECT new_id, shingle FROM shard_sh
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), nc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM capped_c GROUP BY doc_id
+    ), nn AS (
+      SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM capped_s GROUP BY new_id
+    ), inter AS (
+      SELECT c.doc_id AS corpus_id, s.new_id,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM capped_c c JOIN capped_s s ON c.shingle = s.shingle
+      GROUP BY c.doc_id, s.new_id
+    )
+    SELECT corpus_id, inter.new_id AS new_id,
+           CAST(common AS DOUBLE) / (nc.n + nn.n - common) AS jaccard
+    FROM inter
+    JOIN nc ON nc.doc_id = corpus_id
+    JOIN nn ON nn.new_id = inter.new_id
+    WHERE CAST(common AS DOUBLE) / (nc.n + nn.n - common)
+          >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "near-dup", "incremental"),
+)
+def dedup_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_incremental's 100 TB deployment shape made REAL: the
+    corpus side is the maintained bucketed index
+    (corpus_shingle_index), so the daily run's plan shuffles ONLY the
+    new shard — the corpus posting lists and per-doc counts stream
+    out of bucket-and-sort-preserving scans with no exchange and no
+    sort (pinned in test_plans). Where dedup_incremental rebuilds the
+    combined index per run (correct, but corpus-sized work daily),
+    this form pays the corpus work once per corpus CHANGE at
+    maintenance time.
+
+    Semantics note (deliberate, documented divergence): the hot-
+    shingle cap here is CORPUS document frequency — the only df a
+    maintained index can know at daily time — applied to both sides
+    (a shingle that is boilerplate in the corpus is boilerplate in
+    the shard too); novel shard shingles count toward the shard set
+    size but generate no candidates. dedup_incremental's combined-df
+    cap needs the day's shard to recompute df, which is exactly the
+    corpus-sized pass this variant exists to avoid. Both forms carry
+    their own exact DuckDB oracle."""
+    idx_t, cnt_t, hot_t = corpus_shingle_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    shard_docs = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
+            F.slice(
+                F.col("w"), 1, F.floor(F.size("w") * 0.8).cast("int")
+            ).alias("words"),
+        )
+    )
+    shard_sh = shingles(shard_docs).select(
+        F.col("doc_id").alias("new_id"),
+        F.xxhash64("shingle").alias("shingle"),
+    )
+    capped_s = scoped_cache(
+        shard_sh.join(F.broadcast(spark.table(hot_t)), "shingle", "left_anti")
+    )
+    nn = capped_s.groupBy("new_id").agg(F.count(F.lit(1)).alias("nn"))
+    pairs = (
+        capped_s.join(spark.table(idx_t), "shingle")
+        .select("new_id", F.explode("cs").alias("corpus_id"))
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cnt = spark.table(cnt_t).select(
+        F.col("doc_id").alias("corpus_id"), F.col("n").alias("nc")
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("nc") + F.col("nn") - F.col("common")
+    )
+    return (
+        pairs.join(cnt, "corpus_id")
+        .join(nn, "new_id")
+        .select("corpus_id", "new_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 # --- exact-substring dedup --------------------------------------------
 
 #: window length (tokens) for exact-substring overlap detection —

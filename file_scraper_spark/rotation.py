@@ -187,6 +187,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "sample_quality_weighted",
     "decontaminate_filter",
     "shard_skew_report",
+    "dedup_incremental_indexed",
 )
 
 

@@ -64,6 +64,7 @@ QUERIES = (
     "dedup_exact",
     "dedup_exact_substring",
     "dedup_incremental",
+    "dedup_incremental_indexed",
     "dedup_jaccard_sampled",
     "dedup_minhash",
     "dedup_ngram_jaccard",

@@ -830,3 +830,17 @@ def test_token_budget_has_no_global_sort(spark, sf_dir):
             # Sort [...], global, offset — global sorts print 'true'
             assert "], false, 0" in ln, f"global sort in plan: {ln}"
     assert "InMemoryTableScan" in plan
+
+
+def test_incremental_indexed_corpus_side_no_shuffle(spark, sf_dir):
+    """dedup_incremental_indexed's whole point: the maintained corpus
+    index is bucketed by shingle, so the daily join NEVER exchanges
+    the corpus posting lists — the only shingle-keyed work is the
+    shard side. Pin: a Bucketed: true scan of the fss_sidx table and
+    ZERO hashpartitioning exchanges on the shingle key (at fixture
+    scale the planner may broadcast the tiny shard side instead of
+    sort-merging — either way the corpus side must not move)."""
+    plan = plan_of("dedup_incremental_indexed", spark, sf_dir)
+    assert "Bucketed: true" in plan
+    assert "fss_sidx_" in plan
+    assert "Exchange hashpartitioning(shingle" not in plan

@@ -50,6 +50,9 @@ SUBSET = [
     "dedup_simhash",
     "jaccard_edges_build",
     "dedup_ngram_jaccard",
+    "corpus_index_build",
+    "dedup_incremental",
+    "dedup_incremental_indexed",
     "dedup_jaccard_sampled",
     "dedup_jaccard_sampled_fast",
     "contamination_check",
@@ -129,6 +132,19 @@ def _jaccard_edges_build(spark, sf_dir):
     return dedup.jaccard_pairs(spark, sf_dir)
 
 
+def _corpus_index_build(spark, sf_dir):
+    """Maintenance-time build of the bucketed corpus shingle index
+    (round 12) — measured on its own row like jaccard_edges_build, so
+    dedup_incremental_indexed's cold row shows what a DAILY run costs
+    once the index is maintained. Drops the memo so every cold rep is
+    a genuine rebuild."""
+    from file_scraper_spark.operators import dedup
+
+    dedup._SIDX_MEMO.clear()
+    idx_t, cnt_t, hot_t = dedup.corpus_shingle_index(spark, sf_dir)
+    return spark.table(cnt_t)
+
+
 def _dedup_jaccard_sampled_fast(spark, sf_dir):
     """Sampled-shingle Jaccard selecting on the xxhash64 JOIN KEY the
     index already computes — the production variant (the registered
@@ -146,6 +162,7 @@ def _dedup_jaccard_sampled_fast(spark, sf_dir):
 
 EXTRA = {
     "jaccard_edges_build": _jaccard_edges_build,
+    "corpus_index_build": _corpus_index_build,
     "dedup_minhash_fast": _dedup_minhash_fast,
     "dedup_jaccard_sampled_fast": _dedup_jaccard_sampled_fast,
     "hll_sketch_only": _hll_sketch_only,
