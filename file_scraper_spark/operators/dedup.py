@@ -1188,6 +1188,11 @@ def _propagate_clusters(
             F.greatest("doc_a", "doc_b").alias("hi"),
             F.least("doc_a", "doc_b").alias("lo"),
         )
+        # drop self-loops defensively: jaccard_pairs never emits one,
+        # but a self-loop is its own child AND parent, so the star-
+        # forest convergence test could never pass (the node still
+        # labels itself via the singleton/center path)
+        .filter(F.col("hi") != F.col("lo"))
         .distinct()
         .localCheckpoint()
     )

@@ -71,6 +71,10 @@ GRAPHS = {
         for b in range(100, 110)
         if a < b and (a * 7 + b * 3) % 4 == 0
     ],
+    # self-loops: jaccard never emits one, but the shared helper must
+    # not hang the convergence test on own-child-own-parent rows
+    "self_loop_mixed": [(7, 7), (7, 8)],
+    "self_loop_only": [(9, 9)],
     "forest_mixed": (
         [(i, i + 1) for i in range(200, 216)]  # path of 17
         + [(300, 301)]
