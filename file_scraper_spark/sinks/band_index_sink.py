@@ -35,6 +35,15 @@ Reference parity note: the reference's sink is the snapshot merge
 (/root/reference/src/db.rs:92-124, ported in merge_sink.py); a band
 index is [EXT] surface, so this module reuses its transactional
 pattern, not its table.
+
+Scale evolution (not needed at measured volumes — 100x phase profile
+put PK ingest at 0.7s over 384k contested rows, NOTES.md): if a corpus
+ever produces billions of contested buckets per batch, the same
+min/max-merge algebra supports an APPEND-only log table with
+merge-on-read (`GROUP BY band_id, key` view) and periodic compaction —
+the LSM trade: O(1) index maintenance per batch, slightly costlier
+reads. The upsert form stays the default because the verdict join
+reads the index far more often than batches write it.
 """
 
 from __future__ import annotations
