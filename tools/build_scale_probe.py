@@ -45,6 +45,11 @@ def build(src: str, dest: str, n: int) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # stream the COPY instead of buffering the whole replicated result
+    # (1000x lineitem = 600M rows; order-preserving COPY held ~70 GB
+    # before writing a byte — row order is semantically irrelevant to
+    # every fixture consumer)
+    con.execute("SET preserve_insertion_order = false")
 
     for t in DIMS:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dest}/{t}.parquet")
