@@ -1,0 +1,183 @@
+"""Graph analytics over warehouse tables (PageRank-family).
+
+A training-data pipeline ranks crawl hosts by link-graph centrality
+(Common Crawl's harmonic-centrality lists, OPIC crawl ordering) to
+prioritize fetching and to weight quality sampling.  The fixtures
+carry no web graph, so the operator runs on the bipartite
+part<->supplier graph induced by ``lineitem`` — the structure
+(iterative sparse matvec over an edge list) is identical, only the
+node vocabulary differs.
+
+Why integer arithmetic: PageRank is a fixpoint over doubles, and
+float summation order differs between Spark's partial aggregation
+and DuckDB's single-node fold, so a double-typed rank would never
+value-hash equal.  Every quantity here is a BIGINT in fixed-point
+``SCALE`` units with ``div``/``//`` floor division (bit-identical in
+both engines), so the K-round unrolled oracle replays the EXACT
+computation — same rule as the minhash / IVF / LSH oracles
+(operators/dedup.py, operators/similarity.py).
+
+Connected components (the other iterative graph op this engine
+needs) lives in operators/dedup.py::_propagate_clusters as
+alternating star contraction; this module deliberately reuses its
+loop idioms (localCheckpoint per round, fixed round cap that raises
+rather than returning a wrong partial state is not needed here —
+PageRank's round count IS the definition, not a convergence bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+#: fixed-point scale for rank mass. Total mass ~= SCALE; per-node
+#: ranks and damped sums stay < 64 * SCALE << 2^63 (no overflow) and
+#: the 17/20 damping multiply stays exact in BIGINT.
+PR_SCALE = 10**12
+
+#: damping d = 0.85 = PR_D_NUM / PR_D_DEN, applied as
+#: ``(PR_D_NUM * x) div PR_D_DEN`` so both engines floor identically.
+PR_D_NUM = 17
+PR_D_DEN = 20
+
+#: fixed iteration count. PageRank error contracts by d per round;
+#: 4 rounds is enough to separate hubs from the tail (the operator's
+#: job here) while keeping the unrolled DuckDB oracle readable. The
+#: round count is part of the query's definition (both engines run
+#: exactly K rounds), not a convergence heuristic.
+PR_ROUNDS = 4
+
+PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    """K-round unrolled DuckDB twin of the Spark loop below."""
+    it_prev = "r0"
+    steps = []
+    for k in range(1, PR_ROUNDS + 1):
+        steps.append(
+            f"""it{k} AS (
+      SELECT e.dst AS node,
+             (SELECT t FROM tele)
+               + ({PR_D_NUM} * SUM(r.rank // d.deg)) // {PR_D_DEN}
+               AS rank
+      FROM {it_prev} r
+      JOIN edges e ON e.src = r.node
+      JOIN deg d ON d.src = r.node
+      GROUP BY e.dst
+    )"""
+        )
+        it_prev = f"it{k}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+      FROM lineitem
+    ), edges AS (
+      SELECT p AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, p AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), n AS (
+      SELECT COUNT(*) AS n FROM deg
+    ), tele AS (
+      SELECT (({PR_SCALE} * ({PR_D_DEN} - {PR_D_NUM})) // {PR_D_DEN})
+               // (SELECT n FROM n) AS t
+    ), r0 AS (
+      SELECT src AS node, {PR_SCALE} // (SELECT n FROM n) AS rank
+      FROM deg
+    ),
+    {joined}
+    SELECT node AS node_id,
+           CAST(node % 2 AS BIGINT) AS is_supplier,
+           CAST(rank AS BIGINT) AS rank_q
+    FROM {it_prev}
+    ORDER BY rank_q DESC, node_id
+    LIMIT {PR_TOPK}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph",))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, K=4 rounds, fixed-point BIGINT) over
+    the undirected part<->supplier graph from ``lineitem``; returns
+    the top-20 nodes.  The crawl-prioritization building block: rank
+    hosts by centrality, then feed the scores into quality-weighted
+    sampling (sample_quality_weighted) or fetch ordering.
+
+    Node ids are namespaced (part -> 2*key, supplier -> 2*key+1) so
+    one BIGINT column carries the bipartite union.  Undirected edges
+    mean every node has out-degree >= 1 — no dangling-mass term.
+
+    Scale shape: the edge list with per-src degree is built ONCE,
+    hash-partitioned by ``src``, and cached; each round is (a) one
+    equi-join of the rank frame (N rows — node-sized, never
+    edge-sized) against the cached edge list on ``src``, then (b) one
+    groupBy(dst) whose partial aggregation sums contributions
+    map-side before the exchange, so a celebrity node (every part
+    linked to one mega-supplier) arrives at the reducer as ~one row
+    per map task, not per in-edge.  Per-round shuffle volume is
+    therefore O(nodes), not O(edges) — only the initial edge
+    partitioning ever moves the edge list.  localCheckpoint per round
+    truncates the K-deep lineage (swap for checkpoint() on a real
+    cluster — same trade documented on dedup._EDGES_MEMO).  At a web
+    scale graph, AQE handles rank-side skew; the edge cache is the
+    one resident structure and it is O(edges/executors) per node.
+
+    The rank column stays in integer SCALE units end-to-end (see
+    module docstring); ``rank_q / 1e12`` is the probability."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("p").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # one resident structure: edge list + src degree, partitioned by
+    # the join key so every round's join reuses the layout.
+    edges_deg = (
+        edges.join(deg, "src").repartition("src").localCheckpoint()
+    )
+
+    # node count is a scalar plan parameter (like the similarity
+    # family's codebook collects) — one control-plane count, not a
+    # driver-side data loop.
+    n_nodes = deg.count()
+    tele = (PR_SCALE * (PR_D_DEN - PR_D_NUM) // PR_D_DEN) // n_nodes
+    r0 = PR_SCALE // n_nodes
+
+    ranks = edges_deg.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(r0).cast("long").alias("rank")
+    )
+    for _ in range(PR_ROUNDS):
+        contribs = ranks.join(
+            edges_deg, ranks["node"] == edges_deg["src"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank div deg").alias("c"),
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(
+                (
+                    F.lit(tele).cast("long")
+                    + F.expr(f"({PR_D_NUM} * sum(c)) div {PR_D_DEN}")
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            (F.col("node") % 2).cast("long").alias("is_supplier"),
+            F.col("rank").cast("long").alias("rank_q"),
+        )
+        .orderBy(F.desc("rank_q"), F.asc("node_id"))
+        .limit(PR_TOPK)
+    )

@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
     from file_scraper_spark.operators import (  # noqa: F401
         analytics_ext,
         dedup,
+        graph,
         io_formats,
         multimodal,
         pipeline_ops,

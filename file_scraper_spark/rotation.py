@@ -188,6 +188,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "decontaminate_filter",
     "shard_skew_report",
     "dedup_incremental_indexed",
+    "graph_pagerank",
 )
 
 
