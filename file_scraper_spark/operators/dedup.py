@@ -3205,3 +3205,179 @@ def dedup_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation and bias containment DOWN on the pairs this op exists to
     find). Fully oracle-replayable like every sampled variant."""
     return _containment_pairs(spark, sf_dir, sample_mod=SHINGLE_SAMPLE_MOD)
+
+
+# --- Bloom-filter ingest gate (round 12) --------------------------------
+
+#: Bloom geometry: k hash positions per key, B filter bits per corpus
+#: key. FP rate ~= (1 - e^(-k*n/m))^k = (1 - e^(-3/20))^3 ~= 0.27% —
+#: cheap enough that the verify join downstream sees ~0.3% of the
+#: definitely-new volume as false candidates. Words are 62 useful
+#: bits wide so no position ever touches the BIGINT sign bit (DuckDB
+#: raises on 1<<63; Spark wraps negative — 62 sidesteps both).
+BLOOM_K = 3
+BLOOM_BITS_PER_KEY = 20
+BLOOM_WORD_BITS = 62
+
+
+def _bloom_words(n_keys: int) -> int:
+    """Filter size in 62-bit words for ``n_keys`` corpus keys — the
+    deterministic sizing rule both engines apply to the same count."""
+    return max(64, (BLOOM_BITS_PER_KEY * n_keys + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
+
+
+def _bloom_gate_oracle() -> str:
+    probes = ", ".join(str(i) for i in range(BLOOM_K))
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+    ), shard AS (
+      SELECT -(doc_id + 1) AS new_id,
+             CASE WHEN doc_id % 2 = 0 THEN text
+                  ELSE text || ' v2' END AS text
+      FROM documents
+    ), geom AS (
+      SELECT GREATEST(64, ({BLOOM_BITS_PER_KEY} * COUNT(*)
+               + {BLOOM_WORD_BITS - 1}) // {BLOOM_WORD_BITS}) AS w
+      FROM corpus
+    ), cpos AS (
+      SELECT (CAST(('0x' || substring(md5(text), 1, 10)) AS BIGINT)
+              + i * CAST(('0x' || substring(md5(text), 11, 10)) AS BIGINT))
+             % ((SELECT w FROM geom) * {BLOOM_WORD_BITS}) AS pos
+      FROM corpus CROSS JOIN (SELECT unnest([{probes}]) AS i)
+    ), bloom AS (
+      SELECT pos // {BLOOM_WORD_BITS} AS word,
+             bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER))
+               AS bits
+      FROM cpos GROUP BY pos // {BLOOM_WORD_BITS}
+    ), spos AS (
+      SELECT new_id, text,
+             (CAST(('0x' || substring(md5(text), 1, 10)) AS BIGINT)
+              + i * CAST(('0x' || substring(md5(text), 11, 10)) AS BIGINT))
+             % ((SELECT w FROM geom) * {BLOOM_WORD_BITS}) AS pos
+      FROM shard CROSS JOIN (SELECT unnest([{probes}]) AS i)
+    ), hits AS (
+      SELECT s.new_id, s.text,
+             MIN(COALESCE((b.bits >> CAST(s.pos % {BLOOM_WORD_BITS}
+                                          AS INTEGER)) & 1, 0)) AS all_hit
+      FROM spos s
+      LEFT JOIN bloom b ON b.word = s.pos // {BLOOM_WORD_BITS}
+      GROUP BY s.new_id, s.text
+    )
+    SELECT h.new_id,
+           CAST(h.all_hit AS BIGINT) AS candidate,
+           CAST(CASE WHEN h.all_hit = 1 AND EXISTS (
+                  SELECT 1 FROM corpus c WHERE c.text = h.text
+                ) THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+    FROM hits h
+    ORDER BY new_id
+    """
+
+
+@query(
+    "dedup_bloom_gate",
+    oracle=_bloom_gate_oracle(),
+    tags=("dedup", "incremental"),
+)
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest gate: classify an arriving shard against
+    the existing corpus WITHOUT joining the shard to the corpus —
+    the constant-round-trip complement to dedup_incremental (Jaccard
+    pairs) and dedup_incremental_indexed (maintained shingle index).
+    Each shard doc probes a bitmap built from the corpus's exact text
+    fingerprints: any missed probe proves the doc is NEW (Bloom
+    filters have no false negatives) and it skips every downstream
+    dedup join; only the ~0.3% candidate tail (true dups + the
+    geometry's false-positive rate, see BLOOM_K) pays the exact
+    verify join. Emits (new_id, candidate, confirmed) per shard doc.
+
+    Spark-first shape: the filter is a RELATION, not driver state —
+    ``groupBy(pos div 62).agg(bit_or(1 << pos%62))`` folds the corpus
+    into <= m/62 one-long rows with map-side partial aggregation (a
+    fingerprint seen 10^6 times collapses per map task), and the gate
+    is a BROADCAST left join of shard probes against that word table:
+    the 100 TB shard side never shuffles. At 20 bits/key the word
+    table is n_corpus*20/62*16B (~80 MB per billion corpus docs) —
+    broadcastable far beyond any dimension-table budget; past that,
+    partition the key space into independent sub-filters and gate
+    each shard split against its own (the sizing rule is already a
+    pure function of count). The corpus count feeding the sizing rule
+    is one control-plane scalar, same as graph_pagerank's node count.
+
+    Fingerprint family is the portable md5 pair (_portable_hash2) so
+    DuckDB rebuilds the identical bitmap; production swaps in
+    xxhash64 (same trade documented on MINHASH_P). Shard fixture:
+    one re-crawl copy (exact dup) and one edited copy per corpus doc.
+    """
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text")
+    shard = docs.select(
+        (-(F.col("doc_id") + 1)).alias("new_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+        .alias("text"),
+    )
+    n_corpus = corpus.count()  # control-plane scalar -> sizing rule
+    m_bits = _bloom_words(n_corpus) * BLOOM_WORD_BITS
+
+    def probe_positions(df: DataFrame) -> DataFrame:
+        h1, h2 = _portable_hash2(F.col("text"))
+        return df.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(BLOOM_K)])
+            ).alias("i"),
+        ).select(
+            "*",
+            ((h1 + F.col("i") * h2) % m_bits).alias("pos"),
+        )
+
+    bloom = (
+        probe_positions(corpus)
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            # shiftleft's python wrapper wants a literal count; the SQL
+            # form takes the column.
+            F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")
+        )
+    )
+    hits = (
+        probe_positions(shard)
+        .select(
+            "new_id",
+            "text",
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "new_id",
+            "text",
+            F.coalesce(
+                F.expr("shiftright(bits, bit) & 1L"),
+                F.lit(0).cast("long"),
+            ).alias("hit"),
+        )
+        .groupBy("new_id", "text")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    # the exact verify join runs on CANDIDATES ONLY (all_hit gates the
+    # join input); left-semi against the corpus text key.
+    confirmed = (
+        hits.filter(F.col("all_hit") == 1)
+        .join(corpus.select("text").distinct(), "text", "leftsemi")
+        .select("new_id", F.lit(1).alias("ok"))
+    )
+    return (
+        hits.join(confirmed, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("all_hit").cast("long").alias("candidate"),
+            F.coalesce(F.col("ok"), F.lit(0)).cast("long").alias("confirmed"),
+        )
+        .orderBy("new_id")
+    )

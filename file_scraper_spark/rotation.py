@@ -189,6 +189,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "shard_skew_report",
     "dedup_incremental_indexed",
     "graph_pagerank",
+    "dedup_bloom_gate",
 )
 
 
