@@ -1128,3 +1128,103 @@ def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("(1000000 * n_tokens) div t").alias("share_ppm"),
     )
+
+
+# --- corpus-frequency boilerplate removal (round 12) ---------------------
+
+#: a segment occurring in >= this many (doc, position) slots corpus-
+#: wide is boilerplate and EVERY copy is dropped (C4's repeated-line
+#: rule / Gopher's repetition filter) — unlike dedup_paragraph, which
+#: keeps the first occurrence.
+BOILERPLATE_MIN_DF = 2
+
+
+@query(
+    "boilerplate_removal",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ), ids AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0, (nw - 1) // {PARA_W})) AS i
+      FROM w
+    ), p AS (
+      SELECT doc_id, i AS pid,
+             array_to_string(
+               words[CAST(i*{PARA_W}+1 AS BIGINT):CAST(i*{PARA_W}+{PARA_W} AS BIGINT)],
+               ' ') AS ptext
+      FROM ids
+    ), df AS (
+      SELECT ptext, COUNT(*) AS df FROM p GROUP BY ptext
+    ), flagged AS (
+      SELECT p.doc_id, p.pid, p.ptext,
+             (d.df < {BOILERPLATE_MIN_DF}) AS keep
+      FROM p JOIN df d ON d.ptext = p.ptext
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(
+             list(ptext ORDER BY pid) FILTER (WHERE keep), ' '
+           ), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (C4's repeated-line rule):
+    segment every document into non-overlapping PARA_W-word chunks,
+    count each distinct chunk's corpus-wide occurrences, and drop
+    EVERY copy of any chunk at/above BOILERPLATE_MIN_DF — nav bars,
+    cookie banners, licence footers. The frequency-threshold
+    complement to dedup_paragraph (which keeps first occurrences):
+    dedup preserves one copy of repeated content, boilerplate removal
+    decides repeated content is noise and keeps none.
+
+    Scale shape — identical to dedup_paragraph's and for the same
+    reason: the df count is a hash groupBy on chunk text whose
+    partial aggregation collapses a chunk occurring 10^9 times to one
+    row per map task before the exchange (the window-count
+    formulation would funnel the hottest chunk into one partition);
+    then one equi-join back and one doc_id groupBy to reassemble. At
+    100 TB group on xxhash64(ptext) with an (h, ptext) re-verify
+    (quality_funnel's trick), and broadcast the df side if the
+    distinct-chunk survivor count fits — it usually does not, the
+    corpus-unique tail dominates, so the equi-join stays a shuffle
+    join on the chunk key."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    last = F.expr(f"(size(split(text, ' ')) - 1) div {PARA_W}")
+    paras = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), last)).alias("pid"),
+    ).select(
+        "doc_id",
+        F.col("pid").cast("long").alias("pid"),
+        F.array_join(
+            F.slice(words, F.col("pid") * PARA_W + 1, PARA_W), " "
+        ).alias("ptext"),
+    )
+    df_counts = paras.groupBy("ptext").agg(F.count(F.lit(1)).alias("df"))
+    flagged = paras.join(df_counts, "ptext").select(
+        "doc_id",
+        "pid",
+        "ptext",
+        (F.col("df") < BOILERPLATE_MIN_DF).alias("keep"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pid", "ptext"))
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["ptext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count_if(~F.col("keep")).alias("n_dropped"),
+    )

@@ -190,6 +190,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "dedup_incremental_indexed",
     "graph_pagerank",
     "dedup_bloom_gate",
+    "boilerplate_removal",
 )
 
 
