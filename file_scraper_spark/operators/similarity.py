@@ -1680,3 +1680,158 @@ def pca_project(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
             )
         )
     return emb.select("vec_id", F.array(*cols).alias("proj"))
+
+
+# --- kNN majority-vote labeling (round 12) ------------------------------
+
+#: fixture rule for the labeled seed set: every 5th vector. A real
+#: deployment's seed set is its labeled data — small and fixed (a
+#: quality-classifier training set), not corpus-proportional.
+KNN_SEED_MOD = 5
+KNN_CLASSIFY_K = 5
+
+
+@query(
+    "knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PAIR_QUANT})
+                         AS BIGINT)) AS qe
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(qv * qv) AS DOUBLE)) AS nq
+      FROM (SELECT vec_id, unnest(qe) AS qv FROM q)
+      GROUP BY vec_id
+    ), seeds AS (
+      SELECT q.vec_id AS sid, q.label AS slabel, q.qe, n.nq
+      FROM q JOIN norms n ON n.vec_id = q.vec_id
+      WHERE q.vec_id % {KNN_SEED_MOD} = 0 AND n.nq > 0
+    ), queries AS (
+      SELECT q.vec_id, q.label, q.qe, n.nq
+      FROM q JOIN norms n ON n.vec_id = q.vec_id
+      WHERE q.vec_id % {KNN_SEED_MOD} <> 0 AND n.nq > 0
+    ), dots AS (
+      SELECT vec_id, label, sid, slabel,
+             CAST(SUM(av * bv) AS DOUBLE) / (nq_a * nq_b) AS cosine
+      FROM (
+        SELECT a.vec_id, a.label, b.sid, b.slabel,
+               a.nq AS nq_a, b.nq AS nq_b,
+               unnest(a.qe) AS av, unnest(b.qe) AS bv
+        FROM queries a CROSS JOIN seeds b
+      )
+      GROUP BY vec_id, label, sid, slabel, nq_a, nq_b
+    ), ranked AS (
+      SELECT vec_id, label, slabel,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, sid
+             ) AS rn
+      FROM dots
+    ), votes AS (
+      SELECT vec_id, label, slabel, COUNT(*) AS c
+      FROM ranked WHERE rn <= {KNN_CLASSIFY_K}
+      GROUP BY vec_id, label, slabel
+    ), pick AS (
+      SELECT vec_id, label, slabel, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, slabel
+             ) AS pr
+      FROM votes
+    )
+    SELECT vec_id,
+           CAST(slabel AS BIGINT) AS pred_label,
+           CAST(c AS BIGINT) AS votes,
+           CAST(CASE WHEN slabel = label THEN 1 ELSE 0 END AS BIGINT)
+             AS is_correct
+    FROM pick WHERE pr = 1
+    """,
+    tags=("similarity", "embeddings"),
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote labeling: classify every unlabeled vector by
+    the majority label among its 5 nearest labeled seeds (exact
+    quantized cosine, seed-id tiebreak; vote ties go to the smaller
+    label). The fastText-classifier stand-in of a curation pipeline —
+    propagate a small hand-labeled quality/domain set over the whole
+    corpus, then feed the labels to corpus_mixture /
+    sample_quality_weighted. Emits (vec_id, pred_label, votes,
+    is_correct): the fixture knows every true label, so the output
+    doubles as the classifier's holdout accuracy table.
+
+    Scale shape — ONE exchange end to end: the seed side is the
+    labeled set (small by construction, see KNN_SEED_MOD) and is
+    broadcast, so scoring is a map-only nested-loop over each query
+    row; per-query state then collapses to a single row BEFORE the
+    exchange (partial collect_list over the |seeds| scored
+    structs produced within the same task), and the top-k slice +
+    majority fold run as array expressions on that one row — no
+    window over the pair table (which would shuffle |queries| x
+    |seeds| rows), no second aggregation for the vote. Zero-norm
+    vectors are excluded on BOTH sides up front (cosine undefined;
+    the try_divide NULL would rank differently per engine — same
+    fuzz-found hazard documented on cosine()).
+
+    All ranking keys replay bit-exactly in DuckDB: integer dots under
+    PAIR_QUANT, IEEE sqrt/divide on identical operands (the
+    similarity_pairs determinism argument)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PAIR_QUANT).cast("long"),
+    )
+    ssq = F.aggregate(
+        "qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    base = (
+        emb.select("vec_id", "label", qe.alias("qe"))
+        .withColumn("nq", F.sqrt(ssq.cast("double")))
+        .filter(F.col("nq") > 0)
+    )
+    seeds = base.filter(F.col("vec_id") % KNN_SEED_MOD == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("qe").alias("se"),
+        F.col("nq").alias("sn"),
+    )
+    queries = base.filter(F.col("vec_id") % KNN_SEED_MOD != 0)
+    dp = F.aggregate(
+        F.zip_with("qe", "se", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = queries.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "label",
+        F.struct(
+            (-(dp.cast("double") / (F.col("nq") * F.col("sn")))).alias("nc"),
+            F.col("sid").alias("sid"),
+            F.col("slabel").alias("lab"),
+        ).alias("s"),
+    )
+    top = scored.groupBy("vec_id", "label").agg(
+        F.slice(
+            F.array_sort(F.collect_list("s")), 1, KNN_CLASSIFY_K
+        ).alias("top")
+    )
+    labels = F.transform("top", lambda s: s["lab"])
+    best = F.array_max(
+        F.transform(
+            F.array_distinct(labels),
+            lambda l: F.struct(
+                F.size(F.filter(labels, lambda x: x == l)).alias("c"),
+                (-l).alias("nl"),
+            ),
+        )
+    )
+    return (
+        top.withColumn("b", best)
+        .select(
+            "vec_id",
+            (-F.col("b.nl")).cast("long").alias("pred_label"),
+            F.col("b.c").cast("long").alias("votes"),
+            ((-F.col("b.nl")) == F.col("label"))
+            .cast("long")
+            .alias("is_correct"),
+        )
+    )

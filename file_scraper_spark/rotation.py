@@ -191,6 +191,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "graph_pagerank",
     "dedup_bloom_gate",
     "boilerplate_removal",
+    "knn_classify",
 )
 
 

@@ -206,6 +206,7 @@ def test_docs_backed_registry_queries_on_random_corpora(spark, texts, data):
 #: selection, gate-covered).
 EMB_QUERIES = (
     "dedup_semdedup",
+    "knn_classify",
     "embedding_gram",
     "embedding_centroids",
     "embedding_quantize",
