@@ -3257,17 +3257,17 @@ def _bloom_gate_oracle() -> str:
              % ((SELECT w FROM geom) * {BLOOM_WORD_BITS}) AS pos
       FROM shard CROSS JOIN (SELECT unnest([{probes}]) AS i)
     ), hits AS (
-      SELECT s.new_id, s.text,
+      SELECT s.new_id, md5(s.text) AS fp,
              MIN(COALESCE((b.bits >> CAST(s.pos % {BLOOM_WORD_BITS}
                                           AS INTEGER)) & 1, 0)) AS all_hit
       FROM spos s
       LEFT JOIN bloom b ON b.word = s.pos // {BLOOM_WORD_BITS}
-      GROUP BY s.new_id, s.text
+      GROUP BY s.new_id, md5(s.text)
     )
     SELECT h.new_id,
            CAST(h.all_hit AS BIGINT) AS candidate,
            CAST(CASE WHEN h.all_hit = 1 AND EXISTS (
-                  SELECT 1 FROM corpus c WHERE c.text = h.text
+                  SELECT 1 FROM corpus c WHERE md5(c.text) = h.fp
                 ) THEN 1 ELSE 0 END AS BIGINT) AS confirmed
     FROM hits h
     ORDER BY new_id
@@ -3349,27 +3349,39 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_positions(shard)
         .select(
             "new_id",
-            "text",
+            F.md5("text").alias("fp"),
             F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
             (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
         )
         .join(F.broadcast(bloom), "word", "left")
         .select(
             "new_id",
-            "text",
+            "fp",
             F.coalesce(
                 F.expr("shiftright(bits, bit) & 1L"),
                 F.lit(0).cast("long"),
             ).alias("hit"),
         )
-        .groupBy("new_id", "text")
+        .groupBy("new_id", "fp")
         .agg(F.min("hit").alias("all_hit"))
+        # the gate-verdict table feeds two consumers (the verify join
+        # and the final assembly); without the checkpoint the WHOLE
+        # shard scan + probe + bloom build replays per consumer (the
+        # r12 plan audit caught exactly that doubling). Narrow on
+        # purpose: (id, fp, verdict) is what a production gate would
+        # materialize anyway.
+        .localCheckpoint(eager=False)
     )
     # the exact verify join runs on CANDIDATES ONLY (all_hit gates the
-    # join input); left-semi against the corpus text key.
+    # join input); left-semi on the md5 fingerprint — the same key
+    # family the bitmap was built from, never the raw text.
     confirmed = (
         hits.filter(F.col("all_hit") == 1)
-        .join(corpus.select("text").distinct(), "text", "leftsemi")
+        .join(
+            corpus.select(F.md5("text").alias("fp")).distinct(),
+            "fp",
+            "leftsemi",
+        )
         .select("new_id", F.lit(1).alias("ok"))
     )
     return (
