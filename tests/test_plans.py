@@ -844,3 +844,54 @@ def test_incremental_indexed_corpus_side_no_shuffle(spark, sf_dir):
     assert "Bucketed: true" in plan
     assert "fss_sidx_" in plan
     assert "Exchange hashpartitioning(shingle" not in plan
+
+
+def test_knn_classify_single_exchange_broadcast_seeds(spark, sf_dir):
+    """knn_classify's scale contract: the labeled seed side is
+    BROADCAST (nested-loop over each query row, no shuffle of the
+    corpus into the scoring join) and per-query state collapses to
+    one row before the ONLY exchange — no window over the
+    queries-x-seeds pair table, no second vote aggregation."""
+    plan = plan_of("knn_classify", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_bloom_gate_verdicts_materialize_once(spark, sf_dir):
+    """dedup_bloom_gate's r12 plan-audit fix: the gate-verdict frame
+    feeds two consumers, so it must come from ONE materialized RDD
+    (localCheckpoint) — without it the whole shard scan + probe +
+    bloom build replays per consumer. Pin: both consumers read
+    ExistingRDD, the bitmap word table is built exactly once (one
+    parquet scan feeds it), and both joins against it broadcast."""
+    plan = plan_of("dedup_bloom_gate", spark, sf_dir)
+    assert plan.count("Scan ExistingRDD") == 2
+    # one corpus scan for the verify fingerprints; the bloom build's
+    # scan happened inside the checkpointed subtree already
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_df_count_is_agg_not_window(spark, sf_dir):
+    """boilerplate_removal counts chunk frequency with a hash groupBy
+    (map-side combinable: the hottest banner collapses per map task)
+    — never a count() OVER (PARTITION BY ptext), which would funnel
+    every copy of the hottest chunk into one partition."""
+    plan = plan_of("boilerplate_removal", spark, sf_dir)
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pagerank_iterations_checkpoint_lineage(spark, sf_dir):
+    """graph_pagerank's loop contract: every round's rank frame is
+    localCheckpoint-truncated, so the FINAL plan sees only the last
+    round's join + aggregate over RDD scans — K-deep lineage never
+    reaches the optimizer. The edge list enters from its one
+    materialized partitioning; the top-k close is
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of("graph_pagerank", spark, sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
