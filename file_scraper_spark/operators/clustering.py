@@ -1,0 +1,572 @@
+"""Embedding clustering: Lloyd's k-means and product quantization.
+
+Why this engine needs them: semantic corpus curation at 100 TB runs on
+cluster structure — SemDeDup prunes within k-means cells, DSIR and
+cluster-balanced sampling weight by cell occupancy, and every
+billion-vector ANN index (IVF, IVFPQ) is a trained coarse quantizer
+plus a product-quantized residual store.  ``similarity_ann_ivf``
+(operators/similarity.py) consumes a per-label centroid table as its
+coarse codebook; this module supplies the TRAINED alternative
+(``kmeans_lloyd``) and the compressed storage layer (``embedding_pq``).
+
+Third iterative-algorithm class after star-contraction connected
+components (operators/dedup.py) and damped PageRank
+(operators/graph.py).  Same fixed-point discipline as both: every
+quantity a BIGINT (components quantized at ``KM_Q``), distances exact
+integer sums of squares, division spelled ``div`` / ``//`` (truncating
+integer division — engine-identical in Spark and DuckDB, including on
+negative sums, unlike round() or double folds), ties broken by the
+smaller cluster id — so the K-round unrolled DuckDB oracle replays the
+EXACT computation and the driver's value-hash gate is meaningful.
+
+Execution choice — Arrow numpy kernels, found the hard way: the first
+cut spelled distances as zip_with+aggregate folds (higher-order
+functions are CodegenFallback: interpreted per element, ~4 ms/row =
+an 800 s encode at 100x), the second unrolled them into flat scalar
+(a-b)*(a-b) chains, which Janino then FAILED to compile (128 chains x
+8 terms in one projection blew the generated-method limits) — falling
+back to interpreted eval of the same giant tree.  Dense vector
+arithmetic belongs in the same lane as the LSH band signatures and the
+Gramian (operators/similarity.py): vectorized int64 numpy inside
+Arrow-batched mapInPandas.  Exactness is unaffected — numpy int64
+subtract/multiply/sum are the same integers Catalyst or DuckDB would
+produce, and np.argmin's first-occurrence tie rule IS the (dist, k)
+order — and the kernels run ~100x faster than either expression form
+(NOTES.md has the A/B).
+
+Scale shape (the MLlib-KMeans / FAISS-IVFPQ production loop):
+centroids are a k*d-cell control-plane frame (8*64 = 512 BIGINTs
+here, <= a few MB for any real k*d) collected to the driver once per
+round and shipped back inside the kernel closure, so ASSIGNMENT is a
+pure per-batch map over one scan — no join, no shuffle.  The centroid
+UPDATE is pre-aggregated INSIDE the kernel (each Arrow batch emits at
+most k*d partial-sum rows), so the one exchange per round carries
+~k*d rows per batch regardless of corpus size.  Per-round cost at
+100 TB = one corpus scan + one k*d-row shuffle, the optimum for exact
+Lloyd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_scraper_spark.registry import query
+from file_scraper_spark.tables import load
+
+#: fixed-point scale for embedding components. |v| < 1 in the fixture
+#: corpus (TESTDATA.md), but the arithmetic is sized for |v| <= 8:
+#: q <= 8e5, per-dim squared diff <= 2.56e12, per-vector distance
+#: <= 1.64e14, so a cluster's inertia stays under 2^63 up to ~56M
+#: members. Raising KM_Q to 1e6 would cut that headroom to ~560k
+#: members; this is the documented ceiling.
+KM_Q = 10**5
+
+KM_K = 8  #: cluster count; seeds = vec_id 0..KM_K-1 (deterministic).
+KM_ROUNDS = 3  #: fixed Lloyd rounds — part of the query definition.
+
+PQ_M = 8  #: product-quantization subspaces (64 dims -> 8 x 8).
+PQ_SUBD = 8  #: dims per subspace.
+PQ_K = 16  #: codewords per subspace; seeded from vec_id 0..15.
+
+
+def _quantize_np(vecs):
+    """float32 vectors -> int64 grid, floor(v * KM_Q): float->double
+    widening is exact and double multiply + floor are the same IEEE
+    ops in every engine (the QUANT rule of operators/similarity.py),
+    so the grid is identical in numpy, Catalyst, and DuckDB."""
+    import numpy as np  # noqa: PLC0415
+
+    return np.floor(
+        np.array(list(vecs), dtype=np.float64) * float(KM_Q)
+    ).astype(np.int64)
+
+
+_FLAT_SQL = f"""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {KM_Q}) AS BIGINT) AS q
+    FROM embeddings
+"""
+
+
+def _kmeans_oracle() -> str:
+    """KM_ROUNDS-round unrolled DuckDB twin of the Spark loop below.
+
+    The oracle spells assignment as a join + ROW_NUMBER argmin over
+    (dist, k) and update as SUM // COUNT with a keep-previous LEFT
+    JOIN for emptied clusters — the same integer ops the numpy kernel
+    runs, in relational form.
+    """
+    steps = []
+    prev = "c0"
+    for r in range(1, KM_ROUNDS + 1):
+        steps.append(
+            f"""d{r} AS (
+      SELECT f.vec_id, c.k, SUM((f.q - c.c) * (f.q - c.c)) AS dist
+      FROM flat f JOIN {prev} c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.k
+    ), a{r} AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    ), u{r} AS (
+      SELECT a.k, f.pos, SUM(f.q) // COUNT(*) AS c
+      FROM a{r} a JOIN flat f ON f.vec_id = a.vec_id
+      GROUP BY a.k, f.pos
+    ), c{r} AS (
+      SELECT p.k, p.pos, COALESCE(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{r} n ON n.k = p.k AND n.pos = p.pos
+    )"""
+        )
+        prev = f"c{r}"
+    rounds = ",\n    ".join(steps)
+    return f"""
+    WITH flat AS (
+      {_FLAT_SQL}
+    ), c0 AS (
+      SELECT CAST(vec_id AS INT) AS k, pos, q AS c
+      FROM flat WHERE vec_id < {KM_K}
+    ),
+    {rounds},
+    dF AS (
+      SELECT f.vec_id, c.k, SUM((f.q - c.c) * (f.q - c.c)) AS dist
+      FROM flat f JOIN {prev} c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.k
+    ), aF AS (
+      SELECT vec_id, k, dist FROM (
+        SELECT vec_id, k, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM dF
+      ) WHERE rn = 1
+    ), l1 AS (
+      SELECT k, SUM(ABS(c)) AS centroid_l1 FROM {prev} GROUP BY k
+    )
+    SELECT a.k AS cluster,
+           COUNT(*) AS size,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia_q,
+           CAST(MIN(l1.centroid_l1) AS BIGINT) AS centroid_l1
+    FROM aF a JOIN l1 ON l1.k = a.k
+    GROUP BY a.k
+    ORDER BY cluster
+    """
+
+
+def _update_kernel(cents: list[list[int]]):
+    """Arrow-batched assignment + IN-KERNEL partial centroid sums:
+    each batch emits <= k*d rows (k, pos, s=sum of members' q at pos,
+    n=member count) — the map-side combine of the Lloyd update, done
+    in numpy so the exchange never sees vector-sized data."""
+
+    def fn(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cents, dtype=np.int64)  # (k, d)
+        for pdf in batches:
+            Q = _quantize_np(pdf["embedding"].tolist())  # (n, d)
+            diff = Q[:, None, :] - C[None, :, :]
+            dist = (diff * diff).sum(axis=2)  # (n, k) int64, exact
+            a = dist.argmin(axis=1)  # ties -> first index = min k
+            ks, ps, ss, ns = [], [], [], []
+            for k in range(len(C)):
+                member = Q[a == k]
+                if len(member) == 0:
+                    continue
+                ks.append(np.full(C.shape[1], k, dtype=np.int32))
+                ps.append(np.arange(C.shape[1], dtype=np.int32))
+                ss.append(member.sum(axis=0))
+                ns.append(
+                    np.full(C.shape[1], len(member), dtype=np.int64)
+                )
+            if not ks:
+                continue
+            yield pd.DataFrame(
+                {
+                    "k": np.concatenate(ks),
+                    "pos": np.concatenate(ps),
+                    "s": np.concatenate(ss),
+                    "n": np.concatenate(ns),
+                }
+            )
+
+    return fn
+
+
+def _stats_kernel(cents: list[list[int]]):
+    """Final-pass kernel: per batch, per-cluster (size, inertia)
+    partials — k rows per batch."""
+
+    def fn(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cents, dtype=np.int64)
+        for pdf in batches:
+            Q = _quantize_np(pdf["embedding"].tolist())
+            diff = Q[:, None, :] - C[None, :, :]
+            dist = (diff * diff).sum(axis=2)
+            a = dist.argmin(axis=1)
+            best = dist[np.arange(len(Q)), a]
+            ks = np.unique(a)
+            yield pd.DataFrame(
+                {
+                    "cluster": ks.astype(np.int32),
+                    "n": [int((a == k).sum()) for k in ks],
+                    "inertia": [int(best[a == k].sum()) for k in ks],
+                }
+            )
+
+    return fn
+
+
+@query("kmeans_lloyd", oracle=_kmeans_oracle(), tags=("clustering",))
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Lloyd's k-means (K=8, 3 fixed rounds, integer
+    fixed-point) over the embeddings table; returns per-cluster size,
+    inertia, and a centroid checksum.  The trainer for every
+    cluster-structured curation op this engine ships: SemDeDup cells
+    (dedup_semdedup), IVF coarse codebooks (similarity_ann_ivf),
+    cluster-balanced sampling.
+
+    Per round: centroids live driver-side (k*d = 512 BIGINTs — the
+    same control-plane legitimacy class as the IVF codebook collect,
+    similarity.py:788) and ship to executors in the kernel closure,
+    so assignment is a shuffle-free Arrow-batched map; the update's
+    map-side combine happens INSIDE the kernel (<= k*d partial rows
+    per batch), leaving one k*d-row exchange per round.  Emptied
+    clusters keep their previous centroid (COALESCE in the oracle,
+    dict merge here) so both engines always carry exactly K
+    centroids.  The scan frame is localCheckpointed once so the K+1
+    passes re-read a materialized columnar block, not the parquet
+    (swap for a cluster checkpoint / cache at real scale).
+
+    Seeds are the first K vec_ids — deterministic by definition, so
+    the unrolled oracle starts from the same grid points.  (k-means++
+    would sample; a fixed-seed variant of it belongs to the same
+    control-plane pattern if ever needed.)
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.select("vec_id", "embedding").localCheckpoint()
+
+    # c0: the first K vectors' grids, one tiny control-plane collect.
+    seed = sorted(
+        src.where(F.col("vec_id") < KM_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents: list[list[int]] = [
+        [int(x) for x in row] for row in _quantize_np([r["embedding"] for r in seed])
+    ]
+
+    for _ in range(KM_ROUNDS):
+        cells = (
+            src.mapInPandas(
+                _update_kernel(cents), "k int, pos int, s long, n long"
+            )
+            .groupBy("k", "pos")
+            .agg(F.expr("sum(s) div sum(n)").alias("c"))
+            .collect()
+        )
+        new = {(r["k"], r["pos"]): r["c"] for r in cells}
+        cents = [
+            [int(new.get((k, p), ck[p])) for p in range(len(ck))]
+            for k, ck in enumerate(cents)
+        ]
+
+    l1 = {k: sum(abs(v) for v in ck) for k, ck in enumerate(cents)}
+    l1_map = F.create_map(
+        *[F.lit(x) for k in range(KM_K) for x in (k, l1[k])]
+    )
+    return (
+        src.mapInPandas(
+            _stats_kernel(cents), "cluster int, n long, inertia long"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("size"),
+            F.sum("inertia").cast("long").alias("inertia_q"),
+        )
+        .withColumn("centroid_l1", l1_map[F.col("cluster")].cast("long"))
+        # no orderBy: K rows, order-insensitive gate — keeps the final
+        # plan's only exchange the groupBy hash partitioning.
+    )
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH flat AS (
+      {_FLAT_SQL}
+    ), sub AS (
+      SELECT vec_id, pos // {PQ_SUBD} AS m, pos % {PQ_SUBD} AS j, q
+      FROM flat
+    ), cb AS (
+      SELECT CAST(vec_id AS INT) AS code, m, j, q AS c
+      FROM sub WHERE vec_id < {PQ_K}
+    ), d AS (
+      SELECT s.vec_id, s.m, cb.code,
+             SUM((s.q - cb.c) * (s.q - cb.c)) AS dist
+      FROM sub s JOIN cb ON cb.m = s.m AND cb.j = s.j
+      GROUP BY s.vec_id, s.m, cb.code
+    ), a AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT vec_id, m, code, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(SUM(code * (1 << (4 * CAST(m AS BIGINT)))) AS BIGINT)
+             AS code_word,
+           CAST(SUM(dist) AS BIGINT) AS recon_err_q
+    FROM a
+    GROUP BY vec_id
+    """
+
+
+@query("embedding_pq", oracle=_pq_oracle(), tags=("clustering",))
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: encode each 64-dim vector as 8 4-bit
+    codes (8 dims/subspace, 16 codewords), packed into one BIGINT
+    ``code_word`` — 256-byte float vectors become 4 bytes, the
+    compression layer under IVFPQ ANN serving.  Emits per vector the
+    packed word, a code checksum, and the exact integer reconstruction
+    error (the PQ distortion the index tuner watches).
+
+    Codebooks here are SEEDED (subvectors of the first 16 vectors):
+    the training step for production codebooks is kmeans_lloyd run per
+    subspace — same loop, 8 instances — and keeping this query
+    closed-form keeps its oracle exact.  Encoding is the part that
+    runs over the full 100 TB corpus, and it is ONE shuffle-free scan:
+    the 8*16 codewords ship in the kernel closure (control-plane,
+    1024 BIGINTs), and each Arrow batch is encoded by a vectorized
+    int64 distance pass per subspace (looped over subspaces so the
+    (batch x codes x dims) intermediate stays ~10 MB).  Zero joins,
+    zero exchanges, one MapInPandas over one parquet scan (pinned in
+    tests/test_plans.py).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+
+    seed = sorted(
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cb = _quantize_np([r["embedding"] for r in seed])  # (PQ_K, 64)
+    cb_list = [[int(x) for x in row] for row in cb]
+
+    def encode(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        CB = np.array(cb_list, dtype=np.int64).reshape(
+            PQ_K, PQ_M, PQ_SUBD
+        )
+        for pdf in batches:
+            Q = _quantize_np(pdf["embedding"].tolist()).reshape(
+                -1, PQ_M, PQ_SUBD
+            )
+            n = Q.shape[0]
+            code_sum = np.zeros(n, dtype=np.int64)
+            code_word = np.zeros(n, dtype=np.int64)
+            err = np.zeros(n, dtype=np.int64)
+            for m in range(PQ_M):
+                diff = Q[:, None, m, :] - CB[None, :, m, :]
+                dist = (diff * diff).sum(axis=2)  # (n, PQ_K)
+                c = dist.argmin(axis=1)  # ties -> smallest code
+                code_sum += c
+                code_word += c.astype(np.int64) << (4 * m)
+                err += dist[np.arange(n), c]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "code_sum": code_sum,
+                    "code_word": code_word,
+                    "recon_err_q": err,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode,
+        "vec_id long, code_sum long, code_word long, recon_err_q long",
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        QUANT,
+        QUERY_VEC_ID,
+    )
+
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             (CAST(SUM(CAST(floor(v * {QUANT}) AS BIGINT)) AS DOUBLE)
+              / {QUANT}) / COUNT(*) AS c
+      FROM flat GROUP BY label, pos
+    ), dots AS (
+      SELECT f.vec_id, c.label,
+             SUM(CAST(floor((f.v * c.c) * {QUANT}) AS BIGINT)) AS dp
+      FROM flat f JOIN cent c ON c.pos = f.pos
+      GROUP BY f.vec_id, c.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dp DESC, label ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT label FROM dots WHERE vec_id = {QUERY_VEC_ID}
+      ORDER BY dp DESC, label ASC LIMIT 3
+    ), sub AS (
+      SELECT vec_id, pos // {PQ_SUBD} AS m, pos % {PQ_SUBD} AS j,
+             CAST(floor(v * {KM_Q}) AS BIGINT) AS q
+      FROM flat
+    ), cb AS (
+      SELECT CAST(vec_id AS INT) AS code, m, j, q AS c
+      FROM sub WHERE vec_id < {PQ_K}
+    ), d AS (
+      SELECT s.vec_id, s.m, cb.code,
+             SUM((s.q - cb.c) * (s.q - cb.c)) AS dist
+      FROM sub s JOIN cb ON cb.m = s.m AND cb.j = s.j
+      WHERE s.vec_id IN (SELECT vec_id FROM assigned
+                         WHERE cell IN (SELECT label FROM probe))
+      GROUP BY s.vec_id, s.m, cb.code
+    ), a AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT cb.m, cb.code, SUM((qs.q - cb.c) * (qs.q - cb.c)) AS ld
+      FROM cb JOIN (SELECT m, j, q FROM sub
+                    WHERE vec_id = {QUERY_VEC_ID}) qs
+        ON qs.m = cb.m AND qs.j = cb.j
+      GROUP BY cb.m, cb.code
+    )
+    SELECT a.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc_q
+    FROM a JOIN lut l ON l.m = a.m AND l.code = a.code
+    GROUP BY a.vec_id
+    ORDER BY adc_q ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("similarity_ann_ivfpq", oracle=_ivfpq_oracle(), tags=("ann", "pq"))
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFPQ serving path (FAISS's billion-vector layout):
+    coarse IVF cells prune the corpus to the query's 3 probed cells,
+    then candidates are ranked WITHOUT touching their float vectors —
+    an asymmetric-distance (ADC) sum of per-subspace lookup-table
+    entries over their 4-bit PQ codes.  Composes this module's PQ
+    codebook with similarity_ann_ivf's coarse quantizer; at serving
+    scale the float embeddings never leave cold storage — the index
+    is cells + 4-byte code words.
+
+    Driver-checkable end to end: coarse assignment and probe choice
+    use the exact quantized dot fold (similarity_ann_ivf's rule), PQ
+    codes and the 8x16 LUT are integer fixed-point on the KM_Q grid,
+    and ADC is an integer sum — the oracle replays cell pruning, code
+    assignment, LUT build, and ranking bit-exactly.
+
+    Scale shape: one Arrow-batched kernel over one scan — coarse
+    codebook, probe set, PQ codebook, and LUT all ship in the closure
+    (control-plane: L*d + 3 + K*d + M*K values).  Per batch the
+    kernel drops non-probed rows BEFORE encoding, so PQ work is
+    proportional to probed mass (nprobe/ncells of the corpus); output
+    is (vec_id, adc_q) for candidates only, closed by
+    TakeOrderedAndProject — no global sort, no joins, no exchange
+    except the final top-k."""
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        QUANT,
+        QUERY_VEC_ID,
+        embedding_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = embedding_centroids(spark, sf_dir).collect()  # tiny codebook
+    by_label: dict[int, list[float]] = {}
+    dim = len(emb.select("embedding").head()[0])
+    for r in cents:
+        by_label.setdefault(r["label"], [0.0] * dim)[r["pos"]] = r["centroid"]
+    labels = sorted(by_label)
+
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    )
+    qv = [float(x) for x in qrow[0]]
+
+    import math  # noqa: PLC0415
+
+    def pydot(a, b):
+        # exact quantized fold, bit-identical to the oracle's dots CTE
+        return sum(int(math.floor(x * y * QUANT)) for x, y in zip(a, b))
+
+    probe = set(sorted(labels, key=lambda lab: -pydot(qv, by_label[lab]))[:3])
+
+    seed = sorted(
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cb_list = [
+        [int(x) for x in row]
+        for row in _quantize_np([r["embedding"] for r in seed])
+    ]
+    qq = [int(x) for x in _quantize_np([qv])[0]]
+
+    labels_arr = list(labels)
+    cent_rows = [by_label[lab] for lab in labels_arr]
+
+    def probe_and_adc(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cent_rows, dtype=np.float64)  # (L, D)
+        probe_mask = np.array([lab in probe for lab in labels_arr])
+        CB = np.array(cb_list, dtype=np.int64).reshape(PQ_K, PQ_M, PQ_SUBD)
+        QQ = np.array(qq, dtype=np.int64).reshape(PQ_M, PQ_SUBD)
+        # the 8x16 ADC lookup table, exact integer
+        ldiff = QQ[None, :, :] - CB  # (K, M, SUBD)
+        LUT = (ldiff * ldiff).sum(axis=2).T  # (M, K)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            for s in range(0, len(V), 2048):
+                chunk = V[s : s + 2048]
+                prod = chunk[:, None, :] * C[None, :, :]
+                dots = np.floor(prod * float(QUANT)).sum(axis=2)
+                keep = probe_mask[np.argmax(dots, axis=1)]
+                if not keep.any():
+                    continue
+                Q = np.floor(chunk[keep] * float(KM_Q)).astype(
+                    np.int64
+                ).reshape(-1, PQ_M, PQ_SUBD)
+                adc = np.zeros(Q.shape[0], dtype=np.int64)
+                for m in range(PQ_M):
+                    diff = Q[:, None, m, :] - CB[None, :, m, :]
+                    dist = (diff * diff).sum(axis=2)
+                    adc += LUT[m][dist.argmin(axis=1)]
+                yield pd.DataFrame(
+                    {"vec_id": ids[s : s + 2048][keep], "adc_q": adc}
+                )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        probe_and_adc, "vec_id long, adc_q long"
+    )
+    return scored.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(10)

@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
     # Imports deferred so `import file_scraper_spark` stays cheap.
     from file_scraper_spark.operators import (  # noqa: F401
         analytics_ext,
+        clustering,
         dedup,
         graph,
         io_formats,

@@ -895,3 +895,44 @@ def test_pagerank_iterations_checkpoint_lineage(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_embedding_pq_encode_is_one_shuffle_free_scan(spark, sf_dir):
+    """embedding_pq's scale contract (the 100 TB encode pass): the
+    M*K codebook ships in the kernel closure, so the WHOLE encode is
+    one parquet scan feeding one Arrow-batched MapInPandas — zero
+    exchanges, zero joins, zero windows."""
+    plan = plan_of("embedding_pq", spark, sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_kmeans_assignment_in_row_update_is_only_exchange(spark, sf_dir):
+    """kmeans_lloyd's loop contract: centroids ship in the kernel
+    closure, so assignment is shuffle-free and the update's map-side
+    combine happens inside the kernel; the one exchange in the final
+    plan is the per-cluster stats groupBy. The scan frame enters from
+    its localCheckpoint (ExistingRDD), no join anywhere, no global
+    sort."""
+    plan = plan_of("kmeans_lloyd", spark, sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan.lower()
+    assert "Join" not in plan
+
+
+def test_ivfpq_is_one_kernel_pass_topk_close(spark, sf_dir):
+    """similarity_ann_ivfpq's scale contract: coarse codebook, probe
+    set, PQ codebook, and LUT all ship in the kernel closure, so the
+    whole serving path is one parquet scan -> one MapInPandas, closed
+    by TakeOrderedAndProject — no joins, no global sort, no exchange
+    beyond the top-k's single-partition gather."""
+    plan = plan_of("similarity_ann_ivfpq", spark, sf_dir)
+    assert plan.count("MapInPandas") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan.lower()
