@@ -3393,3 +3393,191 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id")
     )
+
+
+#: winnowing parameters (Schleimer/Wilkerson/Aiken, the MOSS
+#: fingerprinter): 3-gram shingles, guarantee window W=4 (any shared
+#: run of W+N-1 = 6 tokens is guaranteed to share a fingerprint),
+#: fingerprints with document frequency above WIN_CAP dropped (the
+#: MOSS "too common to mean anything" rule, same job as
+#: SHINGLE_DF_CAP), pairs reported when the smaller fingerprint set
+#: is >= WIN_MIN_FP and at least WIN_RATIO_PCT% of it is shared
+#: (containment normalization — winnowing a PREFIX selects a subset
+#: of the original's fingerprints, so the planted truncation twins
+#: sit at exactly 100%).
+WIN_W = 4
+WIN_CAP = 50
+WIN_MIN_FP = 5
+WIN_RATIO_PCT = 90
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), corpus AS (
+      SELECT doc_id, words FROM base
+      UNION ALL
+      SELECT -(doc_id + 1),
+             list_slice(words, 1, CAST(floor(len(words) * 0.8) AS BIGINT))
+      FROM base WHERE doc_id % 5 = 0
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS gs
+      FROM corpus
+    ), pos AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(gs, 1) AS INT) AS p,
+             CAST(('0x' || substring(md5(unnest(gs)), 1, 10)) AS BIGINT) AS h
+      FROM grams
+    ), winmin AS (
+      SELECT doc_id, p,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WIN_W - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM pos
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM winmin WHERE p + {WIN_W - 1} <= n
+    ), kept AS (
+      SELECT doc_id, fp FROM fps
+      WHERE fp IN (SELECT fp FROM fps
+                   GROUP BY fp HAVING COUNT(*) <= {WIN_CAP})
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(least(sa.nf, sb.nf) AS BIGINT) AS min_nf,
+           CAST(shared * 100 // least(sa.nf, sb.nf) AS BIGINT) AS ratio_pct
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE least(sa.nf, sb.nf) >= {WIN_MIN_FP}
+      AND shared * 100 // least(sa.nf, sb.nf) >= {WIN_RATIO_PCT}
+    """,
+    tags=("dedup", "winnowing"),
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (the MOSS algorithm): hash every
+    positional 3-gram, keep each W=4 window's minimum as a
+    fingerprint (expected density 2/(W+1), a ~60% sketch reduction
+    with a POSITIONAL guarantee no random sampling gives: any shared
+    token run of length >= W+2 must share a fingerprint), drop
+    too-common fingerprints, then report containment pairs — shared
+    fingerprints >= 90% of the smaller doc's set.  Complements the
+    family: minhash estimates symmetric Jaccard, exact_substring
+    proves one long span, winnowing detects plagiarism-shaped overlap
+    (many medium spans) at sketch cost.  The planted 80%-truncation
+    twins land at exactly ratio_pct=100 (a prefix's window minima are
+    a subset of the original's).
+
+    Scale shape: positional hashing is scan + posexplode; the window
+    minimum runs per-doc (one exchange on doc_id, partitions bounded
+    by document length, never corpus-wide); the pair join is a
+    POSTING-LIST self-join on fingerprint with the WIN_CAP df gate
+    bounding bucket occupancy — candidate volume is sum(df^2) over
+    kept fingerprints, never all-pairs (band_candidates' contract).
+    The distinct/cap/join all shuffle on the same fp key, so AQE
+    shares the exchange footprint."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = near_dup_corpus(docs)
+    words = F.col("words")
+    n_grams = F.size(words) - 2
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, n_grams).alias(f"g{j}") for j in range(3)]
+    )
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(3)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = corpus.select(
+        "doc_id", F.posexplode(grams).alias("p0", "g")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),  # 1-based, as the oracle's
+        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WIN_W - 1)
+    wn = Window.partitionBy("doc_id")
+    winmin = pos.select(
+        "doc_id",
+        "p",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    fps = (
+        winmin.where(F.col("p") + (WIN_W - 1) <= F.col("n"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WIN_CAP)
+        .select("fp")
+    )
+    kept = fps.join(df_ok, "fp")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    per = (
+        kept.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    ds = F.col("ds")
+    pairs = (
+        per.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ds,
+                        lambda x, i: F.transform(
+                            F.slice(ds, i + 2, F.size(ds)),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b")
+    )
+    min_nf = F.least("nf_a", "nf_b")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            (min_nf >= WIN_MIN_FP)
+            & (F.expr(f"shared * 100 div least(nf_a, nf_b)") >= WIN_RATIO_PCT)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            min_nf.cast("long").alias("min_nf"),
+            F.expr("shared * 100 div least(nf_a, nf_b)")
+            .cast("long")
+            .alias("ratio_pct"),
+        )
+    )

@@ -1228,3 +1228,90 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_paras"),
         F.count_if(~F.col("keep")).alias("n_dropped"),
     )
+
+
+#: epoch-plan knobs: the training budget is EPOCH_BUDGET_X times the
+#: corpus token count (the data-constrained regime: budget > corpus,
+#: so sources repeat), and mixture weights follow the T=2 temperature
+#: rule (w ~ sqrt(tokens), the same fold sample_temperature uses) so
+#: small high-value sources up-sample and the head flattens.
+EPOCH_BUDGET_X = 2
+EPOCH_W_SCALE = 10**6
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, tokens,
+             CAST(floor(sqrt(tokens) * {EPOCH_W_SCALE}) AS BIGINT) AS q
+      FROM s
+    ), t AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS nn,
+             CAST(SUM(q) AS BIGINT) AS sq
+      FROM w
+    )
+    SELECT source, tokens,
+           CAST(({EPOCH_BUDGET_X} * nn * q) // sq AS BIGINT) AS alloc_tokens,
+           CAST((({EPOCH_BUDGET_X} * nn * q) // sq) // tokens AS BIGINT)
+             AS full_epochs,
+           CAST(((({EPOCH_BUDGET_X} * nn * q) // sq) % tokens) * {10**6}
+                // tokens AS BIGINT) AS frac_ppm
+    FROM w, t
+    """,
+    tags=("pipeline", "mixture"),
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware mixture plan for the data-constrained regime
+    (Muennighoff et al.: when the token budget exceeds the corpus,
+    sources REPEAT, and the mixture decides how many epochs each
+    source runs): per source, its token mass, its allocation under a
+    2x-corpus budget with T=2 temperature weights (w ~ sqrt(tokens) —
+    sample_temperature's fold, applied to the repeat plan instead of
+    the keep probability), and the allocation expressed as full
+    epochs + fractional-epoch ppm — the table a sequence-packing run
+    (sequence_packing) consumes to decide per-source repeat factors.
+
+    Integer end to end: weights are floor(sqrt(tokens) * 1e6) (IEEE
+    sqrt is correctly rounded, so bit-identical across engines),
+    allocations are BIGINT floor divisions.  Overflow headroom: the
+    budget*weight product stays under 2^63 up to ~1e9 corpus tokens
+    at this weight scale; a 100 TB deployment drops EPOCH_W_SCALE to
+    1 (sqrt alone separates sources at that mass) — noted, not
+    needed at fixture scale.
+
+    Scale shape: ONE map-side-combinable aggregation over the corpus
+    (token counting collapses per map task), then arithmetic over the
+    sources-sized frame against a broadcast 1-row totals frame — the
+    plan table is control-plane-sized by definition."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    w = s.withColumn(
+        "q",
+        F.floor(F.sqrt(F.col("tokens")) * EPOCH_W_SCALE).cast("long"),
+    )
+    t = w.agg(
+        F.sum("tokens").cast("long").alias("nn"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    alloc = F.expr(f"({EPOCH_BUDGET_X} * nn * q) div sq")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.expr(f"(({EPOCH_BUDGET_X} * nn * q) div sq) div tokens")
+        .cast("long")
+        .alias("full_epochs"),
+        F.expr(
+            f"((({EPOCH_BUDGET_X} * nn * q) div sq) % tokens)"
+            f" * {10**6} div tokens"
+        )
+        .cast("long")
+        .alias("frac_ppm"),
+    )

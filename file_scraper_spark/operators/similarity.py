@@ -1684,10 +1684,16 @@ def pca_project(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
 
 # --- kNN majority-vote labeling (round 12) ------------------------------
 
-#: fixture rule for the labeled seed set: every 5th vector. A real
-#: deployment's seed set is its labeled data — small and fixed (a
-#: quality-classifier training set), not corpus-proportional.
+#: labeled seed set rule: every 5th vector UNDER the cap. The cap is
+#: the scale contract — a deployment's labeled set is its hand- or
+#: model-labeled training data, FIXED in size, while the corpus being
+#: classified grows without bound. The first (uncapped) form made
+#: seeds corpus-proportional and the 100x probe hung inside a
+#: |queries| x |seeds| nested loop — the exact failure the cap
+#: prevents. At every gate fixture all vec_ids are < KNN_SEED_CAP, so
+#: the cap is invisible to the oracle fixtures and binding at 100x+.
 KNN_SEED_MOD = 5
+KNN_SEED_CAP = 2000
 KNN_CLASSIFY_K = 5
 
 
@@ -1707,11 +1713,13 @@ KNN_CLASSIFY_K = 5
     ), seeds AS (
       SELECT q.vec_id AS sid, q.label AS slabel, q.qe, n.nq
       FROM q JOIN norms n ON n.vec_id = q.vec_id
-      WHERE q.vec_id % {KNN_SEED_MOD} = 0 AND n.nq > 0
+      WHERE q.vec_id % {KNN_SEED_MOD} = 0 AND q.vec_id < {KNN_SEED_CAP}
+        AND n.nq > 0
     ), queries AS (
       SELECT q.vec_id, q.label, q.qe, n.nq
       FROM q JOIN norms n ON n.vec_id = q.vec_id
-      WHERE q.vec_id % {KNN_SEED_MOD} <> 0 AND n.nq > 0
+      WHERE (q.vec_id % {KNN_SEED_MOD} <> 0 OR q.vec_id >= {KNN_SEED_CAP})
+        AND n.nq > 0
     ), dots AS (
       SELECT vec_id, label, sid, slabel,
              CAST(SUM(av * bv) AS DOUBLE) / (nq_a * nq_b) AS cosine
@@ -1759,79 +1767,91 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_correct): the fixture knows every true label, so the output
     doubles as the classifier's holdout accuracy table.
 
-    Scale shape — ONE exchange end to end: the seed side is the
-    labeled set (small by construction, see KNN_SEED_MOD) and is
-    broadcast, so scoring is a map-only nested-loop over each query
-    row; per-query state then collapses to a single row BEFORE the
-    exchange (partial collect_list over the |seeds| scored
-    structs produced within the same task), and the top-k slice +
-    majority fold run as array expressions on that one row — no
-    window over the pair table (which would shuffle |queries| x
-    |seeds| rows), no second aggregation for the vote. Zero-norm
-    vectors are excluded on BOTH sides up front (cosine undefined;
-    the try_divide NULL would rank differently per engine — same
-    fuzz-found hazard documented on cosine()).
+    Scale shape — ZERO exchanges: the seed set is FIXED-SIZE
+    (KNN_SEED_CAP — labeled data does not grow with the crawl) and
+    ships in the kernel closure; one Arrow-batched numpy pass scores
+    each query batch against all seeds with one exact int64 matmul,
+    ranks, votes, and emits the final rows. The previous form
+    (broadcast nested loop + per-pair interpreted zip_with dots, then
+    a collect_list exchange) hung the 100x probe: seeds were
+    corpus-proportional and HOF dots are CodegenFallback — the same
+    two lessons as clustering.py, applied here (NOTES.md r12-cont).
 
     All ranking keys replay bit-exactly in DuckDB: integer dots under
-    PAIR_QUANT, IEEE sqrt/divide on identical operands (the
-    similarity_pairs determinism argument)."""
+    PAIR_QUANT (per-element products <= 1e8, 64-dim sums <= 6.4e9 <
+    2^53, so even the oracle\'s double fold is exact), IEEE
+    sqrt/divide on identical operands (the similarity_pairs
+    determinism argument); np.lexsort and the vote loop apply the
+    same (cosine DESC, sid) / (count DESC, label) orders."""
     emb = load(spark, sf_dir, "embeddings")
-    qe = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * PAIR_QUANT).cast("long"),
-    )
-    ssq = F.aggregate(
-        "qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
-    base = (
-        emb.select("vec_id", "label", qe.alias("qe"))
-        .withColumn("nq", F.sqrt(ssq.cast("double")))
-        .filter(F.col("nq") > 0)
-    )
-    seeds = base.filter(F.col("vec_id") % KNN_SEED_MOD == 0).select(
-        F.col("vec_id").alias("sid"),
-        F.col("label").alias("slabel"),
-        F.col("qe").alias("se"),
-        F.col("nq").alias("sn"),
-    )
-    queries = base.filter(F.col("vec_id") % KNN_SEED_MOD != 0)
-    dp = F.aggregate(
-        F.zip_with("qe", "se", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = queries.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "label",
-        F.struct(
-            (-(dp.cast("double") / (F.col("nq") * F.col("sn")))).alias("nc"),
-            F.col("sid").alias("sid"),
-            F.col("slabel").alias("lab"),
-        ).alias("s"),
-    )
-    top = scored.groupBy("vec_id", "label").agg(
-        F.slice(
-            F.array_sort(F.collect_list("s")), 1, KNN_CLASSIFY_K
-        ).alias("top")
-    )
-    labels = F.transform("top", lambda s: s["lab"])
-    best = F.array_max(
-        F.transform(
-            F.array_distinct(labels),
-            lambda l: F.struct(
-                F.size(F.filter(labels, lambda x: x == l)).alias("c"),
-                (-l).alias("nl"),
-            ),
+
+    seed_rows = (
+        emb.where(
+            (F.col("vec_id") % KNN_SEED_MOD == 0)
+            & (F.col("vec_id") < KNN_SEED_CAP)
         )
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    return (
-        top.withColumn("b", best)
-        .select(
-            "vec_id",
-            (-F.col("b.nl")).cast("long").alias("pred_label"),
-            F.col("b.c").cast("long").alias("votes"),
-            ((-F.col("b.nl")) == F.col("label"))
-            .cast("long")
-            .alias("is_correct"),
-        )
+    import numpy as np  # noqa: PLC0415
+
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    S = np.floor(
+        np.array([list(r["embedding"]) for r in seed_rows], dtype=np.float64)
+        * PAIR_QUANT
+    ).astype(np.int64)
+    sn = np.sqrt((S * S).sum(axis=1).astype(np.float64))
+    ok = sn > 0
+    S, sn = S[ok], sn[ok]
+    sids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)[ok]
+    slabels = np.array([r["label"] for r in seed_rows], dtype=np.int64)[ok]
+
+    def score_vote(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.floor(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                * PAIR_QUANT
+            ).astype(np.int64)
+            nq = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            keep = nq > 0
+            Q, nq = Q[keep], nq[keep]
+            ids = pdf["vec_id"].to_numpy()[keep]
+            labels = pdf["label"].to_numpy()[keep]
+            if not len(Q):
+                continue
+            D = Q @ S.T  # exact int64 dots
+            cos = D.astype(np.float64) / (nq[:, None] * sn[None, :])
+            preds = np.empty(len(Q), dtype=np.int64)
+            votes = np.empty(len(Q), dtype=np.int64)
+            for i in range(len(Q)):
+                order = np.lexsort((sids, -cos[i]))[:KNN_CLASSIFY_K]
+                top_labels = slabels[order]
+                uniq, cnt = np.unique(top_labels, return_counts=True)
+                # np.unique sorts labels ascending -> argmax takes the
+                # FIRST maximal count = smallest label, the oracle\'s
+                # (c DESC, slabel ASC) rule
+                j = int(np.argmax(cnt))
+                preds[i] = uniq[j]
+                votes[i] = cnt[j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "pred_label": preds,
+                    "votes": votes,
+                    "is_correct": (preds == labels).astype(np.int64),
+                }
+            )
+
+    queries = emb.where(
+        (F.col("vec_id") % KNN_SEED_MOD != 0)
+        | (F.col("vec_id") >= KNN_SEED_CAP)
+    ).select("vec_id", "label", "embedding")
+    return queries.mapInPandas(
+        score_vote,
+        "vec_id long, pred_label long, votes long, is_correct long",
     )

@@ -1075,3 +1075,111 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+#: fixed-point scale for Naive-Bayes token weights (w_q in [0, NB_SCALE]
+#: = smoothed P(positive | token)); per-doc score sums stay far below
+#: 2^63 for any real document length.
+NB_SCALE = 10**6
+
+#: deterministic train/apply split: doc_id % 10 < 8 trains the
+#: classifier, the remaining 20% is the labeled holdout it scores —
+#: the same value-based modulo rule as train_test_split
+#: (pipeline_ops.py), so the split survives repartitioning and is
+#: replayable in SQL.
+NB_TRAIN_MOD, NB_TRAIN_KEEP = 10, 8
+
+
+@query(
+    "quality_classifier_nb",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, w
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ), wt AS (
+      SELECT w,
+             ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+               * {NB_SCALE}) // (COUNT(*) + 2) AS w_q
+      FROM tok WHERE doc_id % {NB_TRAIN_MOD} < {NB_TRAIN_KEEP}
+      GROUP BY w
+    ), apply AS (
+      SELECT t.doc_id,
+             SUM(COALESCE(wt.w_q, {NB_SCALE // 2})) // COUNT(*) AS score_q,
+             MIN(t.lang) AS lang
+      FROM tok t LEFT JOIN wt ON wt.w = t.w
+      WHERE t.doc_id % {NB_TRAIN_MOD} >= {NB_TRAIN_KEEP}
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(score_q AS BIGINT) AS score_q,
+           CAST(CASE WHEN score_q * 2 > {NB_SCALE} THEN 1 ELSE 0 END AS INT)
+             AS predicted_pos,
+           CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS actual_pos
+    FROM apply
+    """,
+    tags=("text", "classifier"),
+)
+def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained token-level quality classifier — the fastText/CCNet
+    stand-in every production curation stack runs (score each crawl
+    doc by 'does it look like the target distribution?'): a smoothed
+    per-token Naive-Bayes weight table learned from labeled seed data
+    (here lang='en' as the in-domain class, 80% of docs as train),
+    applied to the holdout as a mean-of-token-weights score with a
+    0.5 decision threshold.  Emits the per-doc keep/drop decision
+    table (score, predicted, actual) — the ACTION artifact, like
+    decontaminate_filter.
+
+    All integer fixed-point: w_q = ((pos+1) * SCALE) div (pos+neg+2)
+    (Laplace smoothing), doc score = sum(w_q) div n_tokens, unseen
+    tokens fall back to the SCALE/2 prior via COALESCE — every step
+    replayed bit-exactly by the oracle.
+
+    Scale shape: TRAIN is one token-explode + groupBy(token) whose
+    partial aggregation collapses each map task's repeats of a hot
+    token (stopwords) to one row — vocab-sized output, corpus-sized
+    input, one exchange.  APPLY is an equi-join of holdout tokens
+    against the vocab table: vocab is unique-keyed so the join has no
+    row explosion, hot tokens are a hash-join probe skew (fine —
+    they're spread across input partitions), and the post-join
+    groupBy(doc_id) carries one row per token occurrence.  At real
+    scale the vocab (10-100M rows) shuffle-hash-joins rather than
+    broadcasting; nothing here needs the corpus sorted or windowed.
+    A real deployment caps the vocab by document frequency
+    (cap_hot_shingles' rule) and ships bigram features the same way."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).where(F.col("w") != "")
+    wt = (
+        tok.where((F.col("doc_id") % NB_TRAIN_MOD) < NB_TRAIN_KEEP)
+        .groupBy("w")
+        .agg(
+            F.expr(
+                f"((sum(case when lang = 'en' then 1 else 0 end) + 1)"
+                f" * {NB_SCALE}) div (count(1) + 2)"
+            ).alias("w_q")
+        )
+    )
+    applied = (
+        tok.where((F.col("doc_id") % NB_TRAIN_MOD) >= NB_TRAIN_KEEP)
+        .join(wt, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"sum(coalesce(w_q, {NB_SCALE // 2})) div count(1)"
+            ).alias("score_q"),
+            F.min("lang").alias("lang"),
+        )
+    )
+    return applied.select(
+        "doc_id",
+        F.col("score_q").cast("long").alias("score_q"),
+        (F.col("score_q") * 2 > NB_SCALE).cast("int").alias("predicted_pos"),
+        (F.col("lang") == "en").cast("int").alias("actual_pos"),
+    )

@@ -1130,3 +1130,110 @@ def stream_minhash_dedup_upsert(
             sink.contested_rows(), "band_id long, key long, owner long"
         )
     return _minhash_verdict(spark, sf_dir, owners_b)
+
+
+@query(
+    "stream_kmeans_assign",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(vec_id AS INT) AS k, pos, q AS c
+      FROM flat WHERE vec_id < 8
+    ), d AS (
+      SELECT f.vec_id, c.k, SUM((f.q - c.c) * (f.q - c.c)) AS dist
+      FROM flat f JOIN c0 c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.k
+    ), a AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, k) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT k AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM a GROUP BY k
+    """,
+    tags=("streaming", "clustering"),
+)
+def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming centroid assignment — the SERVING half of k-means
+    (the training loop is batch kmeans_lloyd; a production pipeline
+    assigns each arriving embedding micro-batch to the trained cells
+    for routing: which IVF cell to index into, which SemDeDup bucket
+    to compare within).  Replays the embeddings table as a file
+    stream, assigns every vector to its nearest seed centroid
+    (vec_id < 8 grids — the same c0 kmeans_lloyd starts from) with
+    the same Arrow int64 kernel math, and maintains running per-cell
+    counts in complete mode.
+
+    The kernel emits per-batch (cluster, n) PARTIALS (map-side
+    combine inside the kernel, <= K rows per batch), so streaming
+    state is the K-row aggregate — bounded by construction, the
+    legitimate use of a complete-mode memory sink (contrast
+    stream_minhash_dedup_upsert, whose unbounded verdict state needs
+    the durable upsert sink).  The oracle replays assignment over the
+    table batch-side: a replayed static stream converges to exactly
+    the batch answer because per-cell counts are order-independent.
+    """
+    import os  # noqa: PLC0415
+
+    from file_scraper_spark.operators.clustering import (  # noqa: PLC0415
+        KM_K,
+        KM_Q,
+        _quantize_np,
+    )
+
+    # the oracle literal above hardcodes the grid scale and K; fail
+    # loudly if clustering's constants ever drift from it
+    assert KM_Q == 100000 and KM_K == 8
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed = sorted(
+        emb.where(F.col("vec_id") < KM_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [
+        [int(x) for x in row]
+        for row in _quantize_np([r["embedding"] for r in seed])
+    ]
+
+    def assign_counts(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cents, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf["embedding"].tolist())
+            diff = Q[:, None, :] - C[None, :, :]
+            a = (diff * diff).sum(axis=2).argmin(axis=1)
+            ks = np.unique(a)
+            yield pd.DataFrame(
+                {
+                    "cluster": ks.astype(np.int32),
+                    "n": [int((a == k).sum()) for k in ks],
+                }
+            )
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    counts = (
+        raw.select("vec_id", "embedding")
+        .mapInPandas(assign_counts, "cluster int, n long")
+        .groupBy("cluster")
+        .agg(F.sum("n").cast("long").alias("n_vecs"))
+    )
+    return run_to_memory(counts, mode="complete")

@@ -846,17 +846,19 @@ def test_incremental_indexed_corpus_side_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning(shingle" not in plan
 
 
-def test_knn_classify_single_exchange_broadcast_seeds(spark, sf_dir):
-    """knn_classify's scale contract: the labeled seed side is
-    BROADCAST (nested-loop over each query row, no shuffle of the
-    corpus into the scoring join) and per-query state collapses to
-    one row before the ONLY exchange — no window over the
-    queries-x-seeds pair table, no second vote aggregation."""
+def test_knn_classify_kernel_pass_no_exchange(spark, sf_dir):
+    """knn_classify's scale contract (round-12 rewrite): the labeled
+    seed set is fixed-size (KNN_SEED_CAP) and ships in the kernel
+    closure, so classification is ONE Arrow-batched MapInPandas over
+    one scan emitting final rows — zero exchanges, zero joins, zero
+    windows. (The previous broadcast-nested-loop + collect_list form
+    was corpus-proportional in the seed dimension and hung the 100x
+    probe.)"""
     plan = plan_of("knn_classify", spark, sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
     assert "Window" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "rangepartitioning" not in plan.lower()
 
 
 def test_bloom_gate_verdicts_materialize_once(spark, sf_dir):
