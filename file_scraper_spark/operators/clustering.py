@@ -570,3 +570,105 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_and_adc, "vec_id long, adc_q long"
     )
     return scored.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(10)
+
+
+#: cluster-balanced sampling quota: keep this many vectors per cell,
+#: selected by deterministic md5 order (value-based, so the sample is
+#: stable under repartitioning and replayable in SQL).
+CB_QUOTA = 20
+
+
+@query(
+    "sample_cluster_balanced",
+    oracle=f"""
+    WITH flat AS (
+      {_FLAT_SQL}
+    ), c0 AS (
+      SELECT CAST(vec_id AS INT) AS k, pos, q AS c
+      FROM flat WHERE vec_id < {KM_K}
+    ), d AS (
+      SELECT f.vec_id, c.k, SUM((f.q - c.c) * (f.q - c.c)) AS dist
+      FROM flat f JOIN c0 c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.k
+    ), a AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, k) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT vec_id, k,
+             ROW_NUMBER() OVER (
+               PARTITION BY k
+               ORDER BY CAST(('0x' || substring(
+                 md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+               vec_id
+             ) AS rk
+      FROM a
+    )
+    SELECT CAST(k AS INT) AS cluster, vec_id,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {CB_QUOTA}
+    """,
+    tags=("clustering", "sampling"),
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — the anti-mode-collapse selection a
+    curation pipeline runs after clustering (DSIR / SemDeDup-style:
+    cap each semantic cell's contribution instead of letting the head
+    cluster dominate the mixture): assign every vector to its nearest
+    seed cell (kmeans_lloyd's c0 — swap in trained centroids the same
+    way), then keep CB_QUOTA vectors per cell in deterministic
+    md5-of-id order, the value-based coin every sampler in this
+    engine uses (sample_hash's rule) so the sample survives
+    repartitioning and replays in SQL.
+
+    Scale shape: assignment is the shuffle-free Arrow kernel
+    (centroids in the closure); the per-cell quota is a rank-limit
+    window on (cell, md5) that Spark 4 pushes below the exchange as
+    WindowGroupLimit PARTIAL (sample_domain_quota's plan, pinned
+    there) — each map task forwards at most CB_QUOTA rows per cell,
+    so the exchange carries ~cells*quota rows per task regardless of
+    corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.select("vec_id", "embedding")
+    seed = sorted(
+        src.where(F.col("vec_id") < KM_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [
+        [int(x) for x in row]
+        for row in _quantize_np([r["embedding"] for r in seed])
+    ]
+
+    def assign(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cents, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf["embedding"].tolist())
+            diff = Q[:, None, :] - C[None, :, :]
+            a = (diff * diff).sum(axis=2).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster": a.astype(np.int32),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                }
+            )
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    assigned = src.mapInPandas(assign, "cluster int, vec_id long")
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CB_QUOTA)
+        .select("cluster", "vec_id", F.col("rk").cast("long").alias("rk"))
+    )

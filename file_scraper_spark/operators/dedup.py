@@ -3500,6 +3500,16 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(3)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+    # Positional hashing is EXPLODED (doc_id, p, h) so the md5 runs as
+    # a codegen'd per-row expression (8.1s for the 60M-shingle scan at
+    # 100x). The tempting in-array spelling — transform(md5) + log-
+    # shift zip_with folds, no window — measured 4x WORSE (384s):
+    # CollapseProject re-inlined the md5 transform into every
+    # downstream slice (270 copies in the optimized plan) and neither
+    # staged selects nor a repartition boundary stopped it; lambda-
+    # bearing arrays do not get the multi-reference exemption that
+    # saved embedding_quantize. Negative result recorded in NOTES.md.
     pos = corpus.select(
         "doc_id", F.posexplode(grams).alias("p0", "g")
     ).select(
@@ -3517,19 +3527,36 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").over(w).alias("fp"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
+    # the per-doc distinct adds NO exchange: the window already hash-
+    # partitioned on doc_id, which satisfies the (doc_id, fp) grouping.
+    # fps is localCheckpoint-materialized because FOUR consumers read
+    # it (hot list, kept x2 legs, and through them sizes/pairs) and
+    # Spark replicates the producing subtree per consumer — branch
+    # re-execution, not the window, was most of the first probe row's
+    # 88.3s. Swap for checkpoint()/cache on a real cluster.
     fps = (
         winmin.where(F.col("p") + (WIN_W - 1) <= F.col("n"))
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    df_ok = (
+    # df gate as a BROADCAST ANTI-join against the HOT list (fps with
+    # df > cap) — tiny by nature (ultra-common fingerprints only), so
+    # the corpus side never shuffles for the gate; the inner-join-
+    # against-all-kept-fps form exchanged 11.7M rows to drop ~0
+    # (cap_hot_shingles' shape).
+    hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= WIN_CAP)
+        .where(F.col("df") > WIN_CAP)
         .select("fp")
     )
-    kept = fps.join(df_ok, "fp")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    kept = fps.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .localCheckpoint(eager=False)
+    )
     per = (
         kept.groupBy("fp")
         .agg(F.collect_list("doc_id").alias("ds"))
@@ -3557,6 +3584,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sizes is docs-sized (one row per doc with any kept fingerprint)
+    # — broadcast both legs so the 48M-row candidate frame never
+    # sorts or shuffles for the final ratio filter.
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a")
     )
@@ -3565,11 +3595,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     min_nf = F.least("nf_a", "nf_b")
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .where(
             (min_nf >= WIN_MIN_FP)
-            & (F.expr(f"shared * 100 div least(nf_a, nf_b)") >= WIN_RATIO_PCT)
+            & (F.expr("shared * 100 div least(nf_a, nf_b)") >= WIN_RATIO_PCT)
         )
         .select(
             "doc_a",

@@ -1183,3 +1183,86 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("score_q") * 2 > NB_SCALE).cast("int").alias("predicted_pos"),
         (F.col("lang") == "en").cast("int").alias("actual_pos"),
     )
+
+
+#: greedy-vocab tokenization cost model: words in the top-VOCAB_APPLY_K
+#: corpus vocabulary cost one token, out-of-vocab words fall back to
+#: per-character pieces (the byte-fallback rule every BPE deployment
+#: carries). Ties in the vocab cut break lexicographically, so the
+#: vocab is a deterministic set in both engines.
+VOCAB_APPLY_K = 1000
+
+
+@query(
+    "tokenizer_vocab_apply",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (
+          ORDER BY COUNT(*) DESC, w ASC) AS r
+        FROM words GROUP BY w
+      ) WHERE r <= {VOCAB_APPLY_K}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN v.w IS NOT NULL
+                         THEN 1 ELSE length(words.w) END) AS BIGINT)
+             AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS BIGINT)
+             AS oov_words
+    FROM words LEFT JOIN vocab v ON v.w = words.w
+    GROUP BY doc_id
+    """,
+    tags=("text", "tokenizer"),
+)
+def tokenizer_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization-cost accounting under a learned vocabulary — the
+    ENCODE-side twin of vocab_coverage (corpus-level) and
+    bpe_merge_candidates (training-side): each in-vocab word costs one
+    token, each out-of-vocab word falls back to per-character pieces
+    (the byte-fallback floor), yielding the per-doc token cost a
+    sequence-packing / budget plan (sequence_packing,
+    corpus_token_budget) actually pays.  Emits per doc: word count,
+    token cost, OOV count.
+
+    Scale shape: the vocab is a corpus-frequency top-k — ONE
+    map-side-combinable word count whose top slice is
+    TakeOrderedAndProject (vocab-sized, never corpus-sorted;
+    vocab_coverage's argument) — then a BROADCAST left join against
+    the exploded words (the vocab is VOCAB_APPLY_K rows by
+    construction, the one join in this engine that is always
+    broadcastable), and one groupBy(doc_id) whose partials collapse
+    per map task."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(VOCAB_APPLY_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(
+                F.when(F.col("in_vocab").isNotNull(), F.lit(1)).otherwise(
+                    F.length("w")
+                )
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull())
+            .cast("long")
+            .alias("oov_words"),
+        )
+    )

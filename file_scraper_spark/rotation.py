@@ -192,6 +192,16 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "dedup_bloom_gate",
     "boilerplate_removal",
     "knn_classify",
+    # added round-12 continuation (clustering/PQ/classifier block)
+    "kmeans_lloyd",
+    "embedding_pq",
+    "similarity_ann_ivfpq",
+    "quality_classifier_nb",
+    "dedup_winnowing",
+    "corpus_epoch_plan",
+    "stream_kmeans_assign",
+    "sample_cluster_balanced",
+    "tokenizer_vocab_apply",
 )
 
 

@@ -938,3 +938,27 @@ def test_ivfpq_is_one_kernel_pass_topk_close(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_cluster_balanced_rank_limit_pushed(spark, sf_dir):
+    """sample_cluster_balanced's scale contract: assignment is the
+    shuffle-free kernel (MapInPandas, centroids in the closure) and
+    the per-cell quota is a rank-limit window that Spark 4 pushes
+    below the exchange (WindowGroupLimit PARTIAL) — each map task
+    forwards at most CB_QUOTA rows per cell."""
+    plan = plan_of("sample_cluster_balanced", spark, sf_dir)
+    assert plan.count("MapInPandas") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tokenizer_vocab_apply_broadcasts_vocab(spark, sf_dir):
+    """tokenizer_vocab_apply's scale contract: the vocab cut is
+    TakeOrderedAndProject (vocab-sized, never a corpus sort) and the
+    apply join BROADCASTS it — the corpus token stream never shuffles
+    for the lookup; the only corpus exchange is the per-doc rollup."""
+    plan = plan_of("tokenizer_vocab_apply", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
