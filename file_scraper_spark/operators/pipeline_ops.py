@@ -1315,3 +1315,92 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("frac_ppm"),
     )
+
+
+#: compaction target size (in n_chars units of the documents manifest
+#: stand-in): files within a directory are packed into bins of about
+#: this many bytes by start-offset binning.
+COMPACT_TARGET = 4096
+
+
+@query(
+    "compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT source AS dir,
+             source || '/' || CAST(doc_id AS VARCHAR) AS path,
+             CAST(n_chars AS BIGINT) AS bytes
+      FROM documents
+    ), offs AS (
+      SELECT dir, path, bytes,
+             SUM(bytes) OVER (PARTITION BY dir ORDER BY path
+                              ROWS UNBOUNDED PRECEDING) - bytes AS off
+      FROM manifest
+    )
+    SELECT dir, CAST(off // {COMPACT_TARGET} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(MIN(bytes) AS BIGINT) AS min_file,
+           CAST(MAX(bytes) AS BIGINT) AS max_file
+    FROM offs
+    GROUP BY dir, off // {COMPACT_TARGET}
+    """,
+    tags=("pipeline", "layout"),
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/bin-packing step
+    every lakehouse table needs once streaming and per-task writers
+    have sprayed thousands of undersized files: group each
+    directory's files into target-sized rewrite bins and report per
+    bin the file count and byte mass (the rewrite job's work list).
+    Binning is START-OFFSET packing — bin = floor(prefix_sum_before /
+    target) in path order — the deterministic one-pass rule
+    compaction services actually use (greedy first-fit needs
+    sequential state; offset binning gives the same ~target-sized
+    bins and is expressible as a running sum).  The documents table
+    stands in as the file manifest (dir = source, size = n_chars);
+    point it at a real listing (scrape_fs's output) unchanged.
+
+    Scale shape: ONE exchange — the running sum partitions by
+    directory (compaction is per-partition-dir by definition, so the
+    window never sees a global order), and the per-bin rollup groups
+    on (dir, bin), which the dir-hash partitioning already satisfies
+    — no second exchange (pinned in tests/test_plans.py). Integer
+    end to end."""
+    docs = load(spark, sf_dir, "documents")
+    manifest = docs.select(
+        F.col("source").alias("dir"),
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("path")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = manifest.select(
+        "dir",
+        "bytes",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("off"),
+    )
+    return (
+        offs.groupBy(
+            "dir", F.expr(f"off div {COMPACT_TARGET}").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.min("bytes").cast("long").alias("min_file"),
+            F.max("bytes").cast("long").alias("max_file"),
+        )
+        .select(
+            "dir",
+            F.col("bin").cast("long").alias("bin"),
+            "n_files",
+            "bin_bytes",
+            "min_file",
+            "max_file",
+        )
+    )

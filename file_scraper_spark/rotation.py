@@ -202,6 +202,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "stream_kmeans_assign",
     "sample_cluster_balanced",
     "tokenizer_vocab_apply",
+    "compaction_plan",
 )
 
 

@@ -962,3 +962,14 @@ def test_tokenizer_vocab_apply_broadcasts_vocab(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_compaction_plan_single_exchange(spark, sf_dir):
+    """compaction_plan's scale contract: the running sum partitions by
+    directory (never a global order) and the per-bin rollup's
+    (dir, bin) grouping is satisfied by the same dir-hash exchange —
+    ONE exchange, one per-partition sort, no range partitioning."""
+    plan = plan_of("compaction_plan", spark, sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan.lower()
+    assert "Join" not in plan
