@@ -1266,3 +1266,160 @@ def tokenizer_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_words"),
         )
     )
+
+
+#: BPE training rounds for bpe_train_steps — each round counts pair
+#: weights over the VOCAB table, merges the winner everywhere, and
+#: re-measures the corpus token count. Part of the query definition
+#: (both engines run exactly K rounds).
+BPE_STEPS = 3
+
+
+def _bpe_oracle() -> str:
+    prev = "v0"
+    steps = []
+    selects = []
+    for k in range(1, BPE_STEPS + 1):
+        steps.append(
+            f"""p{k} AS (
+      SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+             CAST(SUM(wf) AS BIGINT) AS w
+      FROM (
+        SELECT wf, list_slice(string_split(sp, '|'), 2,
+                              len(string_split(sp, '|')) - 1) AS syms
+        FROM {prev}
+      ), unnest(range(1, len(syms))) t(i)
+      WHERE len(syms) >= 2
+      GROUP BY syms[i] || ' ' || syms[i + 1]
+    ), b{k} AS (
+      SELECT pair, w FROM p{k} ORDER BY w DESC, pair ASC LIMIT 1
+    ), v{k} AS (
+      SELECT word, wf,
+             replace(sp, '|' || replace((SELECT pair FROM b{k}), ' ', '|')
+                           || '|',
+                         '|' || replace((SELECT pair FROM b{k}), ' ', '')
+                           || '|') AS sp
+      FROM {prev}
+    )"""
+        )
+        selects.append(
+            f"""SELECT {k} AS step,
+           (SELECT pair FROM b{k}) AS merged_pair,
+           (SELECT w FROM b{k}) AS weight,
+           CAST(SUM(wf * (len(string_split(sp, '|')) - 2)) AS BIGINT)
+             AS corpus_tokens
+    FROM v{k}"""
+        )
+        prev = f"v{k}"
+    body = ",\n    ".join(steps)
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND word NOT LIKE '%|%'
+      GROUP BY word
+    ), v0 AS (
+      SELECT word, wf,
+             '|' || array_to_string(string_split(word, ''), '|') || '|' AS sp
+      FROM vocab
+    ),
+    {body}
+    {union}
+    ORDER BY step
+    """
+
+
+@query("bpe_train_steps", oracle=_bpe_oracle(), tags=("text", "tokenizer"))
+def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, K=3 full rounds — the iterative loop
+    bpe_merge_candidates is one step of (fourth iterative-algorithm
+    class after connected components, PageRank, and Lloyd's): spell
+    every vocab word as |-separated symbols, and per round (a) count
+    adjacent-symbol pair weights over the vocab, (b) merge the
+    heaviest pair (ties to the lexicographically smaller pair string)
+    everywhere it occurs, (c) re-measure the weighted corpus token
+    count — the curve a tokenizer trainer watches.  Emits one row per
+    round: (step, merged_pair, weight, corpus_tokens).
+
+    Merge rule, deliberately: left-to-right non-overlapping string
+    replace of '|x|y|' -> '|xy|'.  Both engines' replace() has
+    identical semantics, so the oracle replays the loop bit-exactly;
+    the one divergence from textbook BPE is that two occurrences
+    sharing a boundary separator ('|x|y|x|y|') merge only the first —
+    a deterministic, engine-identical rule, documented rather than
+    patched (textbook run-parity needs sequential state per word).
+    Words containing the separator are excluded up front in both
+    engines (defensive; none exist in the fixtures).
+
+    Scale shape (why production BPE trainers are feasible at 100 TB):
+    after ONE corpus-linear wordcount, every round runs on the
+    VOCAB table — pair explode (|vocab| x word_len), a
+    vocab-sized map-side-combined aggregation, and a
+    TakeOrderedAndProject(1) for the winner, which ships to the
+    driver as a one-row control-plane scalar (kmeans_lloyd's
+    centroid pattern) and returns as a replace literal.  The corpus
+    is never touched again; the vocab frame is localCheckpointed once
+    so the K rounds re-read a materialized block."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_words()).alias("word"))
+        .where((F.col("word") != "") & (~F.col("word").contains("|")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            "word",
+            "wf",
+            F.concat(
+                F.lit("|"),
+                F.array_join(F.split("word", ""), "|"),
+                F.lit("|"),
+            ).alias("sp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    v = vocab
+    stats = []
+    for k in range(1, BPE_STEPS + 1):
+        syms = F.expr("slice(split(sp, '[|]'), 2, size(split(sp, '[|]')) - 2)")
+        pairs = v.select("wf", syms.alias("syms")).where(
+            F.size("syms") >= 2
+        ).select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> concat(syms[i], ' ', syms[i + 1]))"
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wf").cast("long").alias("w"))
+            .orderBy(F.desc("w"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        pat = "|" + best["pair"].replace(" ", "|") + "|"
+        rep = "|" + best["pair"].replace(" ", "") + "|"
+        v = v.select(
+            "word", "wf", F.replace("sp", F.lit(pat), F.lit(rep)).alias("sp")
+        ).localCheckpoint(eager=False)
+        stats.append(
+            v.agg(
+                F.lit(k).alias("step"),
+                F.lit(best["pair"]).alias("merged_pair"),
+                F.lit(int(best["w"])).cast("long").alias("weight"),
+                F.sum(
+                    F.col("wf")
+                    * (F.size(F.expr("split(sp, '[|]')")) - 2)
+                )
+                .cast("long")
+                .alias("corpus_tokens"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

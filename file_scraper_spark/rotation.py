@@ -203,6 +203,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "sample_cluster_balanced",
     "tokenizer_vocab_apply",
     "compaction_plan",
+    "bpe_train_steps",
 )
 
 
