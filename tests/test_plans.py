@@ -973,3 +973,40 @@ def test_compaction_plan_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan.lower()
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """SURVEY §4 optimizer surface: when a selective dim filter feeds
+    a SHUFFLE join (the 100 TB regime where the dim exceeds the
+    broadcast threshold), Catalyst's InjectRuntimeFilter plants a
+    bloom-filter semi-join on the fact side (`might_contain` over a
+    BloomFilterAggregate subquery) — row groups that cannot match are
+    skipped at the scan. Fixture scale is under the application-side
+    threshold (10GB default) and broadcast would pre-empt the shuffle
+    join, so the test scopes both confs. The engine relies on the
+    default-on conf at real scale rather than hand-planting blooms
+    (dedup_bloom_gate is the explicit-bloom variant for non-join
+    gating)."""
+    from pyspark.sql import functions as F
+    from file_scraper_spark.tables import load
+
+    app_k = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc_k = "spark.sql.autoBroadcastJoinThreshold"
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev_app, prev_bc = spark.conf.get(app_k), spark.conf.get(bc_k)
+    try:
+        spark.conf.set(app_k, "0")
+        spark.conf.set(bc_k, "-1")
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_size")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("might_contain") == 1
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set(app_k, prev_app)
+        spark.conf.set(bc_k, prev_bc)
