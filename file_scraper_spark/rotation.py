@@ -204,6 +204,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "tokenizer_vocab_apply",
     "compaction_plan",
     "bpe_train_steps",
+    "multimodal_tar_index",
 )
 
 
