@@ -205,6 +205,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "compaction_plan",
     "bpe_train_steps",
     "multimodal_tar_index",
+    "dsir_weights",
 )
 
 
