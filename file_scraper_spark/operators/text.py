@@ -1423,3 +1423,97 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionAll(s)
     return out
+
+
+#: Gopher quality-rule bounds (Rae et al. 2021, the rule set C4/
+#: Gopher/FineWeb-class pipelines gate on), in exact cross-multiplied
+#: integer form so no rule ever divides.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3  # mean word length lower bound
+GOPHER_MWL_MAX = 10
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_ALPHA_PCT = 80  # >= 80% of words contain an alphabetic char
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    SELECT doc_id, n_words, word_chars,
+           CAST(n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS} AS INT) AS ok_words,
+           CAST(word_chars >= {GOPHER_MWL_MIN} * n_words
+                AND word_chars <= {GOPHER_MWL_MAX} * n_words AS INT)
+             AS ok_mwl,
+           CAST(alpha_words * 100 >= {GOPHER_ALPHA_PCT} * n_words AS INT)
+             AS ok_alpha,
+           CAST(stop_cnt >= {GOPHER_MIN_STOPWORDS} AS INT) AS ok_stop,
+           CAST(n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+                AND word_chars >= {GOPHER_MWL_MIN} * n_words
+                AND word_chars <= {GOPHER_MWL_MAX} * n_words
+                AND alpha_words * 100 >= {GOPHER_ALPHA_PCT} * n_words
+                AND stop_cnt >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+               AS alpha_words,
+             CAST({_oracle_marker_count(STOPWORDS)} AS BIGINT) AS stop_cnt
+      FROM documents
+    )
+    """,
+    tags=("text", "quality"),
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated Gopher rule gate (Rae et al. 2021) — the
+    named filter set C4/Gopher/FineWeb-class pipelines apply before
+    anything model-based: word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, minimum stopword evidence — emitted as
+    a per-doc decision TABLE (one column per rule + the conjunction),
+    so a curation run can audit WHICH rule rejected each doc instead
+    of just losing it (text_quality scores; this gates).  Every rule
+    is an exact cross-multiplied integer comparison (mean word length
+    in [3,10] is word_chars between 3*n_words and 10*n_words — no
+    division, no doubles), so the oracle replays the gate bit-exactly.
+
+    Scale shape: a pure projection — one scan, zero exchanges, every
+    predicate a codegen'd row-local expression; at 100 TB this is the
+    cheapest full-corpus pass the pipeline has, which is exactly why
+    these rules run FIRST in production stacks (quality_funnel
+    measures that ordering's survivor counts)."""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("word_chars"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        _marker_count(words, STOPWORDS).cast("long").alias("stop_cnt"),
+    )
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_mwl = (
+        F.col("word_chars") >= GOPHER_MWL_MIN * F.col("n_words")
+    ) & (F.col("word_chars") <= GOPHER_MWL_MAX * F.col("n_words"))
+    ok_alpha = (
+        F.col("alpha_words") * 100 >= GOPHER_ALPHA_PCT * F.col("n_words")
+    )
+    ok_stop = F.col("stop_cnt") >= GOPHER_MIN_STOPWORDS
+    return base.select(
+        "doc_id",
+        "n_words",
+        "word_chars",
+        ok_words.cast("int").alias("ok_words"),
+        ok_mwl.cast("int").alias("ok_mwl"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stop.cast("int").alias("ok_stop"),
+        (ok_words & ok_mwl & ok_alpha & ok_stop).cast("int").alias("keep"),
+    )

@@ -206,6 +206,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "bpe_train_steps",
     "multimodal_tar_index",
     "dsir_weights",
+    "gopher_quality_gate",
 )
 
 
