@@ -3611,3 +3611,54 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ratio_pct"),
         )
     )
+
+
+#: SoftDeDup weight scale: weight_q = SOFT_SCALE div n_copies.
+SOFT_SCALE = 10**6
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH groups AS (
+      SELECT md5(text) AS h, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id,
+           CAST(g.n_copies AS BIGINT) AS n_copies,
+           CAST({SOFT_SCALE} // g.n_copies AS BIGINT) AS weight_q
+    FROM documents d JOIN groups g ON md5(d.text) = g.h
+    """,
+    tags=("dedup", "soft"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup — keep every copy but DOWN-WEIGHT duplicated text in
+    the training loss (weight = 1/n_copies) instead of dropping it:
+    the loss-reweighting alternative to dedup_exact's keep-first rule
+    (She et al.-style soft deduplication; preserves distribution mass
+    that hard dedup deletes). Emits the per-doc duplicate-group size
+    and the fixed-point loss weight the data loader multiplies in.
+
+    Scale shape: one map-side-combinable groupBy on the text hash
+    (never the text itself — the shuffle carries 16-byte keys), then
+    one equi-join back on the same key, which AQE plans inside the
+    same exchange footprint; md5 keys make the oracle bit-exact. At
+    100 TB the group table is dup-mass-sized, far below corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5("text").alias("h")
+    groups = (
+        docs.select(h)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        docs.select("doc_id", h)
+        .join(groups, "h")
+        .select(
+            "doc_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.expr(f"{SOFT_SCALE} div n_copies")
+            .cast("long")
+            .alias("weight_q"),
+        )
+    )

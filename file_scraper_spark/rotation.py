@@ -207,6 +207,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "multimodal_tar_index",
     "dsir_weights",
     "gopher_quality_gate",
+    "dedup_soft_weights",
 )
 
 
