@@ -90,14 +90,13 @@ _FLAT_SQL = f"""
 """
 
 
-def _kmeans_oracle() -> str:
-    """KM_ROUNDS-round unrolled DuckDB twin of the Spark loop below.
-
-    The oracle spells assignment as a join + ROW_NUMBER argmin over
-    (dist, k) and update as SUM // COUNT with a keep-previous LEFT
-    JOIN for emptied clusters — the same integer ops the numpy kernel
-    runs, in relational form.
-    """
+def _kmeans_rounds_sql() -> tuple[str, str]:
+    """The unrolled Lloyd rounds as a WITH-body fragment (shared by
+    the kmeans and trained-IVF oracles): returns (rounds_sql,
+    final_centroid_cte_name). Assignment is a join + ROW_NUMBER
+    argmin over (dist, k); update is SUM // COUNT with a
+    keep-previous LEFT JOIN for emptied clusters — the same integer
+    ops the numpy kernel runs, in relational form."""
     steps = []
     prev = "c0"
     for r in range(1, KM_ROUNDS + 1):
@@ -122,7 +121,12 @@ def _kmeans_oracle() -> str:
     )"""
         )
         prev = f"c{r}"
-    rounds = ",\n    ".join(steps)
+    return ",\n    ".join(steps), prev
+
+
+def _kmeans_oracle() -> str:
+    """KM_ROUNDS-round unrolled DuckDB twin of kmeans_lloyd."""
+    rounds, prev = _kmeans_rounds_sql()
     return f"""
     WITH flat AS (
       {_FLAT_SQL}
@@ -222,6 +226,37 @@ def _stats_kernel(cents: list[list[int]]):
     return fn
 
 
+def lloyd_train(src: DataFrame) -> list[list[int]]:
+    """The Lloyd training loop (shared by kmeans_lloyd and the
+    trained-IVF serving path): K rounds of kernel assignment +
+    in-kernel partial centroid sums over the (vec_id, embedding)
+    frame, centroids held driver-side between rounds. Returns the
+    trained centroid grids (K x d ints on the KM_Q grid)."""
+    seed = sorted(
+        src.where(F.col("vec_id") < KM_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents: list[list[int]] = [
+        [int(x) for x in row]
+        for row in _quantize_np([r["embedding"] for r in seed])
+    ]
+    for _ in range(KM_ROUNDS):
+        cells = (
+            src.mapInPandas(
+                _update_kernel(cents), "k int, pos int, s long, n long"
+            )
+            .groupBy("k", "pos")
+            .agg(F.expr("sum(s) div sum(n)").alias("c"))
+            .collect()
+        )
+        new = {(r["k"], r["pos"]): r["c"] for r in cells}
+        cents = [
+            [int(new.get((k, p), ck[p])) for p in range(len(ck))]
+            for k, ck in enumerate(cents)
+        ]
+    return cents
+
+
 @query("kmeans_lloyd", oracle=_kmeans_oracle(), tags=("clustering",))
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Lloyd's k-means (K=8, 3 fixed rounds, integer
@@ -250,30 +285,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     src = emb.select("vec_id", "embedding").localCheckpoint()
-
-    # c0: the first K vectors' grids, one tiny control-plane collect.
-    seed = sorted(
-        src.where(F.col("vec_id") < KM_K).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    cents: list[list[int]] = [
-        [int(x) for x in row] for row in _quantize_np([r["embedding"] for r in seed])
-    ]
-
-    for _ in range(KM_ROUNDS):
-        cells = (
-            src.mapInPandas(
-                _update_kernel(cents), "k int, pos int, s long, n long"
-            )
-            .groupBy("k", "pos")
-            .agg(F.expr("sum(s) div sum(n)").alias("c"))
-            .collect()
-        )
-        new = {(r["k"], r["pos"]): r["c"] for r in cells}
-        cents = [
-            [int(new.get((k, p), ck[p])) for p in range(len(ck))]
-            for k, ck in enumerate(cents)
-        ]
+    cents = lloyd_train(src)
 
     l1 = {k: sum(abs(v) for v in ck) for k, ck in enumerate(cents)}
     l1_map = F.create_map(
@@ -672,3 +684,118 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= CB_QUOTA)
         .select("cluster", "vec_id", F.col("rk").cast("long").alias("rk"))
     )
+
+
+IVF_TRAINED_PROBE = 2  #: cells probed out of KM_K at serve time.
+
+
+def _ivf_trained_oracle() -> str:
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        QUERY_VEC_ID,
+    )
+
+    rounds, prev = _kmeans_rounds_sql()
+    return f"""
+    WITH flat AS (
+      {_FLAT_SQL}
+    ), c0 AS (
+      SELECT CAST(vec_id AS INT) AS k, pos, q AS c
+      FROM flat WHERE vec_id < {KM_K}
+    ),
+    {rounds},
+    dF AS (
+      SELECT f.vec_id, c.k, SUM((f.q - c.c) * (f.q - c.c)) AS dist
+      FROM flat f JOIN {prev} c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.k
+    ), aF AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM dF
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT k FROM dF WHERE vec_id = {QUERY_VEC_ID}
+      ORDER BY dist, k LIMIT {IVF_TRAINED_PROBE}
+    ), qv AS (
+      SELECT pos, q FROM flat WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT f.vec_id,
+           CAST(SUM((f.q - qv.q) * (f.q - qv.q)) AS BIGINT) AS d2_q
+    FROM flat f JOIN qv ON qv.pos = f.pos
+    WHERE f.vec_id IN (SELECT vec_id FROM aF
+                       WHERE k IN (SELECT k FROM probe))
+    GROUP BY f.vec_id
+    ORDER BY d2_q ASC, f.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query(
+    "similarity_ann_ivf_trained",
+    oracle=_ivf_trained_oracle(),
+    tags=("ann", "ivf", "clustering"),
+)
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train->index->serve ANN path on a TRAINED coarse
+    quantizer: run Lloyd's (lloyd_train — the exact loop kmeans_lloyd
+    registers), assign every vector to its trained cell, probe the
+    query's {IVF_TRAINED_PROBE} nearest cells, and exact-rerank the
+    probed candidates by integer L2.  Closes the composition the
+    module docstring promises: similarity_ann_ivf serves off the
+    per-label codebook (supervised stand-in), THIS query serves off
+    centroids the engine itself trained — the shape a real
+    embedding-corpus deployment runs, where no labels exist.
+
+    Everything replays in SQL: the oracle re-trains the same K rounds
+    (the shared _kmeans_rounds_sql chain), re-derives assignment,
+    probe choice (integer distances, ties to the smaller cell), and
+    the exact rerank.  Serving is one Arrow kernel pass over one scan
+    — trained centroids and probe set in the closure, candidates
+    pruned BEFORE the distance emit, closed by TakeOrderedAndProject;
+    training cost is the K-round loop amortized across every query
+    batch that reuses the codebook (a deployment persists it — the
+    control-plane frame is K*d ints)."""
+    import numpy as np  # noqa: PLC0415
+
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        QUERY_VEC_ID,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.select("vec_id", "embedding").localCheckpoint()
+    cents = lloyd_train(src)
+
+    C = np.array(cents, dtype=np.int64)
+    qrow = src.where(F.col("vec_id") == QUERY_VEC_ID).head()
+    qq = _quantize_np([qrow["embedding"]])[0]
+    qd = ((C - qq[None, :]) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(len(C)), qd))
+    probe = set(int(k) for k in order[:IVF_TRAINED_PROBE])
+
+    def serve(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        Cl = np.array(cents, dtype=np.int64)
+        pm = np.array([k in probe for k in range(len(Cl))])
+        Q = np.array(qq, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _quantize_np(pdf["embedding"].tolist())
+            diff = V[:, None, :] - Cl[None, :, :]
+            a = (diff * diff).sum(axis=2).argmin(axis=1)
+            keep = pm[a]
+            if not keep.any():
+                continue
+            kv = V[keep]
+            d2 = ((kv - Q[None, :]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "d2_q": d2,
+                }
+            )
+
+    scored = src.mapInPandas(serve, "vec_id long, d2_q long")
+    return scored.orderBy(F.asc("d2_q"), F.asc("vec_id")).limit(10)

@@ -208,6 +208,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "dsir_weights",
     "gopher_quality_gate",
     "dedup_soft_weights",
+    "similarity_ann_ivf_trained",
 )
 
 
