@@ -799,3 +799,136 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = src.mapInPandas(serve, "vec_id long, d2_q long")
     return scored.orderBy(F.asc("d2_q"), F.asc("vec_id")).limit(10)
+
+
+def _pq_residual_oracle() -> str:
+    rounds, prev = _kmeans_rounds_sql()
+    return f"""
+    WITH flat AS (
+      {_FLAT_SQL}
+    ), c0 AS (
+      SELECT CAST(vec_id AS INT) AS k, pos, q AS c
+      FROM flat WHERE vec_id < {KM_K}
+    ),
+    {rounds},
+    dF AS (
+      SELECT f.vec_id, c.k, SUM((f.q - c.c) * (f.q - c.c)) AS dist
+      FROM flat f JOIN {prev} c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.k
+    ), aF AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM dF
+      ) WHERE rn = 1
+    ), res AS (
+      SELECT f.vec_id, a.k AS cell,
+             f.pos // {PQ_SUBD} AS m, f.pos % {PQ_SUBD} AS j,
+             f.q - c.c AS r
+      FROM flat f
+      JOIN aF a ON a.vec_id = f.vec_id
+      JOIN {prev} c ON c.k = a.k AND c.pos = f.pos
+    ), cb AS (
+      SELECT CAST(vec_id AS INT) AS code, m, j, r AS c
+      FROM res WHERE vec_id < {PQ_K}
+    ), pqd AS (
+      SELECT s.vec_id, s.m, cb.code,
+             SUM((s.r - cb.c) * (s.r - cb.c)) AS dist
+      FROM res s JOIN cb ON cb.m = s.m AND cb.j = s.j
+      GROUP BY s.vec_id, s.m, cb.code
+    ), pqa AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT vec_id, m, code, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM pqd
+      ) WHERE rn = 1
+    )
+    SELECT pqa.vec_id,
+           CAST(MIN(res.cell) AS INT) AS cell,
+           CAST(SUM(pqa.code) AS BIGINT) AS code_sum,
+           CAST(SUM(pqa.dist) AS BIGINT) AS recon_err_q
+    FROM pqa JOIN res ON res.vec_id = pqa.vec_id AND res.m = pqa.m
+                    AND res.j = 0
+    GROUP BY pqa.vec_id
+    """
+
+
+@query(
+    "embedding_pq_residual",
+    oracle=_pq_residual_oracle(),
+    tags=("clustering", "pq"),
+)
+def embedding_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual product quantization — the FAISS IVFPQ default:
+    PQ-encode each vector's RESIDUAL from its trained coarse centroid
+    instead of the raw vector, so the codebook spends its 4 bits on
+    the within-cell detail the coarse quantizer already removed.
+    Composes lloyd_train (coarse) with the PQ encode; emits per
+    vector its cell, a code checksum, and the exact integer residual
+    distortion — compare recon_err_q against embedding_pq's raw
+    encoding to see the residual win.
+
+    Residuals stay ON the integer grid (q - c is int64), so the
+    entire path — training rounds, cell argmin, residual, codeword
+    argmin, distortion — replays bit-exactly in the oracle, which
+    re-trains the same K rounds via the shared unrolled chain.
+
+    Scale shape: one Arrow kernel pass over one scan (trained
+    centroids + residual codebook in the closure; assignment,
+    residual, and encode fused per batch — the corpus is read once,
+    nothing shuffles)."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.select("vec_id", "embedding").localCheckpoint()
+    cents = lloyd_train(src)
+    C = np.array(cents, dtype=np.int64)
+
+    # residual codebook seeds: the first PQ_K vectors' residuals —
+    # one control-plane collect + driver-side numpy.
+    seed = sorted(
+        src.where(F.col("vec_id") < PQ_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    SQ = _quantize_np([r["embedding"] for r in seed])
+    sa = ((SQ[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    CB = (SQ - C[sa]).reshape(PQ_K, PQ_M, PQ_SUBD)
+    cb_list = [[int(x) for x in row.reshape(-1)] for row in CB]
+
+    def encode(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        Cl = np.array(cents, dtype=np.int64)
+        CBl = np.array(cb_list, dtype=np.int64).reshape(
+            PQ_K, PQ_M, PQ_SUBD
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf["embedding"].tolist())
+            diff = Q[:, None, :] - Cl[None, :, :]
+            a = (diff * diff).sum(axis=2).argmin(axis=1)
+            R = (Q - Cl[a]).reshape(-1, PQ_M, PQ_SUBD)
+            n = R.shape[0]
+            code_sum = np.zeros(n, dtype=np.int64)
+            err = np.zeros(n, dtype=np.int64)
+            for m in range(PQ_M):
+                dd = R[:, None, m, :] - CBl[None, :, m, :]
+                dist = (dd * dd).sum(axis=2)
+                c = dist.argmin(axis=1)
+                code_sum += c
+                err += dist[np.arange(n), c]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": a.astype(np.int32),
+                    "code_sum": code_sum,
+                    "recon_err_q": err,
+                }
+            )
+
+    return src.mapInPandas(
+        encode, "vec_id long, cell int, code_sum long, recon_err_q long"
+    )

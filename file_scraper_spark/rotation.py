@@ -209,6 +209,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "gopher_quality_gate",
     "dedup_soft_weights",
     "similarity_ann_ivf_trained",
+    "embedding_pq_residual",
 )
 
 
