@@ -1381,6 +1381,13 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = vocab
     stats = []
+    # A corpus with no mergeable pair anywhere (all words < 2 chars,
+    # or empty) must not kill the job: the oracle's scalar subqueries
+    # go NULL and poison sp for every later round, so once the pair
+    # table is empty the loop emits all-NULL rows for the remaining
+    # steps — same semantics, fail-soft (fuzz-found: the original
+    # collect()[0] raised IndexError on exactly this corpus).
+    dead = False
     for k in range(1, BPE_STEPS + 1):
         syms = F.expr("slice(split(sp, '[|]'), 2, size(split(sp, '[|]')) - 2)")
         pairs = v.select("wf", syms.alias("syms")).where(
@@ -1394,13 +1401,25 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pair"),
         )
-        best = (
+        best_rows = (
             pairs.groupBy("pair")
             .agg(F.sum("wf").cast("long").alias("w"))
             .orderBy(F.desc("w"), F.asc("pair"))
             .limit(1)
-            .collect()[0]
-        )
+            .collect()
+        ) if not dead else []
+        if not best_rows:
+            dead = True
+            stats.append(
+                spark.range(1).select(
+                    F.lit(k).alias("step"),
+                    F.lit(None).cast("string").alias("merged_pair"),
+                    F.lit(None).cast("long").alias("weight"),
+                    F.lit(None).cast("long").alias("corpus_tokens"),
+                )
+            )
+            continue
+        best = best_rows[0]
         pat = "|" + best["pair"].replace(" ", "|") + "|"
         rep = "|" + best["pair"].replace(" ", "") + "|"
         v = v.select(

@@ -49,7 +49,17 @@ N_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25"))
 #: width assumptions), udf_arrow_*/udtf (worker spin-up dominates, the
 #: scalar surface is already covered by udf_surface in the gate).
 QUERIES = (
+    "boilerplate_removal",
+    "bpe_train_steps",
+    "compaction_plan",
     "contamination_check",
+    "corpus_epoch_plan",
+    "dedup_soft_weights",
+    "dedup_winnowing",
+    "dsir_weights",
+    "gopher_quality_gate",
+    "quality_classifier_nb",
+    "tokenizer_vocab_apply",
     "context_windows",
     "corpus_mixture",
     "corpus_shuffle",
