@@ -1542,3 +1542,48 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+    FROM documents
+    """,
+    tags=("pipeline", "governance"),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row — the governance artifact every
+    released training corpus ships (datasheets/data-statements): doc
+    and token mass, language and source cardinalities, exact-dup
+    count, size distribution. One row a release pipeline diffs
+    against the previous snapshot before publishing.
+
+    Scale shape: a single all-partial aggregation — every measure is
+    map-side combinable except the three DISTINCTs, which Spark plans
+    as expand+partial (langs/sources are low-cardinality; the text
+    md5 distinct is the one corpus-cardinality shuffle, 16-byte
+    keys). One scan, one exchange group, one output row."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.expr("sum(n_chars) div count(1)").cast("long").alias("mean_chars"),
+    )

@@ -210,6 +210,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "dedup_soft_weights",
     "similarity_ann_ivf_trained",
     "embedding_pq_residual",
+    "corpus_datacard",
 )
 
 
