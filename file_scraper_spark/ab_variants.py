@@ -17,109 +17,104 @@ bench asserts nothing about results — the correctness gate already
 covers the live form and the pair equality was checked when the
 rewrite landed.
 
-Round 12 entries (round-11's three arms — the pre-PPJoin jaccard
-triangle, the block-task similarity_pairs, the unbalanced
-dedup_exact_substring — deleted per the one-round contract along with
-dedup._jaccard_pairs_triangle and the ``NEAR_DUP_BALANCE=False``
-escape hatch; their numbers live in BENCH_r11 / BENCH_LOCAL_r11.json
-and NOTES.md):
+Round 13 entries (round-12's arms — the min-label propagation loop
+behind ``dedup_clusters`` and the three r11-tree drift anchors
+(agg_groupby / join_family / window_rank) with their /tmp/r11tree
+snapshot dependency — deleted per the one-round contract; the anchors
+answered the r9–r11 drift question as ambient box load, ratios
+1.04x/0.97x/1.05x on byte-identical code, recorded in BENCH_r12.json
+and NOTES.md; re-add anchors only if a new trend appears):
 
-- ``dedup_clusters``: the pre-rewrite propagation loop ran plain
-  min-label propagation (one join+groupBy per round, rounds bounded
-  by component DIAMETER) and rebuilt the shared jaccard edge list
-  from scratch on every cold consumer; the live form runs
-  two-phase star contraction (large-star/small-star, O(log n)
-  rounds) over an edge list the trio shares via the disk spill tier.
-  The baseline here pins ONLY the propagation-loop change: both arms
-  read the same memoized edge list inside one JVM.
-
-Round 12 also carries three DRIFT ANCHORS (agg_groupby, join_family,
-window_rank — VERDICT r11 task #4): the sf0.1 single-window headline
-drifted UP three rounds running (r9 15.44 → r10 18.20 → r11 20.41),
-each step inside the documented ~2x ambient swing but now trend-shaped.
-These arms execute the UNTOUCHED r11 tree's registered form of each
-query (loaded from a `git archive bd92284` snapshot via an isolated
-sys.modules swap — relational.py is byte-identical between the trees,
-verified by `git diff bd92284..HEAD`), interleaved same-JVM against
-the r12 tree. Expected ratio ~1.0: that CONFIRMS the drift is ambient
-box noise, any other ratio localizes a real regression to tree code
-rather than load. Skipped silently when the snapshot dir is absent
-(another machine / cleaned tmp).
+- ``dedup_winnowing``: the pre-rewrite tail FORCE-BROADCAST the
+  docs-proportional per-doc fingerprint-count frame (sizes) twice
+  into the containment-ratio filter — an executor OOM at the 100 TB
+  design point, and a hint AQE cannot override (VERDICT r12 weak
+  #1). The live form is the same join tail WITHOUT the hint: AQE
+  picks broadcast at fixture/probe scale from runtime sizes and
+  degrades to sort-merge past the threshold. (The verdict's sketched
+  zero-post-pair-join form — nf as a per-doc window carried through
+  a struct collect_list — was built and A/B-measured same-JVM at
+  100x first: 66.7s vs 22.7s min-of-2, a 3x regression; rejected
+  with the numbers in NOTES.md r13.) Expected ratio here ~1.0: both
+  arms should plan the identical broadcast at probe scale — the pair
+  exists to CONFIRM the hint removal is free where it used to win,
+  not to show a speedup. Both arms share ``dedup._winnowing_kept``
+  inside one JVM, so the pair times only the changed tail.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from file_scraper_spark.operators import dedup
 
-#: `git archive bd92284 | tar -x -C /tmp/r11tree` (round-11 tip)
-R11_TREE = "/tmp/r11tree"
 
-
-def _old_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = dedup.jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return dedup._propagate_clusters_minlabel(spark, sf_dir, edges)
-
-
-#: the r11 snapshot's registry, imported ONCE on first use via an
-#: isolated sys.modules swap. The swap is only needed during IMPORT
-#: (so the snapshot's intra-package imports resolve to snapshot
-#: modules, not the live tree's cached ones); the captured query
-#: functions keep their own module globals afterwards, so calling
-#: them needs no further swapping. Caching matters for measurement
-#: honesty: a per-call import of the whole 183-query package inside
-#: the timed region biased the first drift capture to 0.78-0.87x on
-#: BYTE-IDENTICAL code — pure import cost, not execution.
-_R11_REGISTRY: dict = {}
-
-
-def _r11_registry() -> dict:
-    if _R11_REGISTRY:
-        return _R11_REGISTRY
-    import importlib  # noqa: PLC0415
-    import sys  # noqa: PLC0415
-
-    saved = {
-        k: v
-        for k, v in sys.modules.items()
-        if k.startswith("file_scraper_spark")
-    }
-    for k in saved:
-        del sys.modules[k]
-    sys.path.insert(0, R11_TREE)
-    try:
-        reg = importlib.import_module("file_scraper_spark.registry")
-        reg._ensure_loaded()
-        _R11_REGISTRY.update(reg.REGISTRY)
-    finally:
-        sys.path.remove(R11_TREE)
-        for k in list(sys.modules):
-            if k.startswith("file_scraper_spark"):
-                del sys.modules[k]
-        sys.modules.update(saved)
-    return _R11_REGISTRY
-
-
-def _r11_tree_fn(name: str):
-    """Callable running ``name``'s REGISTERED r11-tree implementation
-    (plan building only — these three queries are pure JVM plans, no
-    pandas_udf closures pinning Python modules)."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _r11_registry()[name].fn(spark, sf_dir)
-
-    return run
+def _old_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = dedup._winnowing_kept(spark, sf_dir)
+    sizes = (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .localCheckpoint(eager=False)
+    )
+    per = (
+        kept.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    ds = F.col("ds")
+    pairs = (
+        per.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ds,
+                        lambda x, i: F.transform(
+                            F.slice(ds, i + 2, F.size(ds)),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b")
+    )
+    min_nf = F.least("nf_a", "nf_b")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(
+            (min_nf >= dedup.WIN_MIN_FP)
+            & (
+                F.expr("shared * 100 div least(nf_a, nf_b)")
+                >= dedup.WIN_RATIO_PCT
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            min_nf.cast("long").alias("min_nf"),
+            F.expr("shared * 100 div least(nf_a, nf_b)")
+            .cast("long")
+            .alias("ratio_pct"),
+        )
+    )
 
 
 #: query name -> superseded callable. Empty the round after the
 #: rewrite ships (the bench emits no ``ab`` section then).
 AB_BASELINES = {
-    "dedup_clusters": _old_dedup_clusters,
+    "dedup_winnowing": _old_dedup_winnowing,
 }
-
-if os.path.isdir(R11_TREE):
-    for _n in ("agg_groupby", "join_family", "window_rank"):
-        AB_BASELINES[_n] = _r11_tree_fn(_n)

@@ -170,6 +170,8 @@ def _update_kernel(cents: list[list[int]]):
 
         C = np.array(cents, dtype=np.int64)  # (k, d)
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: _quantize_np returns 1-D
             Q = _quantize_np(pdf["embedding"].tolist())  # (n, d)
             diff = Q[:, None, :] - C[None, :, :]
             dist = (diff * diff).sum(axis=2)  # (n, k) int64, exact
@@ -209,6 +211,8 @@ def _stats_kernel(cents: list[list[int]]):
 
         C = np.array(cents, dtype=np.int64)
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: _quantize_np returns 1-D
             Q = _quantize_np(pdf["embedding"].tolist())
             diff = Q[:, None, :] - C[None, :, :]
             dist = (diff * diff).sum(axis=2)

@@ -1795,6 +1795,14 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import numpy as np  # noqa: PLC0415
 
+    out_schema = "vec_id long, pred_label long, votes long, is_correct long"
+    # Degenerate corpus (no vec_id under KNN_SEED_CAP on the seed
+    # residue, or every seed zero-norm): the oracle's top-k per query
+    # is empty, so no query gets a row — return the empty relation
+    # instead of letting shape-(0,) numpy arrays crash driver-side
+    # (ADVICE r12).
+    if not seed_rows:
+        return spark.createDataFrame([], out_schema)
     seed_rows.sort(key=lambda r: r["vec_id"])
     S = np.floor(
         np.array([list(r["embedding"]) for r in seed_rows], dtype=np.float64)
@@ -1805,6 +1813,8 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     S, sn = S[ok], sn[ok]
     sids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)[ok]
     slabels = np.array([r["label"] for r in seed_rows], dtype=np.int64)[ok]
+    if not len(S):
+        return spark.createDataFrame([], out_schema)
 
     def score_vote(batches):
         import numpy as np  # noqa: PLC0415
@@ -1851,7 +1861,4 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % KNN_SEED_MOD != 0)
         | (F.col("vec_id") >= KNN_SEED_CAP)
     ).select("vec_id", "label", "embedding")
-    return queries.mapInPandas(
-        score_vote,
-        "vec_id long, pred_label long, votes long, is_correct long",
-    )
+    return queries.mapInPandas(score_vote, out_schema)

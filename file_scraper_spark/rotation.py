@@ -211,6 +211,9 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "similarity_ann_ivf_trained",
     "embedding_pq_residual",
     "corpus_datacard",
+    # added round-13 (new ops — unverified, so reorder() pulls them
+    # to the head of the r13 driver window automatically)
+    "dedup_bloom_gate_indexed",
 )
 
 

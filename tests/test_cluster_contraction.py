@@ -89,22 +89,16 @@ def test_star_contraction_matches_union_find(spark, name):
     assert _contract(spark, edges) == _uf_components(edges)
 
 
-def test_star_contraction_matches_minlabel_on_fixture(spark, sf_dir):
-    """The superseded min-label loop and the live contraction must
-    agree on the real near-dup edge list (the A/B arms are
+def test_winnowing_ab_arm_matches_live_on_fixture(spark, sf_dir):
+    """The superseded r12 winnowing tail (broadcast-sizes form, kept
+    one round as the bench A/B baseline) and the live window-nf form
+    must agree row-for-row on the fixture (the A/B arms are
     apples-to-apples, ab_variants contract)."""
-    edges = dedup.jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    new = sorted(
-        (r.doc_id, r.cluster)
-        for r in dedup._propagate_clusters(spark, sf_dir, edges).collect()
-    )
-    old = sorted(
-        (r.doc_id, r.cluster)
-        for r in dedup._propagate_clusters_minlabel(
-            spark, sf_dir, edges
-        ).collect()
-    )
-    assert new == old
+    from file_scraper_spark.ab_variants import _old_dedup_winnowing
+
+    new = sorted(map(tuple, dedup.dedup_winnowing(spark, sf_dir).collect()))
+    old = sorted(map(tuple, _old_dedup_winnowing(spark, sf_dir).collect()))
+    assert new == old and len(new) > 0
 
 
 # ---------------------------------------------------------------- spill
@@ -131,6 +125,29 @@ def test_edge_spill_roundtrip_and_cross_session_key(
     )
     assert "edges" in plan and "Scan parquet" in plan
     assert sorted(map(tuple, hit.collect())) == a
+
+
+def test_memoized_frame_survives_external_spill_clear(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """PROBE_r12's one sweep defect, hardened (VERDICT r12 task #5):
+    a memoized DataFrame over the disk spill is a plan over parquet
+    files that an external actor can delete between consumers
+    (another harness's clear_edge_spill, cross-process eviction).
+    The memo hit must validate the backing dir and fall back to a
+    rebuild — not serve a frame that dies with FAILED_READ_FILE at
+    action time."""
+    monkeypatch.setenv("FSS_EDGE_SPILL_DIR", str(tmp_path / "spill"))
+    dedup._EDGES_MEMO.clear()
+    dedup._EDGES_MEMO_SPILL.clear()
+    a = sorted(map(tuple, dedup.jaccard_pairs(spark, sf_dir).collect()))
+    assert dedup._EDGES_MEMO and dedup._EDGES_MEMO_SPILL
+    # the harness rug-pull: spill cleared while the memo entry lives
+    dedup.clear_edge_spill()
+    again = dedup.jaccard_pairs(spark, sf_dir)
+    assert sorted(map(tuple, again.collect())) == a
+    dedup._EDGES_MEMO.clear()
+    dedup._EDGES_MEMO_SPILL.clear()
 
 
 def test_edge_spill_key_mismatch_is_miss(tmp_path, monkeypatch, spark):
