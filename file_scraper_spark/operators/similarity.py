@@ -1862,3 +1862,208 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("vec_id") >= KNN_SEED_CAP)
     ).select("vec_id", "label", "embedding")
     return queries.mapInPandas(score_vote, out_schema)
+
+
+#: Matryoshka-eval query set: every 25th vector UNDER the cap — same
+#: scale contract as KNN_SEED_CAP (an eval query set is fixed-size;
+#: the corpus being searched grows without bound). Budgets are prefix
+#: dimension counts; 64 is the full width, so its row doubles as the
+#: report's built-in sanity row (recall_pct = 100 by construction).
+MRL_QUERY_MOD = 25
+MRL_QUERY_CAP = 2000
+MRL_BUDGETS = (8, 16, 32, 64)
+MRL_K = 10
+
+
+def _mrl_oracle() -> str:
+    pq = PAIR_QUANT
+    sums = ", ".join(
+        f"SUM(CASE WHEN i <= {d} THEN qv * cv ELSE 0 END) AS dp_{d}, "
+        f"SUM(CASE WHEN i <= {d} THEN qv * qv ELSE 0 END) AS qn_{d}, "
+        f"SUM(CASE WHEN i <= {d} THEN cv * cv ELSE 0 END) AS cn_{d}"
+        for d in MRL_BUDGETS
+    )
+    cos_case = " ".join(
+        f"WHEN {d} THEN CAST(dp_{d} AS DOUBLE) / "
+        f"(sqrt(CAST(qn_{d} AS DOUBLE)) * sqrt(CAST(cn_{d} AS DOUBLE)))"
+        for d in MRL_BUDGETS
+    )
+    budgets = ", ".join(str(d) for d in MRL_BUDGETS)
+    return f"""
+    WITH qset AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {pq}) AS BIGINT)) AS qe
+      FROM embeddings
+      WHERE vec_id % {MRL_QUERY_MOD} = 0 AND vec_id < {MRL_QUERY_CAP}
+    ), corp AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {pq}) AS BIGINT)) AS ce
+      FROM embeddings
+    ), flat AS (
+      SELECT q.qid, c.vec_id,
+             unnest(q.qe) AS qv, unnest(c.ce) AS cv,
+             generate_subscripts(q.qe, 1) AS i
+      FROM qset q JOIN corp c ON c.vec_id <> q.qid
+    ), sums AS (
+      SELECT qid, vec_id, {sums}
+      FROM flat GROUP BY qid, vec_id
+    ), cos AS (
+      SELECT qid, vec_id, b.budget,
+             CASE b.budget {cos_case} END AS cosine
+      FROM sums CROSS JOIN (SELECT unnest([{budgets}]) AS budget) b
+    ), ranked AS (
+      SELECT qid, budget, vec_id
+      FROM cos
+      WHERE cosine IS NOT NULL
+      QUALIFY row_number() OVER (
+        PARTITION BY qid, budget ORDER BY cosine DESC, vec_id
+      ) <= {MRL_K}
+    ), truth AS (
+      SELECT qid, vec_id FROM ranked WHERE budget = 64
+    )
+    SELECT CAST(r.budget AS BIGINT) AS budget,
+           CAST(COUNT(DISTINCT r.qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(t.vec_id) * 100
+                // (COUNT(DISTINCT r.qid) * {MRL_K}) AS BIGINT)
+             AS recall_pct
+    FROM ranked r
+    LEFT JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+    GROUP BY r.budget
+    """
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle=_mrl_oracle(),
+    tags=("similarity", "eval"),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-budget evaluation: for each prefix
+    budget d in MRL_BUDGETS, rank the corpus against a fixed query
+    set by TRUNCATED-prefix cosine and report recall@K vs the
+    full-width ranking — the ablation report a pipeline runs before
+    serving truncated embeddings (MRL / Kusupati et al.'s accuracy-
+    vs-dimension trade, measured on this corpus instead of assumed).
+    Emits one row per budget: (budget, n_queries, hits, recall_pct);
+    the budget=64 row is recall 100 by construction (sanity anchor).
+
+    Scale shape — the knn_classify pattern: the query set is
+    FIXED-SIZE (MRL_QUERY_MOD/_CAP) and ships quantized in the kernel
+    closure; ONE Arrow-batched numpy pass scores each corpus batch
+    against all queries at every budget with exact int64 matmuls over
+    PAIR_QUANT-quantized prefixes and emits only per-batch TOP-K
+    candidates — emission is batches x |Q| x budgets x K, never
+    corpus-sized. The global merge is a window over (qid, budget)
+    partitions bounded by batches x K rows, and everything after the
+    kernel is control-plane-small. Determinism: int dots are exact
+    (<= 2^53), sqrt/divide are IEEE on identical operands, ties break
+    on vec_id — the similarity_pairs argument; the DuckDB oracle
+    replays the identical arithmetic and (cosine DESC, vec_id) order.
+    Zero-norm prefixes are unrankable on both sides (NULL cosine /
+    kernel exclusion)."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = "budget long, n_queries long, hits long, recall_pct long"
+    q_rows = (
+        emb.where(
+            (F.col("vec_id") % MRL_QUERY_MOD == 0)
+            & (F.col("vec_id") < MRL_QUERY_CAP)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    q_rows.sort(key=lambda r: r["vec_id"])
+    Q = np.floor(
+        np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+        * PAIR_QUANT
+    ).astype(np.int64)  # (nq, 64)
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+
+    def topk_kernel(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                * PAIR_QUANT
+            ).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_d, out_v, out_c = [], [], [], []
+            for d in MRL_BUDGETS:
+                Vd, Qd = V[:, :d], Q[:, :d]
+                cn = np.sqrt((Vd * Vd).sum(axis=1).astype(np.float64))
+                qn = np.sqrt((Qd * Qd).sum(axis=1).astype(np.float64))
+                D = Vd @ Qd.T  # (n, nq) exact int64 dots
+                for j in range(len(qids)):
+                    if qn[j] == 0.0:
+                        continue  # unrankable query at this budget
+                    keep = (cn > 0.0) & (vids != qids[j])
+                    if not keep.any():
+                        continue
+                    cos = D[keep, j].astype(np.float64) / (
+                        qn[j] * cn[keep]
+                    )
+                    kv = vids[keep]
+                    order = np.lexsort((kv, -cos))[:MRL_K]
+                    out_q.extend([int(qids[j])] * len(order))
+                    out_d.extend([d] * len(order))
+                    out_v.extend(kv[order].tolist())
+                    out_c.extend(cos[order].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.array(out_q, dtype=np.int64),
+                        "budget": np.array(out_d, dtype=np.int64),
+                        "vec_id": np.array(out_v, dtype=np.int64),
+                        "cosine": np.array(out_c, dtype=np.float64),
+                    }
+                )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        topk_kernel, "qid long, budget long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("qid", "budget").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    # ranked feeds two consumers (the per-budget lists and the
+    # budget=64 truth); localCheckpoint so the corpus kernel pass
+    # runs once, not per consumer (the winnowing fps lesson)
+    ranked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MRL_K)
+        .select("qid", "budget", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    truth = ranked.filter(F.col("budget") == 64).select(
+        F.col("qid").alias("tq"), F.col("vec_id").alias("tv")
+    )
+    return (
+        ranked.join(
+            truth,
+            (F.col("qid") == F.col("tq"))
+            & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("budget")
+        .agg(
+            F.countDistinct("qid").alias("n_queries"),
+            F.count("tv").alias("hits"),
+        )
+        .select(
+            F.col("budget").cast("long"),
+            F.col("n_queries").cast("long"),
+            F.col("hits").cast("long"),
+            F.expr(f"hits * 100 div (n_queries * {MRL_K})")
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )

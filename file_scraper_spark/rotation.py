@@ -214,6 +214,9 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     # added round-13 (new ops — unverified, so reorder() pulls them
     # to the head of the r13 driver window automatically)
     "dedup_bloom_gate_indexed",
+    "bloom_index_merge",
+    "stream_bloom_index_upsert",
+    "embedding_matryoshka_recall",
 )
 
 

@@ -1237,3 +1237,166 @@ def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n_vecs"))
     )
     return run_to_memory(counts, mode="complete")
+
+
+def _bloom_index_merge_oracle_sql() -> str:
+    from file_scraper_spark.operators.dedup import (  # noqa: PLC0415
+        _bloom_index_merge_oracle,
+    )
+
+    return _bloom_index_merge_oracle()
+
+
+@query(
+    "stream_bloom_index_upsert",
+    oracle=_bloom_index_merge_oracle_sql(),
+    tags=("streaming", "dedup", "sink"),
+)
+def stream_bloom_index_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    sink=None,
+) -> DataFrame:
+    """bloom_index_merge's STREAMING deployment shape: the maintained
+    bitmap lives in a durable keyed table (sinks.bloom_word_sink.
+    BloomWordSink), seeded once from the parked corpus bitmap
+    (corpus_bloom_index), and the arriving shard's stream folds each
+    micro-batch's word partials in with an OR-merge upsert — one
+    transaction per batch, executor-parallel parquet staging, no rows
+    through the driver. Returns the merged (word, bits) bitmap read
+    back from the sink; same DuckDB oracle as the batch maintenance
+    twin (bloom_index_merge), so the whole stream-split/replay
+    machinery is hash-checked against the batch-built union.
+
+    Why this is deterministic where a streaming dedup verdict would
+    not be: bitwise OR is commutative, associative and idempotent, so
+    the final table is independent of batch boundaries, arrival order
+    and at-least-once replays — the same algebra argument as the band
+    index's LEAST/GREATEST merge (stream_minhash_dedup_upsert).
+
+    Scale shape: the stream is STATELESS (no state store at all —
+    cross-batch accumulation is the SINK's OR-merge, where a bloom
+    union belongs); each batch folds map-side to <= m/62 word rows
+    before staging, so sink traffic per batch is bounded by the
+    bitmap size regardless of shard volume. The probe geometry rides
+    the parked meta table, never a daily corpus count."""
+    import os  # noqa: PLC0415
+
+    from file_scraper_spark.operators.dedup import (  # noqa: PLC0415
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        _portable_hash2,
+        corpus_bloom_index,
+    )
+    from file_scraper_spark.sinks.bloom_word_sink import (  # noqa: PLC0415
+        BloomWordSink,
+    )
+
+    root = _scoped_sink_dir()
+    if sink is None:
+        import duckdb  # noqa: PLC0415
+
+        db_path = os.path.join(root, "bloom_words.duckdb")
+        sink = BloomWordSink(lambda: duckdb.connect(db_path))
+    sink.ensure_target()
+    words_t, meta_t = corpus_bloom_index(spark, sf_dir)
+    m_bits = int(spark.table(meta_t).head()["m_bits"])
+    # seed: the parked corpus bitmap enters through the same staged
+    # upsert path as any batch (idempotent, so a re-run re-seeds safely)
+    seed_dir = os.path.join(root, "seed")
+    spark.table(words_t).write.mode("overwrite").parquet(seed_dir)
+    sink.upsert_parquet(seed_dir)
+
+    reader = spark.readStream.format("parquet").schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    if max_files_per_trigger is not None:
+        # test hook: force multi-batch replays so the OR-merge genuinely
+        # accumulates ACROSS batches (tests pin batch-split invariance)
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    from file_scraper_spark.tables import table_path  # noqa: PLC0415
+
+    # stream the documents TABLE PATH rather than a sf_dir glob: the
+    # corpus side (corpus_bloom_index via load()) and the stream must
+    # agree on the same file set. A multi-shard fixture is a parts
+    # DIRECTORY at the table path (streamed directly — a leaf-name
+    # glob over sf_dir would miss it); the single-file fixture streams
+    # as an exact-basename glob because the file source requires a
+    # directory basePath.
+    p = table_path(sf_dir, "documents")
+    if os.path.isdir(p):
+        src = reader.load(p)
+    else:
+        src = reader.option(
+            "pathGlobFilter", os.path.basename(p)
+        ).load(os.path.dirname(p))
+    shard = src.select(
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+        .alias("text"),
+    )
+    h1, h2 = _portable_hash2(F.col("text"))
+    words = (
+        shard.select(
+            "text",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(BLOOM_K)])
+            ).alias("i"),
+        )
+        .select(((h1 + F.col("i") * h2) % m_bits).alias("pos"))
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+    )
+    stage_root = os.path.join(root, "stage")
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # fold INSIDE the batch (a plain DataFrame here): map-side
+        # bit_or collapses the batch to <= m/62 rows before staging;
+        # replays overwrite the same batch dir and the OR-merge makes
+        # the re-ingest a no-op
+        d = os.path.join(stage_root, str(batch_id))
+        (
+            batch_df.groupBy("word")
+            .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        try:
+            sink.upsert_parquet(d)
+        except Exception:
+            # DB-API targets without parquet ingest (psql shim):
+            # driver-batched rows, same transaction semantics —
+            # bounded by the bitmap size, not the shard
+            merged = (
+                batch_df.groupBy("word")
+                .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+            )
+            sink.upsert_rows(
+                (r.word, r.bits) for r in merged.toLocalIterator()
+            )
+
+    with _stream_shuffle(spark):
+        q = (
+            words.writeStream.outputMode("append")
+            .foreachBatch(_merge_batch)
+            .option(
+                "checkpointLocation", os.path.join(root, "ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out_path = os.path.join(root, "bloom_words.parquet")
+    if sink.export_words_parquet(out_path):
+        return spark.read.schema("word long, bits long").parquet(out_path)
+    return spark.createDataFrame(
+        sink.word_rows(), "word long, bits long"
+    )

@@ -126,6 +126,7 @@ def reset_session_state(spark: SparkSession) -> None:
 
     dedup._DUP_PROBE_CACHE.clear()
     dedup._EDGES_MEMO.clear()
+    dedup._EDGES_MEMO_SPILL.clear()
     timeseries._TYPE_CARD_CACHE.clear()
     # the one live stream sink (memory view or parquet dir; bounded by
     # _SINK_TABLES, but a cold measurement should not carry even that

@@ -1033,14 +1033,18 @@ def test_winnowing_ratio_joins_carry_no_broadcast_hint(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     bc_k = "spark.sql.autoBroadcastJoinThreshold"
     aqe_k = "spark.sql.adaptive.autoBroadcastJoinThreshold"
-    prev_bc, prev_aqe = spark.conf.get(bc_k), spark.conf.get(aqe_k, "")
+    prev_bc = spark.conf.get(bc_k)
+    try:
+        prev_aqe = spark.conf.get(aqe_k)
+    except Exception:  # unset: falls back to autoBroadcastJoinThreshold
+        prev_aqe = None
     try:
         spark.conf.set(bc_k, "-1")
         spark.conf.set(aqe_k, "-1")
         cold = plan_of("dedup_winnowing", spark, sf_dir)
     finally:
         spark.conf.set(bc_k, prev_bc)
-        if prev_aqe:
+        if prev_aqe is not None:
             spark.conf.set(aqe_k, prev_aqe)
         else:
             spark.conf.unset(aqe_k)
@@ -1048,3 +1052,37 @@ def test_winnowing_ratio_joins_carry_no_broadcast_hint(spark, sf_dir):
     # the hot anti-join keeps its explicit hint even with the
     # threshold zeroed — bounded-by-construction frames may force
     assert "BroadcastHashJoin" in cold and "LeftAnti" in cold
+
+
+def test_bloom_gate_indexed_daily_has_no_corpus_scan(spark, sf_dir):
+    """dedup_bloom_gate_indexed's whole point (VERDICT r12 task #6):
+    the bitmap words are parked in a warehouse table at maintenance
+    time, so the DAILY plan reads only the arriving shard and the
+    <= m/62-row bitmap — the corpus text is never re-scanned and
+    daily cost is independent of corpus size. Pin: exactly two
+    parquet scans (the shard's documents read + the fss_blmw table),
+    one broadcast join against the bitmap, no sort-merge join, no
+    global sort (the base gate's orderBy is a fixture affordance this
+    production path drops)."""
+    plan = plan_of("dedup_bloom_gate_indexed", spark, sf_dir)
+    assert "fss_blmw_" in plan
+    assert plan.count("Scan parquet") == 2
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(joins) == 1 and "BroadcastHashJoin" in joins[0], joins
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_matryoshka_single_kernel_pass_and_bounded_tail(spark, sf_dir):
+    """embedding_matryoshka_recall's scale contract: the corpus is
+    touched by ONE Arrow kernel pass materialized once (the ranked
+    frame is localCheckpoint'd), so the final plan joins two
+    ExistingRDD reads of that bounded candidate frame — no
+    MapInPandas replay, no parquet re-scan of the corpus, no global
+    sort; everything after the kernel is batches x K x budgets
+    small."""
+    plan = plan_of("embedding_matryoshka_recall", spark, sf_dir)
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "MapInPandas" not in plan
+    assert "Scan parquet" not in plan
+    assert "rangepartitioning" not in plan.lower()

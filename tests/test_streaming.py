@@ -338,3 +338,78 @@ def test_python_stateful_parts_scales_with_input(spark, tmp_path):
         del os.environ["SPARK_GRAFT_STREAM_SHUFFLE"]
     assert sq._stream_shuffle(spark, parts="26").n == "26"
     assert sq._stream_shuffle(spark).n == "8"
+
+
+def test_bloom_index_upsert_batch_split_invariant(spark, sf_dir, tmp_path):
+    """stream_bloom_index_upsert's core claim: bitwise OR is
+    commutative/associative/idempotent, so the merged bitmap is
+    independent of batch boundaries. Split the corpus into four
+    files, force one file per micro-batch, and require the sink's
+    final bitmap to be IDENTICAL to the single-batch run's — and to
+    the batch maintenance twin (bloom_index_merge) over the same
+    fixture dir."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from file_scraper_spark.operators.dedup import bloom_index_merge
+    from file_scraper_spark.streaming.queries import (
+        stream_bloom_index_upsert,
+    )
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    d = str(tmp_path / "split")
+    # the table path as a PARTS DIRECTORY: 4 part files, one per
+    # micro-batch under maxFilesPerTrigger=1 — load() and the stream
+    # read the same dir, so corpus_bloom_index and the shard stream
+    # agree on the corpus
+    tbl = os.path.join(d, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    for i in range(4):
+        (
+            docs.filter(docs.doc_id % 4 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"tmp{i}"))
+        )
+    os.makedirs(tbl, exist_ok=True)
+    for i in range(4):
+        (src,) = _glob.glob(str(tmp_path / f"tmp{i}" / "*.parquet"))
+        shutil.copy(src, os.path.join(tbl, f"part-{i}.parquet"))
+
+    multi = {
+        tuple(r)
+        for r in stream_bloom_index_upsert(
+            spark, d, max_files_per_trigger=1
+        ).collect()
+    }
+    single = {
+        tuple(r) for r in stream_bloom_index_upsert(spark, d).collect()
+    }
+    batch = {tuple(r) for r in bloom_index_merge(spark, d).collect()}
+    assert multi == single == batch
+    assert len(multi) > 0
+
+
+def test_bloom_word_sink_replay_idempotent(tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch upserts
+    the same staged rows again. The OR-merge must leave the table
+    byte-identical, and a later batch must still be able to set new
+    bits; duplicate words inside one ingest pre-merge instead of
+    raising on the ON CONFLICT target."""
+    import duckdb
+
+    from file_scraper_spark.sinks.bloom_word_sink import BloomWordSink
+
+    db = str(tmp_path / "t.duckdb")
+    sink = BloomWordSink(lambda: duckdb.connect(db))
+    sink.ensure_target()
+    sink.upsert_rows([(0, 0b0011), (1, 0b0100), (0, 0b1000)])
+    assert sink.word_rows() == [(0, 0b1011), (1, 0b0100)]
+    # replay: byte-identical
+    sink.upsert_rows([(0, 0b0011), (1, 0b0100), (0, 0b1000)])
+    assert sink.word_rows() == [(0, 0b1011), (1, 0b0100)]
+    # later batch: new bits OR in, existing bits survive
+    sink.upsert_rows([(1, 0b0010), (2, 0b0001)])
+    assert sink.word_rows() == [(0, 0b1011), (1, 0b0110), (2, 0b0001)]

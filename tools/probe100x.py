@@ -53,6 +53,8 @@ SUBSET = [
     "corpus_index_build",
     "dedup_incremental",
     "dedup_incremental_indexed",
+    "bloom_index_build",
+    "dedup_bloom_gate_indexed",
     "dedup_jaccard_sampled",
     "dedup_jaccard_sampled_fast",
     "contamination_check",
@@ -145,6 +147,20 @@ def _corpus_index_build(spark, sf_dir):
     return spark.table(cnt_t)
 
 
+def _bloom_index_build(spark, sf_dir):
+    """Maintenance-time build of the parked bloom bitmap (round 13) —
+    measured on its own row like corpus_index_build, so
+    dedup_bloom_gate_indexed's cold row shows what a DAILY gate costs
+    once the bitmap is maintained (the done-bar: daily cost
+    independent of corpus size — no corpus scan in the daily plan).
+    Drops the memo so every cold rep is a genuine rebuild."""
+    from file_scraper_spark.operators import dedup
+
+    dedup._BLOOM_IDX_MEMO.clear()
+    words_t, meta_t = dedup.corpus_bloom_index(spark, sf_dir)
+    return spark.table(words_t)
+
+
 def _dedup_jaccard_sampled_fast(spark, sf_dir):
     """Sampled-shingle Jaccard selecting on the xxhash64 JOIN KEY the
     index already computes — the production variant (the registered
@@ -163,6 +179,7 @@ def _dedup_jaccard_sampled_fast(spark, sf_dir):
 EXTRA = {
     "jaccard_edges_build": _jaccard_edges_build,
     "corpus_index_build": _corpus_index_build,
+    "bloom_index_build": _bloom_index_build,
     "dedup_minhash_fast": _dedup_minhash_fast,
     "dedup_jaccard_sampled_fast": _dedup_jaccard_sampled_fast,
     "hll_sketch_only": _hll_sketch_only,
