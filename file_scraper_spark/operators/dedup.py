@@ -1359,6 +1359,91 @@ def dedup_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_best",
+    oracle=_CLUSTERS_CTE_SQL
+    + """
+    , kb_words AS (
+      SELECT doc_id,
+             CAST(coalesce(len(words), -1) AS BIGINT) AS n_words
+      FROM corpus
+    ), members AS (
+      SELECT c.cluster, c.doc_id, w.n_words
+      FROM clusters c JOIN kb_words w USING (doc_id)
+    ), agg AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(n_words) AS BIGINT) AS best_words,
+             CAST(SUM(n_words) AS BIGINT) AS total_words
+      FROM members GROUP BY cluster
+    )
+    SELECT a.cluster, a.n_members, a.best_words, a.total_words,
+           CAST(MIN(m.doc_id) AS BIGINT) AS kept_doc
+    FROM agg a
+    JOIN members m
+      ON m.cluster = a.cluster AND m.n_words = a.best_words
+    GROUP BY a.cluster, a.n_members, a.best_words, a.total_words
+    """,
+    tags=("near-dup", "pipeline"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection: one kept document per
+    near-dup cluster, chosen by QUALITY instead of dedup_cluster_cap's
+    arbitrary min-id — the keep-one rule production corpora actually
+    ship (FineWeb / SlimPajama keep the "best" member of each fuzzy
+    cluster). Quality here is the word count (the longest member
+    usually subsumes its near-dups — truncated mirrors and boilerplate
+    -stripped copies lose words); ties break to the min doc_id, and
+    NULL-text members rank last via coalesce(n_words, -1), so the
+    choice is total and deterministic. Word counts come from the SAME
+    derived corpus the cluster graph is built on (near_dup_corpus,
+    planted mirrors included) — on the fixture this is visible as the
+    truncated 0.8x mirror losing to its full-length original, exactly
+    the subsumption the heuristic encodes. Output is one row per
+    cluster:
+    (cluster, n_members, best_words, total_words, kept_doc) —
+    singletons pass through keeping themselves, and a downstream
+    filter joins kept_doc back to materialize the deduplicated corpus.
+
+    Scale shape: cluster formation (the shared star-contraction
+    labels) dominates; selection itself is one docs-proportional
+    equi-join of labels against the (doc_id, n_words) projection —
+    both sides hash-partitioned on doc_id, AQE picks the strategy —
+    then ONE shuffle keyed on the cluster label where max_by runs as
+    a map-side-combined aggregate: the kept member is
+    max(struct(n_words, -doc_id)) — lexicographic struct max, O(1)
+    state per cluster per partition, no per-cluster row_number sort
+    (contrast dedup_cluster_cap, which needs the window because it
+    emits per-member verdicts). The oracle spells the same selection
+    as max-words + min-id-among-ties joins, exact in both engines."""
+    labels = dedup_clusters(spark, sf_dir)
+    words = near_dup_corpus(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.coalesce(F.size("words"), F.lit(-1)).cast("long").alias("n_words"),
+    )
+    members = labels.join(words, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("n_words"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        members.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            best,
+        )
+        .select(
+            "cluster",
+            "n_members",
+            F.col("best.n_words").alias("best_words"),
+            "total_words",
+            (-F.col("best.neg_id")).cast("long").alias("kept_doc"),
+        )
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, k: int = MINHASH_K, portable_hash: bool = True
 ) -> DataFrame:

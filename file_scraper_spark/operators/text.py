@@ -858,10 +858,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- bigram LM scoring ------------------------------------------------
 
-
-@query(
-    "text_lm_score",
-    oracle=f"""
+#: the bigram-LM derivation (occurrences, model counts, per-doc
+#: quantized score sum) as a reusable oracle fragment — shared by
+#: text_lm_score and text_ccnet_buckets so the two can never drift
+#: (same policy as dedup's _CLUSTERS_TAIL_SQL)
+_LM_CTE_SQL = f"""
     WITH db AS (
       SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
       FROM (SELECT doc_id, unnest({_ORACLE_BIGRAMS}) AS bigram
@@ -873,14 +874,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), uc AS (
       SELECT w1, CAST(COUNT(*) AS BIGINT) AS uc
       FROM db GROUP BY w1
+    ), lm_scores AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(floor(
+                   (CAST(b.bc AS DOUBLE) / CAST(u.uc AS DOUBLE))
+                   * 1000000.0) AS BIGINT)) AS BIGINT) AS p_q_sum
+      FROM db JOIN bc b USING (bigram) JOIN uc u USING (w1)
+      GROUP BY doc_id
     )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(floor(
-                 (CAST(b.bc AS DOUBLE) / CAST(u.uc AS DOUBLE))
-                 * 1000000.0) AS BIGINT)) AS BIGINT) AS p_q_sum
-    FROM db JOIN bc b USING (bigram) JOIN uc u USING (w1)
-    GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "text_lm_score",
+    oracle=_LM_CTE_SQL
+    + "SELECT doc_id, n_bigrams, p_q_sum FROM lm_scores",
     tags=("text",),
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,6 +939,130 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("p_q").alias("p_q_sum"),
         )
+    )
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle=_LM_CTE_SQL
+    + """
+    , sc AS (
+      SELECT s.doc_id, d.lang,
+             CAST(floor(CAST(s.p_q_sum AS DOUBLE)
+                        / CAST(s.n_bigrams AS DOUBLE)) AS BIGINT)
+               AS score_q
+      FROM lm_scores s JOIN documents d USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, lang, score_q,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY score_q DESC, doc_id
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM sc
+    )
+    SELECT doc_id, lang, score_q,
+           CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+                WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    tags=("text", "pipeline"),
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partition: score every document
+    with the corpus-trained bigram LM (text_lm_score's normalized
+    per-bigram score — higher = more corpus-typical, the inverse of
+    CCNet's perplexity where lower is better), then cut EACH LANGUAGE
+    into exact fluency terciles — the published CCNet recipe (Wenzek
+    et al. 2020) sorts each language's documents by LM perplexity and
+    keeps the head/middle for pre-training. Docs with < 2 words have
+    no bigram evidence and are excluded, as in text_lm_score.
+
+    Determinism: the tercile is a RANK rule, rank = row_number over
+    (lang ORDER BY score DESC, doc_id), head = rank <= ceil(n/3),
+    middle = rank <= ceil(2n/3) — integer arithmetic end to end, so
+    ties at a cut score split identically in both engines.
+
+    Scale shape: the oracle's per-lang ROW_NUMBER would be a
+    one-task-per-language global sort — a straggler at 100 TB. The
+    engine computes the SAME rank without any global sort, the
+    corpus_token_budget trick applied to ranks: the integer score has
+    a bounded domain (floor of a mean of <= 1e6 quantized addends),
+    so (1) a map-side-combined (lang, score) histogram — bounded by
+    score domain x languages, NOT by corpus size — gets per-lang
+    strict-greater cumulative counts and totals from a window over
+    the tiny histogram; (2) each doc's within-tie offset is a
+    row_number partitioned by (lang, score) — tie groups, never a
+    whole language, so the sort is bounded by the largest same-score
+    group; (3) rank = strict_greater_cum + tie_offset, and the
+    bucket is a per-row CASE after joining the histogram back. The
+    histogram join carries NO broadcast hint (the winnowing lesson,
+    NOTES.md r13): AQE broadcasts it from runtime size when it fits
+    and degrades to a hash join on (lang, score) — a uniform key —
+    past the threshold. Shuffles: the tie window + that join — no
+    lang-wide sort anywhere."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    scores = text_lm_score(spark, sf_dir)
+    sc = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.floor(
+            F.col("p_q_sum").cast("double")
+            / F.col("n_bigrams").cast("double")
+        )
+        .cast("long")
+        .alias("score_q"),
+    )
+    # bounded-domain histogram: strict-greater cumulative count and
+    # per-lang total, both computed over histogram rows (score-domain
+    # sized), never over documents
+    hw = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score_q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        sc.groupBy("lang", "score_q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("lang").alias("h_lang"),
+            F.col("score_q").alias("h_score"),
+            F.coalesce(F.sum("cnt").over(hw), F.lit(0)).alias("cum_gt"),
+            F.sum("cnt")
+            .over(Window.partitionBy("lang"))
+            .alias("n"),
+        )
+    )
+    # eqNullSafe on lang: a NULL-lang partition must bucket exactly
+    # like the oracle's window (which keeps NULL as its own partition)
+    tw = Window.partitionBy("lang", "score_q").orderBy("doc_id")
+    ranked = (
+        sc.withColumn("tie_rn", F.row_number().over(tw))
+        .join(
+            hist,
+            F.col("lang").eqNullSafe(F.col("h_lang"))
+            & (F.col("score_q") == F.col("h_score")),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "score_q",
+            (F.col("cum_gt") + F.col("tie_rn")).alias("rnk"),
+            "n",
+        )
+    )
+    head_n = F.floor((F.col("n") + 2) / 3)
+    mid_n = F.floor((2 * F.col("n") + 2) / 3)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "score_q",
+        F.when(F.col("rnk") <= head_n, F.lit("head"))
+        .when(F.col("rnk") <= mid_n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

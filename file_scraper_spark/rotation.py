@@ -217,6 +217,9 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "bloom_index_merge",
     "stream_bloom_index_upsert",
     "embedding_matryoshka_recall",
+    # added round-13 continuation (curation pair)
+    "dedup_keep_best",
+    "text_ccnet_buckets",
 )
 
 

@@ -76,6 +76,7 @@ QUERIES = (
     "dedup_incremental",
     "dedup_incremental_indexed",
     "dedup_jaccard_sampled",
+    "dedup_keep_best",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_paragraph",
@@ -98,6 +99,7 @@ QUERIES = (
     "text_diversity",
     "text_heavy_hitters",
     "text_langid",
+    "text_ccnet_buckets",
     "text_lm_score",
     "text_normalize",
     "text_quality",

@@ -543,3 +543,73 @@ def test_triangle_striping_covers_every_pair_once():
         assert got.keys() == want.keys()
         for key, c in got.items():
             assert c == want[key], f"cosine mismatch at {key}"
+
+
+def test_keep_best_selects_longest_then_min_id(spark, sf_dir):
+    """dedup_keep_best's selection rule cross-checked against a plain-
+    Python recomputation from the cluster labels: the kept member has
+    the cluster-max word count, min doc_id among ties, and the
+    per-cluster accounting (n_members / best_words / total_words)
+    matches exactly."""
+    from collections import defaultdict
+
+    labels = {
+        r.doc_id: r.cluster
+        for r in R["dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    from file_scraper_spark.operators import dedup
+
+    words = {
+        r.doc_id: r.n_words
+        for r in dedup.near_dup_corpus(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.size("words"), F.lit(-1)).alias("n_words"),
+        )
+        .collect()
+    }
+    out = {r.cluster: r for r in R["dedup_keep_best"].fn(spark, sf_dir).collect()}
+    members = defaultdict(list)
+    for d, c in labels.items():
+        members[c].append(d)
+    assert set(out) == set(members)
+    multi = sum(1 for docs in members.values() if len(docs) > 1)
+    assert multi, "fixture produced no multi-member clusters"
+    for c, docs in members.items():
+        best_w = max(words[d] for d in docs)
+        r = out[c]
+        assert r.n_members == len(docs)
+        assert r.best_words == best_w
+        assert r.kept_doc == min(d for d in docs if words[d] == best_w)
+        assert r.total_words == sum(words[d] for d in docs)
+
+
+def test_ccnet_buckets_are_exact_per_lang_terciles(spark, sf_dir):
+    """text_ccnet_buckets: per language, bucket sizes are the exact
+    rank terciles (head = ceil(n/3), middle = ceil(2n/3) - head) and
+    the score ordering is monotone across buckets — every head doc
+    scores >= every middle doc scores >= every tail doc (ties may
+    straddle a cut, which is exactly what the rank rule permits)."""
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in R["text_ccnet_buckets"].fn(spark, sf_dir).collect():
+        by_lang[r.lang].append(r)
+    assert by_lang, "fixture produced no scored docs"
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        h_n, m_n = (n + 2) // 3, (2 * n + 2) // 3
+        head = [r.score_q for r in rs if r.bucket == "head"]
+        mid = [r.score_q for r in rs if r.bucket == "middle"]
+        tail = [r.score_q for r in rs if r.bucket == "tail"]
+        assert (len(head), len(mid), len(tail)) == (
+            h_n,
+            m_n - h_n,
+            n - m_n,
+        ), f"{lang}: tercile sizes off"
+        if head and mid:
+            assert min(head) >= max(mid), f"{lang}: head below middle"
+        if mid and tail:
+            assert min(mid) >= max(tail), f"{lang}: middle below tail"

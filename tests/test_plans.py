@@ -1086,3 +1086,56 @@ def test_matryoshka_single_kernel_pass_and_bounded_tail(spark, sf_dir):
     assert "MapInPandas" not in plan
     assert "Scan parquet" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_keep_best_selection_is_one_mapside_agg_no_window(spark, sf_dir):
+    """dedup_keep_best (r13): the representative choice is a
+    lexicographic max(struct(n_words, -doc_id)) aggregate — partial
+    (map-side combined, O(1) state per cluster per partition) then
+    final across ONE exchange keyed on the cluster label. No Window
+    anywhere: contrast dedup_cluster_cap, which needs the per-cluster
+    row_number sort because it emits per-member verdicts."""
+    plan = plan_of("dedup_keep_best", spark, sf_dir)
+    assert "Window" not in plan
+    assert "partial_max(struct(n_words" in plan, "selection must combine map-side"
+    assert plan.count("hashpartitioning(cluster") == 1, (
+        "selection must pay exactly one cluster-keyed exchange"
+    )
+
+
+def test_ccnet_no_langwide_sort_and_hintfree_hist_join(spark, sf_dir):
+    """text_ccnet_buckets (r13): the oracle's per-lang ROW_NUMBER is a
+    one-task-per-language global sort — the engine must compute the
+    same rank without one. Pin the three scale properties: (a) no
+    global Sort node at all; (b) the only doc-level window is keyed by
+    BOTH lang and score (tie groups, never a whole language); (c) the
+    histogram join is hint-free — with broadcast thresholds zeroed the
+    SAME code degrades to sort-merge (a forced hint could not), at
+    defaults AQE is free to broadcast the tiny histogram."""
+    plan = plan_of("text_ccnet_buckets", spark, sf_dir)
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), "global sort leaked in"
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m, "tie window missing"
+    assert "lang" in m.group(1) and "score_q" in m.group(1), (
+        "tie window must partition by (lang, score), not lang alone"
+    )
+    bc_k = "spark.sql.autoBroadcastJoinThreshold"
+    aqe_k = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    prev_bc = spark.conf.get(bc_k)
+    try:
+        prev_aqe = spark.conf.get(aqe_k)
+    except Exception:
+        prev_aqe = None
+    try:
+        spark.conf.set(bc_k, "-1")
+        spark.conf.set(aqe_k, "-1")
+        cold = plan_of("text_ccnet_buckets", spark, sf_dir)
+    finally:
+        spark.conf.set(bc_k, prev_bc)
+        if prev_aqe is not None:
+            spark.conf.set(aqe_k, prev_aqe)
+        else:
+            spark.conf.unset(aqe_k)
+    assert "BroadcastHashJoin" not in cold, "a join is hint-forced"
+    assert cold.count("SortMergeJoin") >= 3
+    assert not re.search(r"Sort \[[^\]]*\], true", cold)
