@@ -1576,6 +1576,467 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- unigram-LM tokenizer training (SentencePiece-family) -------------
+
+#: unigram trainer shape: seed = top-S multi-char substrings (length
+#: 2..UNI_MAXP) plus EVERY corpus character (the coverage floor —
+#: SentencePiece's vocab must also hold every observed char);
+#: UNI_MAXW caps the per-word DP/enumeration width — longer words
+#: char-split deterministically (SentencePiece likewise caps piece
+#: and sentence lengths)
+UNI_SEED_TOPS = 60
+UNI_MAXP = 4
+UNI_MAXW = 12
+UNI_STEPS = 2
+
+
+def _uni_ilog2_sql(col: str) -> str:
+    """floor(log2(w)) for w >= 1 as pure string-of-bits arithmetic —
+    bit-exact in both engines (no libm; repo determinism policy)."""
+    return f"CAST(length(bin({col})) - 1 AS BIGINT)"
+
+
+def _unigram_chain() -> str:
+    """The shared unigram-EM oracle derivation (seed inventory, K
+    unrolled E/M rounds) — one CTE chain consumed by BOTH unigram
+    oracles so they cannot drift (the _LM_CTE_SQL policy).
+    Deliberately BRUTE FORCE: each round enumerates EVERY full
+    segmentation of every vocab word via a recursive CTE and picks
+    the (score DESC, n_pieces ASC, seq ASC) winner with ROW_NUMBER —
+    exponential in principle, bounded by UNI_MAXW in fact — while
+    the engine runs a linear Viterbi DP. Two genuinely independent
+    implementations of the same spec."""
+    rounds = []
+    for k in range(1, UNI_STEPS + 1):
+        m = f"model{k}"
+        rounds.append(f"""
+    , paths{k} AS (
+      SELECT word, wf, 0 AS pos, '' AS seq,
+             CAST(0 AS BIGINT) AS score, 0 AS np
+      FROM vocab WHERE len(word) <= {UNI_MAXW}
+      UNION ALL
+      SELECT p.word, p.wf, p.pos + len(m.piece),
+             CASE WHEN p.seq = '' THEN m.piece
+                  ELSE p.seq || '|' || m.piece END,
+             p.score + m.s, p.np + 1
+      FROM paths{k} p JOIN {m} m
+        ON substring(p.word, p.pos + 1, len(m.piece)) = m.piece
+      WHERE p.pos < len(p.word)
+    ), best{k} AS (
+      SELECT word, wf, seq, score, np FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+          ORDER BY score DESC, np ASC, seq ASC) AS rn
+        FROM paths{k} WHERE pos = len(word))
+      WHERE rn = 1
+    ), occ{k} AS (
+      SELECT piece, wf FROM (
+        SELECT wf, unnest(string_split(seq, '|')) AS piece FROM best{k})
+      UNION ALL
+      SELECT substring(word, CAST(i AS INT), 1) AS piece, wf
+      FROM (SELECT word, wf, unnest(range(1, len(word) + 1)) AS i
+            FROM vocab WHERE len(word) > {UNI_MAXW})
+    ), uses{k} AS (
+      SELECT piece, CAST(SUM(wf) AS BIGINT) AS w
+      FROM occ{k} GROUP BY piece
+    ), round{k} AS (
+      SELECT CAST({k} AS BIGINT) AS step,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {m}) AS n_pieces,
+             (SELECT CAST(SUM(u.w) AS BIGINT) FROM uses{k} u)
+               AS corpus_tokens,
+             (SELECT CAST(SUM(u.w * m.s) AS BIGINT)
+              FROM uses{k} u JOIN {m} m USING (piece)) AS score_sum
+    )""")
+        if k < UNI_STEPS:
+            rounds.append(f"""
+    , modelw{k + 1} AS (
+      SELECT piece, w FROM uses{k} WHERE len(piece) >= 2
+      UNION ALL
+      SELECT c.piece, CAST(coalesce(u.w, 1) AS BIGINT) AS w
+      FROM chars c LEFT JOIN uses{k} u ON u.piece = c.piece
+    ), model{k + 1} AS (
+      SELECT piece, w, {_uni_ilog2_sql('w')}
+               - (SELECT CAST(length(bin(SUM(w))) AS BIGINT)
+                  FROM modelw{k + 1}) AS s
+      FROM modelw{k + 1}
+    )""")
+    return (
+        f"""
+    WITH RECURSIVE vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word != '' AND word NOT LIKE '%|%'
+      GROUP BY word
+    ), grid AS (
+      SELECT word, wf, L, unnest(range(1, len(word) - L + 2)) AS i
+      FROM (SELECT word, wf,
+                   unnest([{', '.join(str(x) for x in range(1, UNI_MAXP + 1))}])
+                     AS L
+            FROM vocab)
+      WHERE len(word) >= L
+    ), pw AS (
+      SELECT substring(word, CAST(i AS INT), CAST(L AS INT)) AS piece,
+             CAST(SUM(wf) AS BIGINT) AS w
+      FROM grid GROUP BY 1
+    ), mseed AS (
+      SELECT piece, w FROM pw WHERE len(piece) >= 2
+      ORDER BY w DESC, piece ASC LIMIT {UNI_SEED_TOPS}
+    ), chars AS (
+      SELECT piece, w FROM pw WHERE len(piece) = 1
+    ), modelw1 AS (
+      SELECT piece, w FROM mseed
+      UNION ALL SELECT piece, w FROM chars
+    ), model1 AS (
+      SELECT piece, w, {_uni_ilog2_sql('w')}
+               - (SELECT CAST(length(bin(SUM(w))) AS BIGINT)
+                  FROM modelw1) AS s
+      FROM modelw1
+    )"""
+        + "".join(rounds)
+    )
+
+
+def _unigram_oracle() -> str:
+    """Training-curve oracle: the shared chain + one row per round."""
+    return _unigram_chain() + " UNION ALL ".join(
+        f"SELECT * FROM round{k}" for k in range(1, UNI_STEPS + 1)
+    )
+
+
+def _unigram_cost_oracle() -> str:
+    """Encode-cost oracle: the shared chain + per-word piece counts
+    under the FINAL round's model (DP'd words from best{K}, capped
+    words at their char-split length), joined back to the exploded
+    document words."""
+    k = UNI_STEPS
+    return (
+        _unigram_chain()
+        + f"""
+    , np{k} AS (
+      SELECT word, CAST(np AS BIGINT) AS np FROM best{k}
+      UNION ALL
+      SELECT word, CAST(len(word) AS BIGINT) AS np
+      FROM vocab WHERE len(word) > {UNI_MAXW}
+    ), dwords AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' AND w NOT LIKE '%|%'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n.np) AS BIGINT) AS n_tokens,
+           CAST(MAX(n.np) AS BIGINT) AS max_word_tokens
+    FROM dwords d JOIN np{k} n ON n.word = d.w
+    GROUP BY doc_id
+    """
+    )
+
+
+def _uni_segment(word: str, model: dict[str, int]) -> list[str]:
+    """Viterbi segmentation of one word under integer piece scores.
+    best[pos] = (score, np, seq, pieces) — max score, then min piece
+    count, then lexicographically smallest '|'-joined sequence.
+    Equal-(score, np) prefixes to the same pos have equal seq length,
+    so prefix-wise lexicographic choice is globally optimal (see
+    docstring note in unigram_train_steps). Words over the UNI_MAXW
+    DP cap char-split deterministically — the oracle's rule too."""
+    n = len(word)
+    if n > UNI_MAXW:
+        return list(word)
+    best: list = [None] * (n + 1)
+    best[0] = (0, 0, "", [])
+    for pos in range(1, n + 1):
+        cand = None
+        for ln in range(1, min(UNI_MAXP, pos) + 1):
+            prev = best[pos - ln]
+            if prev is None:
+                continue
+            piece = word[pos - ln : pos]
+            s = model.get(piece)
+            if s is None:
+                continue
+            ps, pn, pq, pl = prev
+            key = (
+                -(ps + s),
+                pn + 1,
+                pq + "|" + piece if pq else piece,
+            )
+            if cand is None or key < cand[0]:
+                cand = (key, pl + [piece])
+        if cand is not None:
+            best[pos] = (
+                -cand[0][0],
+                cand[0][1],
+                cand[0][2],
+                cand[1],
+            )
+    assert best[n] is not None, (
+        f"unigram model lost char coverage for {word!r}"
+    )
+    return best[n][3]
+
+
+def _uni_dp_kernel(model: dict[str, int]):
+    """Arrow kernel: Viterbi-segment each vocab word under the current
+    piece model and emit one (piece, wf, s) row per used piece
+    occurrence — everything downstream (usage counts, token and
+    score totals) is a map-side-combinable aggregate of these rows.
+    Pure-integer DP, lexicographic seq tie-break identical to the
+    oracle's ORDER BY (UTF-8 byte order == code-point order)."""
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_p: list[str] = []
+            out_wf: list[int] = []
+            out_s: list[int] = []
+            for word, wf in zip(pdf["word"], pdf["wf"]):
+                for p in _uni_segment(word, model):
+                    out_p.append(p)
+                    out_wf.append(int(wf))
+                    out_s.append(model[p])
+            yield pd.DataFrame(
+                {"piece": out_p, "wf": out_wf, "s": out_s}
+            )
+
+    return run
+
+
+def _uni_np_kernel(model: dict[str, int]):
+    """Arrow kernel: per-word piece COUNT under the model — the
+    encode-cost projection of the same DP (unigram_tokenize_cost)."""
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            words = list(pdf["word"])
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "np": [
+                        len(_uni_segment(w, model)) for w in words
+                    ],
+                }
+            )
+
+    return run
+
+
+def _uni_seed_weights(spark: SparkSession, vocab: DataFrame):
+    """Seed piece weights: top-UNI_SEED_TOPS multi-char substrings by
+    weighted occurrence count (ties lexicographic) plus every corpus
+    character — both bounded control-plane collects."""
+    subs = vocab.select(
+        "wf",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, least({UNI_MAXP},"
+                " length(word))), L -> transform("
+                "sequence(1, length(word) - L + 1),"
+                " i -> substring(word, i, L))))"
+            )
+        ).alias("piece"),
+    )
+    pw = subs.groupBy("piece").agg(F.sum("wf").cast("long").alias("w"))
+    multis = (
+        pw.where(F.length("piece") >= 2)
+        .orderBy(F.desc("w"), F.asc("piece"))
+        .limit(UNI_SEED_TOPS)
+        .collect()
+    )
+    chars = pw.where(F.length("piece") == 1).collect()
+    weights = {r["piece"]: int(r["w"]) for r in multis}
+    weights.update({r["piece"]: int(r["w"]) for r in chars})
+    return weights, [r["piece"] for r in chars]
+
+
+def _uni_model(weights: dict[str, int]) -> dict[str, int]:
+    """Normalized integer log-prob per piece: ilog2(w) - (ilog2(Z)+1)
+    — every piece costs ~log2(total piece mass), so the DP trades
+    piece frequency against piece COUNT like a real unigram LM
+    (without the Z term, maximizing sum(ilog2 w) always prefers
+    more, higher-frequency pieces and chars always win)."""
+    shift = sum(weights.values()).bit_length()
+    return {p: w.bit_length() - 1 - shift for p, w in weights.items()}
+
+
+def _uni_estep(vocab: DataFrame, model: dict[str, int]):
+    """One E pass: DP-segment the vocab, return {piece: (uses, s)} —
+    a model-sized collect off a map-side-combined aggregate."""
+    occ = vocab.mapInPandas(
+        _uni_dp_kernel(model), schema="piece string, wf long, s long"
+    )
+    return {
+        r["piece"]: (r["w"], r["s"])
+        for r in occ.groupBy("piece")
+        .agg(
+            F.sum("wf").cast("long").alias("w"),
+            F.min("s").alias("s"),
+        )
+        .collect()
+    }
+
+
+def _uni_mstep(uses: dict, char_set: list[str]) -> dict[str, int]:
+    """M re-weighting: multi-char pieces live on at their usage
+    weight, characters are kept alive at weight >= 1 (coverage)."""
+    weights = {p: w for p, (w, _) in uses.items() if len(p) >= 2}
+    weights.update(
+        {c: uses[c][0] if c in uses else 1 for c in char_set}
+    )
+    return weights
+
+
+def _uni_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words()).alias("word"))
+        .where((F.col("word") != "") & (~F.col("word").contains("|")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "unigram_train_steps",
+    oracle=_unigram_oracle(),
+    tags=("text", "tokenizer"),
+)
+def unigram_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (SentencePiece family, Kudo
+    2018), K=2 EM rounds — the second major tokenizer-
+    training algorithm next to bpe_train_steps, and the fifth
+    iterative-algorithm class in the engine: seed a piece inventory
+    (top-60 multi-char substrings of length
+    2..4 by weighted frequency, plus every corpus character
+    as the coverage floor), then per round (E) Viterbi-segment every
+    vocab word under integer piece scores and count weighted piece
+    usage, (M) re-weight pieces by usage, dropping unused multi-char
+    pieces and keeping characters alive at weight 1. Emits one row
+    per round: (step, n_pieces, corpus_tokens, score_sum) — the
+    shrinking-inventory / rising-likelihood curve a trainer watches.
+
+    Determinism (repo policy — no libm): the per-piece score is the
+    NORMALIZED integer log-prob floor(log2 w) - (floor(log2 Z) + 1)
+    (Z = total model piece mass), computed as length-of-binary-string
+    arithmetic — the log Z term per piece is what makes the DP trade
+    frequency against piece count like a real unigram LM — so
+    segmentation scoring is exact BIGINT addition;
+    the Viterbi winner is totalized by (score DESC, piece-count ASC,
+    '|'-joined sequence ASC) — the seq comparison is byte order in
+    DuckDB and code-point order in Python, identical by the UTF-8
+    order-preservation property. Words longer than 12 chars
+    char-split deterministically (the DP/enumeration width cap);
+    words containing '|' are excluded up front in both engines
+    (bpe_train_steps' rule).
+
+    Engine-vs-oracle independence: the engine runs a LINEAR DP per
+    word (prefix-optimal substructure — equal-(score, np) prefixes to
+    a position have equal joined-string length, so lexicographic
+    prefix choice is globally lexicographic-optimal); the oracle
+    brute-force ENUMERATES every segmentation via a recursive CTE
+    and picks the winner with ROW_NUMBER. A bug in either shows as a
+    gate mismatch; they share no derivation shortcut.
+
+    Scale shape: ONE corpus-linear wordcount, localCheckpointed; each
+    round is one vocab-sized Arrow DP pass (O(len x 4) per
+    word) feeding a map-side-combined aggregation whose result is
+    MODEL-sized (<= 60 + charset rows — the bounded
+    control-plane collect that feeds the next round's kernel closure,
+    same legitimacy class as kmeans_lloyd's centroids and
+    bpe_train_steps' merge winner; SentencePiece's own vocab likewise
+    holds every observed character). The corpus is never rescanned;
+    at 100 TB the wordcount dominates and the EM rounds run on the
+    vocab table alone."""
+    vocab = _uni_vocab(spark, sf_dir)
+    weights, char_set = _uni_seed_weights(spark, vocab)
+
+    stats: list[tuple] = []
+    for k in range(1, UNI_STEPS + 1):
+        if not weights:
+            stats.append((k, 0, None, None))
+            continue
+        model = _uni_model(weights)
+        uses = _uni_estep(vocab, model)
+        stats.append(
+            (
+                k,
+                len(model),
+                sum(w for w, _ in uses.values()),
+                sum(w * s for w, s in uses.values()),
+            )
+        )
+        weights = _uni_mstep(uses, char_set)
+    return spark.createDataFrame(
+        stats,
+        schema="step long, n_pieces long, corpus_tokens long, "
+        "score_sum long",
+    )
+
+
+@query(
+    "unigram_tokenize_cost",
+    oracle=_unigram_cost_oracle(),
+    tags=("text", "tokenizer"),
+)
+def unigram_tokenize_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenization cost under the TRAINED unigram model
+    — the ENCODE-side twin of unigram_train_steps, the unigram
+    counterpart of tokenizer_vocab_apply (whose vocab is a flat
+    top-k): train the same K EM rounds, then charge every document
+    the Viterbi piece count of each of its words. Emits per doc:
+    (doc_id, n_words, n_tokens, max_word_tokens) — the cost frame a
+    sequence-packing / token-budget plan consumes when the tokenizer
+    is a unigram LM. Words containing '|' are outside the trained
+    domain and are excluded from the accounting in both engines.
+
+    Scale shape: the training rounds are vocab-sized (see
+    unigram_train_steps); the encode pass DP-segments the VOCAB once
+    more (per-word np, vocab-sized) and joins that hint-free against
+    the exploded document words — the vocab-keyed join a tokenizer
+    application always pays, uniform-keyed, AQE-planned — followed by
+    one map-side-combined groupBy(doc_id). The corpus is touched
+    twice total (wordcount + encode join), never per EM round."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = _uni_vocab(spark, sf_dir)
+    weights, char_set = _uni_seed_weights(spark, vocab)
+    for _ in range(1, UNI_STEPS):
+        if not weights:
+            break
+        weights = _uni_mstep(
+            _uni_estep(vocab, _uni_model(weights)), char_set
+        )
+    schema = (
+        "doc_id long, n_words long, n_tokens long, "
+        "max_word_tokens long"
+    )
+    if not weights:
+        return spark.createDataFrame([], schema=schema)
+    npdf = vocab.mapInPandas(
+        _uni_np_kernel(_uni_model(weights)),
+        schema="word string, np long",
+    )
+    words = docs.select(
+        "doc_id", F.explode(_words()).alias("w")
+    ).where((F.col("w") != "") & (~F.col("w").contains("|")))
+    return (
+        words.join(npdf, words.w == npdf.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_tokens"),
+            F.max("np").cast("long").alias("max_word_tokens"),
+        )
+    )
+
+
 #: Gopher quality-rule bounds (Rae et al. 2021, the rule set C4/
 #: Gopher/FineWeb-class pipelines gate on), in exact cross-multiplied
 #: integer form so no rule ever divides.

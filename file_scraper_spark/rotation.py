@@ -217,9 +217,11 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "bloom_index_merge",
     "stream_bloom_index_upsert",
     "embedding_matryoshka_recall",
-    # added round-13 continuation (curation pair)
+    # added round-13 continuation (curation pair + unigram trainer)
     "dedup_keep_best",
     "text_ccnet_buckets",
+    "unigram_train_steps",
+    "unigram_tokenize_cost",
 )
 
 

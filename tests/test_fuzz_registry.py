@@ -60,6 +60,8 @@ QUERIES = (
     "gopher_quality_gate",
     "quality_classifier_nb",
     "tokenizer_vocab_apply",
+    "unigram_tokenize_cost",
+    "unigram_train_steps",
     "context_windows",
     "corpus_mixture",
     "corpus_shuffle",

@@ -613,3 +613,61 @@ def test_ccnet_buckets_are_exact_per_lang_terciles(spark, sf_dir):
             assert min(head) >= max(mid), f"{lang}: head below middle"
         if mid and tail:
             assert min(mid) >= max(tail), f"{lang}: middle below tail"
+
+
+def test_unigram_trainer_adopts_multichar_pieces(spark, tmp_path):
+    """unigram_train_steps on a crafted corpus where a multi-char
+    piece must dominate: words of repeated 'ab'. A chars-only
+    segmentation costs 6 tokens per 'ababab'; the trained model must
+    adopt 'ab' (or a longer repeat) and land strictly below the char
+    baseline. Also pins the EM direction: the piece inventory never
+    grows between rounds (unused multis are dropped, chars persist)."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "ababab ababab cd") for i in range(20)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = sorted(
+        R["unigram_train_steps"].fn(spark, d).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == [1, 2]
+    # char baseline: vocab words 'ababab' (6 chars) and 'cd' (2),
+    # weighted by occurrences 40 and 20 -> 40*6 + 20*2 = 280 chars
+    char_baseline = 40 * 6 + 20 * 2
+    for r in rows:
+        assert r.n_pieces > 0
+        assert 0 < r.corpus_tokens < char_baseline
+        assert r.score_sum < 0  # normalized log-probs are negative
+    assert rows[1].n_pieces <= rows[0].n_pieces
+
+
+def test_unigram_trainer_fixture_curve(spark, sf_dir):
+    """Fixture sanity: two rounds, positive inventory/token mass, and
+    round 2's inventory prunes (or holds) round 1's seed set."""
+    rows = sorted(
+        R["unigram_train_steps"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == [1, 2]
+    assert rows[0].n_pieces > 0 and rows[0].corpus_tokens > 0
+    assert rows[1].n_pieces <= rows[0].n_pieces
+
+
+def test_unigram_cost_ties_out_to_trainer_curve(spark, sf_dir):
+    """Cross-operator invariant: unigram_tokenize_cost charges every
+    word occurrence its final-model Viterbi piece count, so the
+    per-doc costs must sum EXACTLY to the trainer's final-round
+    corpus_tokens (both count each vocab word occurrence once, under
+    the same model). Also pins per-doc sanity: a word costs at least
+    one token, at most its char length."""
+    curve = {
+        r.step: r
+        for r in R["unigram_train_steps"].fn(spark, sf_dir).collect()
+    }
+    last = curve[max(curve)]
+    costs = R["unigram_tokenize_cost"].fn(spark, sf_dir).collect()
+    assert sum(r.n_tokens for r in costs) == last.corpus_tokens
+    for r in costs:
+        assert 0 < r.n_words <= r.n_tokens
+        assert r.max_word_tokens >= 1
