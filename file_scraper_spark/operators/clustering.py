@@ -412,6 +412,226 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rotated-PQ report: dedicated coarse quantizer (the Hadamard gain
+#: multiplies values by up to d=64, so the KM_Q=1e5 grid would push
+#: the summed squared distortion past int64 at 1000x — floor(v*4096)
+#: keeps exact headroom: |q| <= ~2.2e3, |y| <= 1.4e5, total per
+#: (variant, subspace) <= ~1.2e18 at 1000x corpus scale)
+ROT_Q = 4096
+ROT_D = PQ_M * PQ_SUBD  #: 64 — a power of two, Sylvester-Hadamard-sized
+
+
+def _rot_dsign() -> list[int]:
+    """Deterministic +-1 diagonal from md5 parity of the dimension
+    index — portable across Python and DuckDB (both hash the ASCII
+    decimal string)."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        1
+        if int(hashlib.md5(str(j).encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1
+        for j in range(ROT_D)
+    ]
+
+
+def _pq_rot_oracle() -> str:
+    chains = []
+    for tag, src in (("p", "rflat"), ("r", "rotf")):
+        chains.append(f"""
+    , sub_{tag} AS (
+      SELECT vec_id, pos // {PQ_SUBD} AS m, pos % {PQ_SUBD} AS j, q
+      FROM {src}
+    ), cb_{tag} AS (
+      SELECT CAST(vec_id AS INT) AS code, m, j, q AS c
+      FROM sub_{tag} WHERE vec_id < {PQ_K}
+    ), d_{tag} AS (
+      SELECT s.vec_id, s.m, cb.code,
+             CAST(SUM((s.q - cb.c) * (s.q - cb.c)) AS BIGINT) AS dist
+      FROM sub_{tag} s JOIN cb_{tag} cb ON cb.m = s.m AND cb.j = s.j
+      GROUP BY s.vec_id, s.m, cb.code
+    ), a_{tag} AS (
+      SELECT vec_id, m, dist FROM (
+        SELECT vec_id, m, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM d_{tag}
+      ) WHERE rn = 1
+    ), rep_{tag} AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(dist) AS BIGINT) AS distortion
+      FROM a_{tag} GROUP BY m
+    )""")
+    return (
+        f"""
+    WITH rflat AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {ROT_Q})
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), dims AS (
+      SELECT CAST(unnest(range(0, {ROT_D})) AS INT) AS i
+    ), dsign AS (
+      SELECT i AS j,
+             CASE WHEN CAST(('0x' || substring(
+                      md5(CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS ds
+      FROM dims
+    ), rotf AS (
+      SELECT f.vec_id, d.i AS pos,
+             CAST(SUM(f.q * s.ds
+                  * (CASE WHEN bit_count(CAST(d.i & f.pos AS BIGINT))
+                          % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS q
+      FROM rflat f JOIN dsign s ON s.j = f.pos CROSS JOIN dims d
+      GROUP BY f.vec_id, d.i
+    )"""
+        + "".join(chains)
+        + f"""
+    SELECT 'plain' AS variant, CAST(m AS BIGINT) AS m, n_vectors,
+           CAST(distortion * {ROT_D} AS BIGINT) AS distortion_q
+    FROM rep_p
+    UNION ALL
+    SELECT 'rotated', CAST(m AS BIGINT), n_vectors,
+           CAST(distortion AS BIGINT)
+    FROM rep_r
+    """
+    )
+
+
+@query(
+    "embedding_pq_rotated",
+    oracle=_pq_rot_oracle(),
+    tags=("clustering", "embedding"),
+)
+def embedding_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated product quantization — the OPQ/ITQ family member
+    between embedding_pq and embedding_pq_residual: pre-multiply every
+    vector by a SIGNED FAST-HADAMARD rotation (y = H D x, D a
+    deterministic +-1 diagonal from md5 parity, H the 64-point
+    Sylvester-Hadamard) before PQ-encoding, so correlated energy that
+    concentrates in a few dimensions spreads across all 8 subspaces —
+    the cheap structured stand-in for OPQ's learned rotation that
+    billion-vector stacks actually deploy (a dense learned rotation is
+    a d x d matmul per vector; H D is sign flips + butterflies).
+    Emits the instrument an index tuner reads: per (variant, subspace)
+    exact integer PQ distortion under the same seeded codebooks —
+    'plain' rows are scaled by the Hadamard gain d=64 (||HDu||^2 =
+    64 ||u||^2 exactly for +-1 H), so the two variants read on ONE
+    integer scale with no division anywhere.
+
+    Determinism: integer quantization floor(v * 4096) BEFORE the
+    rotation, so y is exact BIGINT (every H D entry is +-1) and both
+    distortion columns are exact integer sums; argmin ties break to
+    the smallest code (numpy argmin-first == the oracle's ORDER BY
+    dist, code).
+
+    Scale shape: ONE shuffle-free Arrow pass over one parquet scan —
+    the 64 x 64 H matrix and both codebooks (plain + rotated seeds,
+    2 x 16 x 64 BIGINTs) live in the kernel closure; each batch pays
+    one int64 (n, 64) @ (64, 64) matmul plus the two per-subspace
+    distance sweeps, and emits <= 2 x 8 partial rows. The final
+    groupBy collapses map-side to 16 rows. Zero joins, zero
+    corpus-sized exchanges — the oracle's 8M-row rotation join is the
+    brute-force replay, not the plan."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    ds = np.array(_rot_dsign(), dtype=np.int64)
+    H = np.array(
+        [
+            [
+                -1 if bin(i & j).count("1") % 2 else 1
+                for j in range(ROT_D)
+            ]
+            for i in range(ROT_D)
+        ],
+        dtype=np.int64,
+    )
+
+    def quant(vecs) -> "np.ndarray":
+        a = np.array(
+            [np.asarray(v, dtype=np.float32) for v in vecs],
+            dtype=np.float64,
+        )
+        return np.floor(a * ROT_Q).astype(np.int64)
+
+    seed = sorted(
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cb_p = quant([r["embedding"] for r in seed])  # (PQ_K, 64)
+    cb_r = (cb_p * ds) @ H  # rotated seeds: same transform as data
+    cbs = {
+        "plain": cb_p.reshape(PQ_K, PQ_M, PQ_SUBD).tolist(),
+        "rotated": cb_r.reshape(PQ_K, PQ_M, PQ_SUBD).tolist(),
+    }
+    h_list = H.tolist()
+    ds_list = ds.tolist()
+
+    def report(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        HH = np.array(h_list, dtype=np.int64)
+        DS = np.array(ds_list, dtype=np.int64)
+        CBS = {
+            v: np.array(cb, dtype=np.int64) for v, cb in cbs.items()
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = quant(pdf["embedding"].tolist())
+            data = {"plain": Q, "rotated": (Q * DS) @ HH}
+            variants, ms, ns, dists = [], [], [], []
+            for v, X in data.items():
+                Xs = X.reshape(-1, PQ_M, PQ_SUBD)
+                for m in range(PQ_M):
+                    diff = Xs[:, None, m, :] - CBS[v][None, :, m, :]
+                    dist = (diff * diff).sum(axis=2)  # (n, PQ_K)
+                    best = dist[
+                        np.arange(len(Xs)), dist.argmin(axis=1)
+                    ]
+                    variants.append(v)
+                    ms.append(m)
+                    ns.append(len(Xs))
+                    dists.append(int(best.sum()))
+            yield pd.DataFrame(
+                {
+                    "variant": variants,
+                    "m": ms,
+                    "n": ns,
+                    "dist": dists,
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            report, "variant string, m long, n long, dist long"
+        )
+        .groupBy("variant", "m")
+        .agg(
+            F.sum("n").cast("long").alias("n_vectors"),
+            F.sum("dist").cast("long").alias("dist"),
+        )
+        .select(
+            "variant",
+            "m",
+            "n_vectors",
+            F.when(
+                F.col("variant") == "plain",
+                F.col("dist") * F.lit(ROT_D),
+            )
+            .otherwise(F.col("dist"))
+            .cast("long")
+            .alias("distortion_q"),
+        )
+    )
+
+
 def _ivfpq_oracle() -> str:
     from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
         QUANT,

@@ -222,6 +222,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "text_ccnet_buckets",
     "unigram_train_steps",
     "unigram_tokenize_cost",
+    "embedding_pq_rotated",
 )
 
 

@@ -671,3 +671,40 @@ def test_unigram_cost_ties_out_to_trainer_curve(spark, sf_dir):
     for r in costs:
         assert 0 < r.n_words <= r.n_tokens
         assert r.max_word_tokens >= 1
+
+
+def test_pq_rotation_transform_is_a_scaled_isometry(spark, sf_dir):
+    """The signed-Hadamard rotation behind embedding_pq_rotated must
+    be an exact scaled isometry — (HD)(HD)^T = d * I over the
+    integers — which is what makes the 'plain x d' scaling in the
+    report an apples-to-apples comparison. Also sanity-runs the
+    report: both variants present, all 8 subspaces, equal vector
+    counts, positive distortion."""
+    import numpy as np
+
+    from file_scraper_spark.operators.clustering import (
+        ROT_D,
+        _rot_dsign,
+    )
+
+    ds = np.array(_rot_dsign(), dtype=np.int64)
+    H = np.array(
+        [
+            [-1 if bin(i & j).count("1") % 2 else 1 for j in range(ROT_D)]
+            for i in range(ROT_D)
+        ],
+        dtype=np.int64,
+    )
+    assert set(ds.tolist()) <= {-1, 1}
+    M = (H * ds) @ (H * ds).T
+    assert (M == ROT_D * np.eye(ROT_D, dtype=np.int64)).all()
+
+    rows = R["embedding_pq_rotated"].fn(spark, sf_dir).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r.variant, []).append(r)
+    assert set(by_v) == {"plain", "rotated"}
+    for v, rs in by_v.items():
+        assert sorted(r.m for r in rs) == list(range(8))
+        assert len({r.n_vectors for r in rs}) == 1
+        assert all(r.distortion_q > 0 for r in rs)

@@ -1139,3 +1139,19 @@ def test_ccnet_no_langwide_sort_and_hintfree_hist_join(spark, sf_dir):
     assert "BroadcastHashJoin" not in cold, "a join is hint-forced"
     assert cold.count("SortMergeJoin") >= 3
     assert not re.search(r"Sort \[[^\]]*\], true", cold)
+
+
+def test_pq_rotated_report_is_one_scan_one_tiny_exchange(spark, sf_dir):
+    """embedding_pq_rotated's scale contract: the Hadamard matrix and
+    BOTH codebooks ship in the kernel closure, so the whole two-
+    variant report is one parquet scan feeding one MapInPandas whose
+    output is <= 2 x 8 partial rows per batch; the only exchange is
+    the 16-row (variant, m) groupBy. No joins (the oracle's 8M-row
+    rotation join is the brute-force replay, not the plan), no
+    windows."""
+    plan = plan_of("embedding_pq_rotated", spark, sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
