@@ -942,10 +942,9 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_ccnet_buckets",
-    oracle=_LM_CTE_SQL
-    + """
+#: the CCNet tercile derivation as reusable CTEs — shared by
+#: text_ccnet_buckets and quality_ensemble (the _LM_CTE_SQL policy)
+_CCNET_CTES_SQL = """
     , sc AS (
       SELECT s.doc_id, d.lang,
              CAST(floor(CAST(s.p_q_sum AS DOUBLE)
@@ -959,13 +958,21 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rnk,
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM sc
+    ), bucketed AS (
+      SELECT doc_id, lang, score_q,
+             CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+                  WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
     )
-    SELECT doc_id, lang, score_q,
-           CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
-                WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
-                ELSE 'tail' END AS bucket
-    FROM ranked
-    """,
+    """
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle=_LM_CTE_SQL
+    + _CCNET_CTES_SQL
+    + "SELECT doc_id, lang, score_q, bucket FROM bucketed",
     tags=("text", "pipeline"),
 )
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2128,4 +2135,124 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_alpha.cast("int").alias("ok_alpha"),
         ok_stop.cast("int").alias("ok_stop"),
         (ok_words & ok_mwl & ok_alpha & ok_stop).cast("int").alias("keep"),
+    )
+
+
+# --- multi-signal quality ensemble ------------------------------------
+
+#: Simpson-concentration ceiling for the diversity vote: a doc whose
+#: word distribution concentrates past 0.5 (quantized 1e6) is
+#: dominated by one token — degenerate repetition fails the vote
+ENSEMBLE_SIMPSON_MAX_Q = 500_000
+
+
+@query(
+    "quality_ensemble",
+    oracle=_LM_CTE_SQL
+    + _CCNET_CTES_SQL
+    + f"""
+    , gq AS (
+      SELECT doc_id,
+             CAST(n_words >= {GOPHER_MIN_WORDS}
+                  AND n_words <= {GOPHER_MAX_WORDS}
+                  AND word_chars >= {GOPHER_MWL_MIN} * n_words
+                  AND word_chars <= {GOPHER_MWL_MAX} * n_words
+                  AND alpha_words * 100 >= {GOPHER_ALPHA_PCT} * n_words
+                  AND stop_cnt >= {GOPHER_MIN_STOPWORDS} AS INT)
+               AS ok_gopher
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT)
+                 AS word_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+                 AS alpha_words,
+               CAST({_oracle_marker_count(STOPWORDS)} AS BIGINT)
+                 AS stop_cnt
+        FROM documents
+      )
+    ), wcounts AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    ), divq AS (
+      SELECT doc_id,
+             CAST(CAST(floor(1000000 * CAST(SUM(c * c) AS DOUBLE)
+                  / CAST(SUM(c) * SUM(c) AS DOUBLE)) AS BIGINT)
+                  <= {ENSEMBLE_SIMPSON_MAX_Q} AS INT) AS ok_diversity
+      FROM wcounts GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           coalesce(g.ok_gopher, 0) AS ok_gopher,
+           CAST(coalesce(b.bucket <> 'tail', FALSE) AS INT)
+             AS ok_fluency,
+           coalesce(d.ok_diversity, 0) AS ok_diversity,
+           coalesce(g.ok_gopher, 0)
+             + CAST(coalesce(b.bucket <> 'tail', FALSE) AS INT)
+             + coalesce(d.ok_diversity, 0) AS votes,
+           CAST(coalesce(g.ok_gopher, 0)
+                + CAST(coalesce(b.bucket <> 'tail', FALSE) AS INT)
+                + coalesce(d.ok_diversity, 0) >= 2 AS INT) AS keep
+    FROM gq g
+    LEFT JOIN bucketed b USING (doc_id)
+    LEFT JOIN divq d USING (doc_id)
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote quality ensemble — the production pattern after
+    single-signal gates: three INDEPENDENT families of evidence vote
+    per document and 2-of-3 keeps it. (1) the Gopher rule conjunction
+    (structural sanity), (2) corpus-relative fluency — the doc is not
+    in its language's CCNet perplexity tail (text_ccnet_buckets'
+    keep rule: CCNet itself trains on head+middle), (3) lexical
+    diversity — Simpson concentration <= 0.5 (not dominated by one
+    token). A doc a signal cannot measure (no bigram evidence for the
+    LM, no tokens for Simpson) FAILS that vote — missing evidence is
+    not quality evidence. Majority voting beats the conjunction on
+    recall (a boilerplate-shaped but fluent, diverse doc survives)
+    and beats any single signal on precision; the per-signal columns
+    keep the decision auditable, gopher_quality_gate-style.
+
+    Output per doc: (doc_id, ok_gopher, ok_fluency, ok_diversity,
+    votes, keep) — all exact integers, every underlying signal the
+    same bit-exact derivation as its standalone query (shared oracle
+    CTEs: _LM_CTE_SQL + _CCNET_CTES_SQL; Gopher bounds from the same
+    constants — the anti-drift policy).
+
+    Scale shape: three signal frames, each already scale-audited in
+    its standalone form (Gopher: pure projection; CCNet: histogram
+    terciles, no lang-wide sort; diversity: one map-side-combined
+    groupBy), joined on doc_id — uniformly-hashed equi-joins AQE
+    plans from runtime sizes, no hints. The LM signal dominates the
+    cost; a 100 TB run persists the three signal frames and reuses
+    them across curation policies (the ensemble itself is then a
+    join-only replan)."""
+    g = gopher_quality_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    b = text_ccnet_buckets(spark, sf_dir).select(
+        "doc_id", (F.col("bucket") != "tail").alias("b_ok")
+    )
+    d = text_diversity(spark, sf_dir).select(
+        "doc_id",
+        (F.col("simpson_q") <= ENSEMBLE_SIMPSON_MAX_Q).alias("d_ok"),
+    )
+    ok_gopher = F.coalesce(F.col("g_keep"), F.lit(0))
+    ok_fluency = F.coalesce(F.col("b_ok"), F.lit(False)).cast("int")
+    ok_diversity = F.coalesce(F.col("d_ok").cast("int"), F.lit(0))
+    votes = ok_gopher + ok_fluency + ok_diversity
+    return (
+        g.join(b, "doc_id", "left")
+        .join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            ok_gopher.cast("int").alias("ok_gopher"),
+            ok_fluency.alias("ok_fluency"),
+            ok_diversity.cast("int").alias("ok_diversity"),
+            votes.cast("int").alias("votes"),
+            (votes >= 2).cast("int").alias("keep"),
+        )
     )

@@ -223,6 +223,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "unigram_train_steps",
     "unigram_tokenize_cost",
     "embedding_pq_rotated",
+    "quality_ensemble",
 )
 
 

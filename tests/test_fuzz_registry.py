@@ -59,6 +59,7 @@ QUERIES = (
     "dsir_weights",
     "gopher_quality_gate",
     "quality_classifier_nb",
+    "quality_ensemble",
     "tokenizer_vocab_apply",
     "unigram_tokenize_cost",
     "unigram_train_steps",

@@ -708,3 +708,37 @@ def test_pq_rotation_transform_is_a_scaled_isometry(spark, sf_dir):
         assert sorted(r.m for r in rs) == list(range(8))
         assert len({r.n_vectors for r in rs}) == 1
         assert all(r.distortion_q > 0 for r in rs)
+
+
+def test_quality_ensemble_ties_out_to_component_signals(spark, sf_dir):
+    """Cross-operator invariant: every ensemble vote must equal the
+    standalone signal it claims to summarize — ok_gopher ==
+    gopher_quality_gate.keep, ok_fluency == (ccnet bucket != tail),
+    ok_diversity == (simpson_q <= ceiling) — with missing evidence
+    scored 0, and keep == (votes >= 2) exactly."""
+    from file_scraper_spark.operators.text import ENSEMBLE_SIMPSON_MAX_Q
+
+    gopher = {
+        r.doc_id: r.keep
+        for r in R["gopher_quality_gate"].fn(spark, sf_dir).collect()
+    }
+    buckets = {
+        r.doc_id: r.bucket
+        for r in R["text_ccnet_buckets"].fn(spark, sf_dir).collect()
+    }
+    div = {
+        r.doc_id: r.simpson_q
+        for r in R["text_diversity"].fn(spark, sf_dir).collect()
+    }
+    rows = R["quality_ensemble"].fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(gopher)
+    assert any(r.keep for r in rows) and not all(r.keep for r in rows)
+    for r in rows:
+        assert r.ok_gopher == (gopher[r.doc_id] or 0)
+        assert r.ok_fluency == int(buckets.get(r.doc_id, "tail") != "tail")
+        want_div = int(
+            r.doc_id in div and div[r.doc_id] <= ENSEMBLE_SIMPSON_MAX_Q
+        )
+        assert r.ok_diversity == want_div
+        assert r.votes == r.ok_gopher + r.ok_fluency + r.ok_diversity
+        assert r.keep == int(r.votes >= 2)
