@@ -2146,11 +2146,9 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENSEMBLE_SIMPSON_MAX_Q = 500_000
 
 
-@query(
-    "quality_ensemble",
-    oracle=_LM_CTE_SQL
-    + _CCNET_CTES_SQL
-    + f"""
+#: the ensemble vote derivation as reusable CTEs (ends in `ens`) —
+#: shared by quality_ensemble and corpus_curriculum (anti-drift)
+_ENSEMBLE_CTES_SQL = f"""
     , gq AS (
       SELECT doc_id,
              CAST(n_words >= {GOPHER_MIN_WORDS}
@@ -2184,20 +2182,30 @@ ENSEMBLE_SIMPSON_MAX_Q = 500_000
                   <= {ENSEMBLE_SIMPSON_MAX_Q} AS INT) AS ok_diversity
       FROM wcounts GROUP BY doc_id
     )
-    SELECT g.doc_id,
-           coalesce(g.ok_gopher, 0) AS ok_gopher,
-           CAST(coalesce(b.bucket <> 'tail', FALSE) AS INT)
-             AS ok_fluency,
-           coalesce(d.ok_diversity, 0) AS ok_diversity,
-           coalesce(g.ok_gopher, 0)
-             + CAST(coalesce(b.bucket <> 'tail', FALSE) AS INT)
-             + coalesce(d.ok_diversity, 0) AS votes,
-           CAST(coalesce(g.ok_gopher, 0)
-                + CAST(coalesce(b.bucket <> 'tail', FALSE) AS INT)
-                + coalesce(d.ok_diversity, 0) >= 2 AS INT) AS keep
-    FROM gq g
-    LEFT JOIN bucketed b USING (doc_id)
-    LEFT JOIN divq d USING (doc_id)
+    , ens AS (
+      SELECT g.doc_id,
+             coalesce(g.ok_gopher, 0) AS ok_gopher,
+             CAST(coalesce(b.bucket <> 'tail', FALSE) AS INT)
+               AS ok_fluency,
+             coalesce(d.ok_diversity, 0) AS ok_diversity
+      FROM gq g
+      LEFT JOIN bucketed b USING (doc_id)
+      LEFT JOIN divq d USING (doc_id)
+    )
+    """
+
+
+@query(
+    "quality_ensemble",
+    oracle=_LM_CTE_SQL
+    + _CCNET_CTES_SQL
+    + _ENSEMBLE_CTES_SQL
+    + """
+    SELECT doc_id, ok_gopher, ok_fluency, ok_diversity,
+           ok_gopher + ok_fluency + ok_diversity AS votes,
+           CAST(ok_gopher + ok_fluency + ok_diversity >= 2 AS INT)
+             AS keep
+    FROM ens
     """,
     tags=("text", "quality", "pipeline"),
 )
@@ -2254,5 +2262,113 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok_diversity.cast("int").alias("ok_diversity"),
             votes.cast("int").alias("votes"),
             (votes >= 2).cast("int").alias("keep"),
+        )
+    )
+
+
+#: intra-band shuffle buckets for the curriculum rank: the first hex
+#: byte of md5(doc_id) — 256 uniform buckets, so the two-level
+#: histogram is <= 4 bands x 256 rows regardless of corpus size and
+#: every tie-group window partition holds ~1/1024 of the corpus
+CURRICULUM_BUCKETS_HEX = 2
+
+
+@query(
+    "corpus_curriculum",
+    oracle=_LM_CTE_SQL
+    + _CCNET_CTES_SQL
+    + _ENSEMBLE_CTES_SQL
+    + """
+    , keyed AS (
+      SELECT doc_id,
+             CAST(ok_gopher + ok_fluency + ok_diversity AS BIGINT)
+               AS band,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM ens
+    )
+    SELECT doc_id, band,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY band DESC, k ASC, doc_id ASC
+           ) AS BIGINT) AS curriculum_rank
+    FROM keyed
+    """,
+    tags=("text", "pipeline"),
+)
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: rank the corpus highest-quality
+    first (the ensemble vote count as the quality band, 3..0) with a
+    deterministic md5 shuffle WITHIN each band — clean data first,
+    random order inside each tier, reproducible across runs: the
+    data-ordering plan a curriculum-learning loader consumes
+    (band-descending is the canonical easy/clean-first schedule;
+    anti-curriculum is a reversed read of the same plan).
+
+    The oracle's spelling is ONE GLOBAL ROW_NUMBER over (band DESC,
+    md5 ASC) — a total sort of the corpus. The engine computes the
+    IDENTICAL rank with no global sort, the text_ccnet_buckets
+    histogram technique applied two-level: bucket = the first hex
+    byte of the md5 key (256 uniform buckets), so (1) the (band,
+    bucket) histogram is <= 4 x 256 rows AT ANY CORPUS SIZE and its
+    strict-preceding cumulative count comes from a window over those
+    ~1k rows; (2) each doc's offset is a row_number partitioned by
+    (band, bucket) — ~1/1024 of the corpus per partition, balanced
+    by md5 uniformity, never a single global task; (3) rank =
+    cum + offset, exact because bucket-prefix order IS md5-key order
+    (hex prefixes compare like the full string). The histogram joins
+    back hint-free (AQE broadcasts ~1k rows).
+
+    Scale shape: the ensemble signals dominate (see
+    quality_ensemble); the ranking itself adds one balanced tie-group
+    window and one broadcastable histogram join — a 100 TB corpus
+    gets a total training order without any stage ever sorting more
+    than ~0.1% of it in one task."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = quality_ensemble(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("ok_gopher") + F.col("ok_fluency") + F.col("ok_diversity")
+        )
+        .cast("long")
+        .alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    keyed = e.withColumn(
+        "kb", F.substring("k", 1, CURRICULUM_BUCKETS_HEX)
+    )
+    hw = (
+        Window.orderBy(F.col("h_band").desc(), F.col("h_kb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        keyed.groupBy("band", "kb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("band").alias("h_band"),
+            F.col("kb").alias("h_kb"),
+            F.col("cnt"),
+        )
+        .select(
+            "h_band",
+            "h_kb",
+            F.coalesce(F.sum("cnt").over(hw), F.lit(0)).alias("cum"),
+        )
+    )
+    tw = Window.partitionBy("band", "kb").orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(tw))
+        .join(
+            hist,
+            (F.col("band") == F.col("h_band"))
+            & (F.col("kb") == F.col("h_kb")),
+        )
+        .select(
+            "doc_id",
+            "band",
+            (F.col("cum") + F.col("rn"))
+            .cast("long")
+            .alias("curriculum_rank"),
         )
     )

@@ -224,6 +224,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "unigram_tokenize_cost",
     "embedding_pq_rotated",
     "quality_ensemble",
+    "corpus_curriculum",
 )
 
 

@@ -53,6 +53,7 @@ QUERIES = (
     "bpe_train_steps",
     "compaction_plan",
     "contamination_check",
+    "corpus_curriculum",
     "corpus_epoch_plan",
     "dedup_soft_weights",
     "dedup_winnowing",

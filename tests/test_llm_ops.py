@@ -742,3 +742,27 @@ def test_quality_ensemble_ties_out_to_component_signals(spark, sf_dir):
         assert r.ok_diversity == want_div
         assert r.votes == r.ok_gopher + r.ok_fluency + r.ok_diversity
         assert r.keep == int(r.votes >= 2)
+
+
+def test_curriculum_rank_is_a_permutation_in_band_order(spark, sf_dir):
+    """corpus_curriculum: the no-global-sort rank must be EXACTLY the
+    permutation the oracle's single ROW_NUMBER defines — ranks are
+    1..n with no gaps, bands are non-increasing along the rank, and
+    within a band the order is (md5(doc_id), doc_id)."""
+    import hashlib
+
+    rows = sorted(
+        R["corpus_curriculum"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.curriculum_rank,
+    )
+    n = len(rows)
+    assert n > 0
+    assert [r.curriculum_rank for r in rows] == list(range(1, n + 1))
+    bands = [r.band for r in rows]
+    assert bands == sorted(bands, reverse=True)
+    assert len({r.band for r in rows}) > 1, "fixture bands degenerate"
+    for a, b in zip(rows, rows[1:]):
+        if a.band == b.band:
+            ka = hashlib.md5(str(a.doc_id).encode()).hexdigest()
+            kb = hashlib.md5(str(b.doc_id).encode()).hexdigest()
+            assert (ka, a.doc_id) < (kb, b.doc_id)

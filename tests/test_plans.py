@@ -1155,3 +1155,15 @@ def test_pq_rotated_report_is_one_scan_one_tiny_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_curriculum_has_no_global_sort(spark, sf_dir):
+    """corpus_curriculum: the oracle's global ROW_NUMBER is a total
+    corpus sort; the engine must rank with (a) no global Sort node,
+    (b) the doc-level window keyed by (band, bucket) tie groups, and
+    (c) a hint-free histogram join that degrades to sort-merge when
+    broadcasting is disabled."""
+    plan = plan_of("corpus_curriculum", spark, sf_dir)
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), "global sort leaked in"
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "band" in m.group(1) and "kb" in m.group(1)
