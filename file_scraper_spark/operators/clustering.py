@@ -291,9 +291,20 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = emb.select("vec_id", "embedding").localCheckpoint()
     cents = lloyd_train(src)
 
+    if not cents:
+        # empty corpus: no seeds, no clusters — the oracle's joins
+        # over the empty centroid CTE emit nothing
+        return spark.createDataFrame(
+            [],
+            schema="cluster int, size long, inertia_q long, "
+            "centroid_l1 long",
+        )
+    # range over the ACTUAL centroid count, not KM_K: a corpus with
+    # fewer than KM_K vectors trains a partial codebook (the oracle's
+    # c0 CTE has the same semantics)
     l1 = {k: sum(abs(v) for v in ck) for k, ck in enumerate(cents)}
     l1_map = F.create_map(
-        *[F.lit(x) for k in range(KM_K) for x in (k, l1[k])]
+        *[F.lit(x) for k in range(len(cents)) for x in (k, l1[k])]
     )
     return (
         src.mapInPandas(
@@ -379,8 +390,11 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        # -1, not PQ_K: a corpus smaller than the seed count yields
+        # a partial codebook (the oracle's cb_* CTE has the same
+        # semantics — codes 0..n_seeds-1)
         CB = np.array(cb_list, dtype=np.int64).reshape(
-            PQ_K, PQ_M, PQ_SUBD
+            -1, PQ_M, PQ_SUBD
         )
         for pdf in batches:
             Q = _quantize_np(pdf["embedding"].tolist()).reshape(
@@ -435,7 +449,28 @@ def _rot_dsign() -> list[int]:
     ]
 
 
-def _pq_rot_oracle() -> str:
+def _rot_hadamard():
+    """The 64-point Sylvester-Hadamard as exact +-1 int64 entries:
+    H[i, j] = (-1)^popcount(i & j). Symmetric; (HD)(HD)^T = 64 I."""
+    import numpy as np  # noqa: PLC0415
+
+    return np.array(
+        [
+            [
+                -1 if bin(i & j).count("1") % 2 else 1
+                for j in range(ROT_D)
+            ]
+            for i in range(ROT_D)
+        ],
+        dtype=np.int64,
+    )
+
+
+def _pq_rot_chain() -> str:
+    """Shared oracle derivation: quantized corpus, signed-Hadamard
+    rotation, and per-variant PQ code assignment (a_p / a_r carry
+    the winning code) — consumed by embedding_pq_rotated's distortion
+    report AND embedding_pq_adc_recall's ADC ranking (anti-drift)."""
     chains = []
     for tag, src in (("p", "rflat"), ("r", "rotf")):
         chains.append(f"""
@@ -451,16 +486,12 @@ def _pq_rot_oracle() -> str:
       FROM sub_{tag} s JOIN cb_{tag} cb ON cb.m = s.m AND cb.j = s.j
       GROUP BY s.vec_id, s.m, cb.code
     ), a_{tag} AS (
-      SELECT vec_id, m, dist FROM (
-        SELECT vec_id, m, dist,
+      SELECT vec_id, m, code, dist FROM (
+        SELECT vec_id, m, code, dist,
                ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                   ORDER BY dist, code) AS rn
         FROM d_{tag}
       ) WHERE rn = 1
-    ), rep_{tag} AS (
-      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-             CAST(SUM(dist) AS BIGINT) AS distortion
-      FROM a_{tag} GROUP BY m
     )""")
     return (
         f"""
@@ -487,6 +518,21 @@ def _pq_rot_oracle() -> str:
       GROUP BY f.vec_id, d.i
     )"""
         + "".join(chains)
+    )
+
+
+def _pq_rot_oracle() -> str:
+    reps = []
+    for tag in ("p", "r"):
+        reps.append(f"""
+    , rep_{tag} AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(dist) AS BIGINT) AS distortion
+      FROM a_{tag} GROUP BY m
+    )""")
+    return (
+        _pq_rot_chain()
+        + "".join(reps)
         + f"""
     SELECT 'plain' AS variant, CAST(m AS BIGINT) AS m, n_vectors,
            CAST(distortion * {ROT_D} AS BIGINT) AS distortion_q
@@ -538,16 +584,7 @@ def embedding_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     ds = np.array(_rot_dsign(), dtype=np.int64)
-    H = np.array(
-        [
-            [
-                -1 if bin(i & j).count("1") % 2 else 1
-                for j in range(ROT_D)
-            ]
-            for i in range(ROT_D)
-        ],
-        dtype=np.int64,
-    )
+    H = _rot_hadamard()
 
     def quant(vecs) -> "np.ndarray":
         a = np.array(
@@ -562,11 +599,20 @@ def embedding_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["vec_id"],
     )
-    cb_p = quant([r["embedding"] for r in seed])  # (PQ_K, 64)
+    if not seed:
+        # empty corpus: the oracle's per-subspace GROUP BY emits no
+        # rows — match it (quant([]) is 1-D and cannot rotate)
+        return spark.createDataFrame(
+            [],
+            schema="variant string, m long, n_vectors long, "
+            "distortion_q long",
+        )
+    cb_p = quant([r["embedding"] for r in seed])  # (<=PQ_K, 64)
     cb_r = (cb_p * ds) @ H  # rotated seeds: same transform as data
     cbs = {
-        "plain": cb_p.reshape(PQ_K, PQ_M, PQ_SUBD).tolist(),
-        "rotated": cb_r.reshape(PQ_K, PQ_M, PQ_SUBD).tolist(),
+        # -1, not PQ_K: partial codebooks on sub-seed corpora
+        "plain": cb_p.reshape(-1, PQ_M, PQ_SUBD).tolist(),
+        "rotated": cb_r.reshape(-1, PQ_M, PQ_SUBD).tolist(),
     }
     h_list = H.tolist()
     ds_list = ds.tolist()
@@ -630,6 +676,272 @@ def embedding_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("distortion_q"),
         )
     )
+
+
+#: ADC-recall eval query set: every 25th vector under the cap — the
+#: KNN_SEED_CAP / MRL_QUERY_CAP scale contract (an eval set is fixed-
+#: size; the corpus being searched grows without bound)
+ADC_QUERY_MOD = 25
+ADC_QUERY_CAP = 2000
+ADC_K = 10
+
+
+def _pq_adc_oracle() -> str:
+    tops = []
+    for tag in ("p", "r"):
+        tops.append(f"""
+    , qset_{tag} AS (
+      SELECT vec_id AS qid, m, j, q FROM sub_{tag}
+      WHERE vec_id % {ADC_QUERY_MOD} = 0 AND vec_id < {ADC_QUERY_CAP}
+    ), lut_{tag} AS (
+      SELECT qs.qid, qs.m, cb.code,
+             CAST(SUM((qs.q - cb.c) * (qs.q - cb.c)) AS BIGINT) AS d
+      FROM qset_{tag} qs JOIN cb_{tag} cb
+        ON cb.m = qs.m AND cb.j = qs.j
+      GROUP BY qs.qid, qs.m, cb.code
+    ), adc_{tag} AS (
+      SELECT l.qid, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS dist
+      FROM a_{tag} a JOIN lut_{tag} l
+        ON l.m = a.m AND l.code = a.code
+      WHERE a.vec_id <> l.qid
+      GROUP BY l.qid, a.vec_id
+    ), top_{tag} AS (
+      SELECT qid, vec_id FROM adc_{tag}
+      QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY dist, vec_id) <= {ADC_K}
+    )""")
+    return (
+        _pq_rot_chain()
+        + "".join(tops)
+        + f"""
+    , exd AS (
+      SELECT q.qid, c.vec_id,
+             CAST(SUM((q.q - c.q) * (q.q - c.q)) AS BIGINT) AS dist
+      FROM qset_p q JOIN sub_p c
+        ON c.m = q.m AND c.j = q.j AND c.vec_id <> q.qid
+      GROUP BY q.qid, c.vec_id
+    ), truth AS (
+      SELECT qid, vec_id FROM exd
+      QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY dist, vec_id) <= {ADC_K}
+    )
+    SELECT 'plain' AS variant,
+           CAST(COUNT(DISTINCT r.qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS hits,
+           CASE WHEN COUNT(DISTINCT r.qid) = 0 THEN NULL
+                ELSE CAST(COUNT(t.vec_id) * 100
+                     // (COUNT(DISTINCT r.qid) * {ADC_K}) AS BIGINT)
+           END AS recall_pct
+    FROM top_p r
+    LEFT JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+    UNION ALL
+    SELECT 'rotated',
+           CAST(COUNT(DISTINCT r.qid) AS BIGINT),
+           CAST(COUNT(t.vec_id) AS BIGINT),
+           CASE WHEN COUNT(DISTINCT r.qid) = 0 THEN NULL
+                ELSE CAST(COUNT(t.vec_id) * 100
+                     // (COUNT(DISTINCT r.qid) * {ADC_K}) AS BIGINT)
+           END
+    FROM top_r r
+    LEFT JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+    """
+    )
+
+
+@query(
+    "embedding_pq_adc_recall",
+    oracle=_pq_adc_oracle(),
+    tags=("clustering", "embedding"),
+)
+def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-side verdict on the Hadamard rotation: recall@10 of
+    ASYMMETRIC DISTANCE (ADC) rankings — query scans the corpus as
+    4-bit PQ codes via a per-query lookup table, the billion-vector
+    serving path — under plain vs rotated codes, both judged against
+    ONE exact top-10 truth. One truth suffices because the signed
+    Hadamard is an exact scaled isometry on the quantized grid
+    (||HD(a-b)||^2 = 64 ||a-b||^2 in integers), so the exact ranking
+    is IDENTICAL in both spaces — the distortion report
+    (embedding_pq_rotated) says how tightly codes fit; THIS says
+    whether that translates into retrieval quality, which is what
+    decides deployment.
+
+    Determinism: distances are exact integer sums end to end (codes:
+    argmin ties to smallest code; rankings: ties to smallest vec_id);
+    the recall is an integer-division percentage (matryoshka's rule).
+
+    Scale shape: one Arrow pass over the corpus — the <=80-query eval
+    set (fixed-size by the KNN/MRL cap contract), both codebooks, and
+    H live in the kernel closure; per batch each variant pays the
+    encode sweep plus ADC as pure LUT gathers (queries x docs int
+    adds, no floats), the exact arm one int64 matmul, and emission is
+    <= 3 x |queries| x 10 partial-top rows. The global merge windows
+    over batches x that bound, and the final recall is computed from
+    a <=2,400-row control-plane collect (exactly the oracle's NULL
+    semantics on degenerate corpora). The corpus is never joined,
+    shuffled, or re-scanned."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    ds = np.array(_rot_dsign(), dtype=np.int64)
+    H = _rot_hadamard()
+
+    def quant(vecs) -> "np.ndarray":
+        a = np.array(
+            [np.asarray(v, dtype=np.float32) for v in vecs],
+            dtype=np.float64,
+        )
+        return np.floor(a * ROT_Q).astype(np.int64)
+
+    seed = sorted(
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qrows = sorted(
+        emb.where(
+            (F.col("vec_id") % ADC_QUERY_MOD == 0)
+            & (F.col("vec_id") < ADC_QUERY_CAP)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    out_schema = (
+        "variant string, n_queries long, hits long, recall_pct long"
+    )
+    if not qrows or not seed:
+        return spark.createDataFrame(
+            [("plain", 0, 0, None), ("rotated", 0, 0, None)],
+            schema=out_schema,
+        )
+    cb_p = quant([r["embedding"] for r in seed])
+    qp = quant([r["embedding"] for r in qrows])
+    qids = [int(r["vec_id"]) for r in qrows]
+    cbs = {
+        "plain": cb_p.tolist(),
+        "rotated": ((cb_p * ds) @ H).tolist(),
+    }
+    qs = {
+        "plain": qp.tolist(),
+        "rotated": ((qp * ds) @ H).tolist(),
+    }
+    h_list, ds_list = H.tolist(), ds.tolist()
+    SENTINEL = 1 << 62
+
+    def topk(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        HH = np.array(h_list, dtype=np.int64)
+        DS = np.array(ds_list, dtype=np.int64)
+        QID = np.array(qids, dtype=np.int64)
+        CB = {
+            v: np.array(c, dtype=np.int64).reshape(
+                -1, PQ_M, PQ_SUBD
+            )
+            for v, c in cbs.items()
+        }
+        QV = {v: np.array(q, dtype=np.int64) for v, q in qs.items()}
+        # per-query ADC LUT: (nq, PQ_M, PQ_K) exact squared distances
+        LUT = {}
+        for v in CB:
+            Qr = QV[v].reshape(-1, PQ_M, PQ_SUBD)
+            diff = Qr[:, :, None, :] - np.transpose(
+                CB[v], (1, 0, 2)
+            )[None, :, :, :]
+            LUT[v] = (diff * diff).sum(axis=3)  # (nq, M, K)
+        QEX = QV["plain"]
+        qq = (QEX * QEX).sum(axis=1)  # (nq,)
+
+        def emit(rows, variant, vids, D):
+            # per-batch partial top-k per query, ties (dist, vec_id)
+            for qi in range(D.shape[0]):
+                order = np.lexsort((vids, D[qi]))[:ADC_K]
+                for ix in order:
+                    if D[qi, ix] >= SENTINEL:
+                        continue
+                    rows.append(
+                        (
+                            variant,
+                            int(QID[qi]),
+                            int(vids[ix]),
+                            int(D[qi, ix]),
+                        )
+                    )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            X = quant(pdf["embedding"].tolist())
+            self_mask = QID[:, None] == vids[None, :]
+            rows: list[tuple] = []
+            for v in CB:
+                Xv = X if v == "plain" else (X * DS) @ HH
+                Xs = Xv.reshape(-1, PQ_M, PQ_SUBD)
+                codes = np.empty(
+                    (Xs.shape[0], PQ_M), dtype=np.int64
+                )
+                for m in range(PQ_M):
+                    diff = Xs[:, None, m, :] - CB[v][None, :, m, :]
+                    codes[:, m] = (
+                        (diff * diff).sum(axis=2).argmin(axis=1)
+                    )
+                D = np.zeros(
+                    (len(QID), Xs.shape[0]), dtype=np.int64
+                )
+                for m in range(PQ_M):
+                    D += LUT[v][:, m, :][:, codes[:, m]]
+                D[self_mask] = SENTINEL
+                emit(rows, v, vids, D)
+            # exact arm (plain space; identical ranking in rotated
+            # space by the scaled-isometry identity)
+            dots = QEX @ X.T  # (nq, n)
+            xx = (X * X).sum(axis=1)
+            DE = qq[:, None] - 2 * dots + xx[None, :]
+            DE[self_mask] = SENTINEL
+            emit(rows, "exact", vids, DE)
+            yield pd.DataFrame(
+                rows, columns=["variant", "qid", "vec_id", "dist"]
+            )
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    partials = emb.select("vec_id", "embedding").mapInPandas(
+        topk, "variant string, qid long, vec_id long, dist long"
+    )
+    w = Window.partitionBy("variant", "qid").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    merged = (
+        partials.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ADC_K)
+        .select("variant", "qid", "vec_id")
+        .collect()
+    )
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in merged
+        if r["variant"] == "exact"
+    }
+    out = []
+    for v in ("plain", "rotated"):
+        vs = [r for r in merged if r["variant"] == v]
+        nq = len({r["qid"] for r in vs})
+        hits = sum(
+            1 for r in vs if (r["qid"], r["vec_id"]) in truth
+        )
+        out.append(
+            (
+                v,
+                nq,
+                hits,
+                hits * 100 // (nq * ADC_K) if nq else None,
+            )
+        )
+    return spark.createDataFrame(out, schema=out_schema)
 
 
 def _ivfpq_oracle() -> str:
@@ -734,7 +1046,11 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cents = embedding_centroids(spark, sf_dir).collect()  # tiny codebook
     by_label: dict[int, list[float]] = {}
-    dim = len(emb.select("embedding").head()[0])
+    dim_row = emb.select("embedding").head()
+    if dim_row is None:
+        # empty corpus: no dims, no query, no ranking (oracle: empty)
+        return spark.createDataFrame([], schema="vec_id long, adc_q long")
+    dim = len(dim_row[0])
     for r in cents:
         by_label.setdefault(r["label"], [0.0] * dim)[r["pos"]] = r["centroid"]
     labels = sorted(by_label)
@@ -742,6 +1058,12 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     )
+    if qrow is None:
+        # no query vector in the corpus: the oracle's query-scoped
+        # CTEs are empty, so the ranking is too — match it
+        return spark.createDataFrame(
+            [], schema="vec_id long, adc_q long"
+        )
     qv = [float(x) for x in qrow[0]]
 
     import math  # noqa: PLC0415
@@ -773,7 +1095,7 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         C = np.array(cent_rows, dtype=np.float64)  # (L, D)
         probe_mask = np.array([lab in probe for lab in labels_arr])
-        CB = np.array(cb_list, dtype=np.int64).reshape(PQ_K, PQ_M, PQ_SUBD)
+        CB = np.array(cb_list, dtype=np.int64).reshape(-1, PQ_M, PQ_SUBD)
         QQ = np.array(qq, dtype=np.int64).reshape(PQ_M, PQ_SUBD)
         # the 8x16 ADC lookup table, exact integer
         ldiff = QQ[None, :, :] - CB  # (K, M, SUBD)
@@ -991,6 +1313,10 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     C = np.array(cents, dtype=np.int64)
     qrow = src.where(F.col("vec_id") == QUERY_VEC_ID).head()
+    if qrow is None:
+        # no query vector in the corpus: the oracle's query-scoped
+        # CTEs are empty — match its empty ranking
+        return spark.createDataFrame([], schema="vec_id long, d2_q long")
     qq = _quantize_np([qrow["embedding"]])[0]
     qd = ((C - qq[None, :]) ** 2).sum(axis=1)
     order = np.lexsort((np.arange(len(C)), qd))
@@ -1115,9 +1441,17 @@ def embedding_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.where(F.col("vec_id") < PQ_K).collect(),
         key=lambda r: r["vec_id"],
     )
+    if not seed:
+        # empty corpus: no residual codebook, no rows (the oracle's
+        # seed-scoped CTEs are empty); _quantize_np([]) is 1-D
+        return spark.createDataFrame(
+            [],
+            schema="vec_id long, cell int, code_sum long, "
+            "recon_err_q long",
+        )
     SQ = _quantize_np([r["embedding"] for r in seed])
     sa = ((SQ[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    CB = (SQ - C[sa]).reshape(PQ_K, PQ_M, PQ_SUBD)
+    CB = (SQ - C[sa]).reshape(-1, PQ_M, PQ_SUBD)
     cb_list = [[int(x) for x in row.reshape(-1)] for row in CB]
 
     def encode(batches):
@@ -1126,7 +1460,7 @@ def embedding_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         Cl = np.array(cents, dtype=np.int64)
         CBl = np.array(cb_list, dtype=np.int64).reshape(
-            PQ_K, PQ_M, PQ_SUBD
+            -1, PQ_M, PQ_SUBD
         )
         for pdf in batches:
             if not len(pdf):

@@ -225,6 +225,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "embedding_pq_rotated",
     "quality_ensemble",
     "corpus_curriculum",
+    "embedding_pq_adc_recall",
 )
 
 

@@ -72,3 +72,61 @@ def test_knn_classify_empty_seed_set_returns_empty(spark, tmp_path):
     out = knn_classify(spark, str(tmp_path))
     assert out.columns == ["vec_id", "pred_label", "votes", "is_correct"]
     assert out.count() == 0
+
+
+def _write_embeddings(tmp_path, n: int) -> str:
+    import random
+
+    rng = random.Random(7)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "label": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "embedding": pa.array(
+                [
+                    [rng.uniform(-0.5, 0.5) for _ in range(64)]
+                    for _ in range(n)
+                ],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    d = str(tmp_path / f"emb{n}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_pq_family_matches_oracle_on_subseed_corpora(spark, tmp_path):
+    """Sub-seed corpora (fewer vectors than PQ_K=16 / KM_K=8 seeds,
+    or empty) crash naive fixed-shape codebook code — the round-13
+    hardening made every PQ/Lloyd-family query reshape to the ACTUAL
+    seed count and early-return the oracle's empty semantics. Pin the
+    engine-vs-oracle match at the shapes that used to crash: 0 (no
+    seeds at all), 1 and 4 (partial codebooks), 16 (exact seed
+    boundary)."""
+    from file_scraper_spark import registry
+    from tools.check_correctness import duckdb_run, value_hash
+
+    registry._ensure_loaded()
+    queries = (
+        "embedding_pq",
+        "embedding_pq_rotated",
+        "embedding_pq_adc_recall",
+        "embedding_pq_residual",
+        "similarity_ann_ivfpq",
+        "kmeans_lloyd",
+        "similarity_ann_ivf_trained",
+    )
+    for n in (0, 1, 4, 16):
+        d = _write_embeddings(tmp_path, n)
+        for q in queries:
+            spec = registry.REGISTRY[q]
+            sdf = spec.fn(spark, d)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            o_cols, o_rows = duckdb_run(d, spec.oracle)
+            assert sorted(sdf.columns) == sorted(o_cols), (q, n)
+            assert len(s_rows) == len(o_rows), (q, n)
+            assert value_hash(sdf.columns, s_rows) == value_hash(
+                o_cols, o_rows
+            ), (q, n)
