@@ -2372,3 +2372,122 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("curriculum_rank"),
         )
     )
+
+
+#: PMI collocation knobs: drop hapax pairs (their PMI is maximal by
+#: construction and pure noise), report the top-50.
+PMI_MIN_COUNT = 2
+PMI_TOPK = 50
+
+
+def _bigram_structs(words: Column) -> Column:
+    """Adjacent-pair structs (w1, w2) — same zip_with(slice, slice)
+    formulation as _bigrams (and for the same reason: the
+    transform(sequence..) form re-splits the text per element)."""
+    n = F.size(words) - 1
+    return F.zip_with(
+        F.slice(words, 1, n),
+        F.slice(words, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), cx AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM uni
+    ), bg AS (
+      SELECT unnest({_ORACLE_BIGRAMS}) AS bigram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), sp AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2
+      FROM bg
+    ), cxy AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM sp GROUP BY w1, w2
+      HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT b.w1, b.w2, b.c_pair, x.c AS c_w1, y.c AS c_w2,
+           CAST((1000000::HUGEINT * b.c_pair * (SELECT t FROM tot))
+                  // (x.c::HUGEINT * y.c) AS BIGINT) AS pmi_q
+    FROM cxy b
+    JOIN cx x ON x.w = b.w1
+    JOIN cx y ON y.w = b.w2
+    ORDER BY pmi_q DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+    tags=("text",),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by quantized pointwise mutual
+    information — the frequency-NORMALIZED companion to
+    text_topn_ngrams' raw counts. Raw bigram counts surface whatever
+    the unigram distribution makes frequent ("of the"); PMI lift
+    ``c_pair * T / (c_w1 * c_w2)`` surfaces pairs that co-occur far
+    above chance — multiword expressions, templated boilerplate
+    phrases, junk mining for stopword/stop-phrase lists (the same
+    pass CCNet/Gopher pipelines run before writing cleaning rules).
+
+    Determinism: the score ships as ``pmi_q`` = floor(1e6 * lift) in
+    exact integer arithmetic (Spark DECIMAL(38,0) ``DIV`` == DuckDB
+    HUGEINT ``//`` on positive operands — parity spot-checked in this
+    session's harness run), per the registry's integer-quantization
+    rule; production would keep the double ``log2`` PMI. Hapax pairs
+    (c_pair < {PMI_MIN_COUNT}) are dropped BEFORE the unigram joins —
+    under Zipf that prunes the dominant mass of the pair table ahead
+    of the only shuffle joins in the plan.
+
+    Scale shape: unigram counts and pair counts are two exploded
+    groupBys with map-side combine (shuffle carries distinct tokens /
+    distinct surviving pairs, not token instances). The two
+    vocab-sized ``cx`` joins are plain equi-joins — NEVER broadcast
+    (vocabulary is 10^8-10^9 tokens at web scale; AQE may still
+    broadcast at small SF, which is correct there). The corpus total
+    ``t`` is the one broadcast: a single-row aggregate. Top-50 via
+    TakeOrderedAndProject (per-partition heaps), no global sort, no
+    window — plan-pinned in tests/test_plans.py."""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    toks = docs.select(F.explode(words).alias("w"))
+    cx = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    pairs = (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(_bigram_structs(words)).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    cxy = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= PMI_MIN_COUNT)
+    )
+    scored = (
+        cxy.join(
+            cx.select(F.col("w").alias("w1"), F.col("c").alias("c_w1")),
+            "w1",
+        )
+        .join(
+            cx.select(F.col("w").alias("w2"), F.col("c").alias("c_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_w1",
+            "c_w2",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_pair * t)"
+                " DIV (CAST(c_w1 AS DECIMAL(38,0)) * c_w2) AS BIGINT)"
+            ).alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_q"), "w1", "w2").limit(PMI_TOPK)

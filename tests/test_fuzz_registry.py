@@ -100,6 +100,7 @@ QUERIES = (
     "snapshot_diff",
     "text_chunk",
     "text_bm25_topk",
+    "text_collocations_pmi",
     "text_diversity",
     "text_heavy_hitters",
     "text_langid",

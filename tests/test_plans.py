@@ -1167,3 +1167,20 @@ def test_curriculum_has_no_global_sort(spark, sf_dir):
     assert not re.search(r"Sort \[[^\]]*\], true", plan), "global sort leaked in"
     m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
     assert m and "band" in m.group(1) and "kb" in m.group(1)
+
+
+def test_collocations_pmi_plan(spark, sf_dir):
+    """text_collocations_pmi: top-50 must cut via a distributed
+    TakeOrderedAndProject (per-partition heaps) — never a global sort
+    or an unpartitioned rank window over the vocab-sized pair table
+    (10^8+ surviving pairs at web scale through one partition). The
+    corpus-total broadcast is the single-row crossJoin; the two
+    vocab-sized unigram joins must stay equi-joins (never
+    nested-loop)."""
+    plan = plan_of("text_collocations_pmi", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    # exactly one nested-loop join: the single-row corpus-total
+    # crossJoin. A second one would mean a unigram join degenerated.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
