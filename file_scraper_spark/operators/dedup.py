@@ -3992,3 +3992,142 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_q"),
         )
     )
+
+
+#: content-defined chunking: a token whose polynomial hash satisfies
+#: ``h % CDC_DIV == CDC_REM`` closes the current chunk (expected chunk
+#: length = CDC_DIV tokens); top-50 most-replicated chunks reported.
+CDC_DIV = 8
+CDC_REM = 0
+CDC_TOPK = 50
+
+_CDC_TOK_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(w, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    f" (acc, c) -> (acc * 31 + c) % {10**15})"
+)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w, CAST(i - 1 AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      ), LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i),
+           LATERAL (SELECT ts[i] AS w)
+      WHERE ts[i] <> ''
+    ), flagged AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN {_CDC_TOK_HASH_SQL} % {CDC_DIV} = {CDC_REM}
+                  THEN 1 ELSE 0 END AS boundary
+      FROM toks
+    ), chunked AS (
+      SELECT doc_id, w, pos,
+             SUM(boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS chunk_no
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, COALESCE(chunk_no, 0) AS chunk_no,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+             CAST(COUNT(*) AS BIGINT) AS chunk_tokens
+      FROM chunked
+      GROUP BY doc_id, COALESCE(chunk_no, 0)
+    )
+    SELECT chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(chunk_tokens) AS chunk_tokens
+    FROM chunks
+    GROUP BY chunk_md5
+    ORDER BY n_copies DESC, chunk_md5
+    LIMIT {CDC_TOPK}
+    """,
+    tags=("dedup",),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the STORAGE-level dedup family
+    member (LBFS/Rabin, restic/borg, Venti): split every document at
+    content-determined boundaries (a token whose rolling hash hits
+    ``h % 8 == 0`` closes the chunk), fingerprint each chunk, and
+    report the 50 most-replicated chunks with copy and document
+    counts. Because boundaries depend on CONTENT, not offsets, an
+    insertion near the head of a document shifts only the chunk it
+    lands in — every later chunk re-aligns and still dedups, the
+    property fixed-size blocking lacks and the reason every backup
+    dedup system chunks this way. For a corpus pipeline this is the
+    shared-boilerplate detector at sub-paragraph granularity
+    (dedup_paragraph needs exact paragraph structure; CDC finds
+    repeated spans wherever they sit).
+
+    Plan: posexplode to (doc, pos, token), per-token polynomial hash
+    (JVM-side HOF aggregate over chars — same kernel as
+    doc_fingerprint, per token), boundary flag, then ONE window
+    partitioned by doc_id (never global — per-document state only)
+    turns the flags into chunk numbers via a shifted running sum.
+    Chunk assembly is a groupBy(doc, chunk_no) with sort_array over
+    collected (pos, token) structs — bounded by document length, no
+    cross-document state. The chunk-hash groupBy is the only
+    corpus-wide shuffle and carries one row per CHUNK (docs/8 rows),
+    with map-side combine; top-50 via TakeOrderedAndProject. At
+    100 TB each stage is keyed by doc_id or chunk_md5 — both
+    uniform, no hot keys (the hash IS the partitioner)."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
+    )
+    tok_hash = F.aggregate(
+        F.transform(F.split(F.col("w"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(10**15),
+    )
+    flagged = toks.withColumn(
+        "boundary",
+        F.when(tok_hash % CDC_DIV == CDC_REM, F.lit(1)).otherwise(F.lit(0)),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_no", F.coalesce(F.sum("boundary").over(w), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_no")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+            F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("chunk_tokens").alias("chunk_tokens"),
+        )
+        .orderBy(F.desc("n_copies"), F.asc("chunk_md5"))
+        .limit(CDC_TOPK)
+    )

@@ -181,3 +181,142 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_q"), F.asc("node_id"))
         .limit(PR_TOPK)
     )
+
+
+TRI_TOPK = 20
+
+
+def _triangle_oracle() -> str:
+    """DuckDB twin of the oriented wedge-join below."""
+    return f"""
+    WITH pr AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ), oe AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS t
+      FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT a.s AS x, a.t AS y, b.t AS z
+      FROM oe a
+      JOIN oe b ON b.s = a.t
+      JOIN oe c ON c.s = a.s AND c.t = b.t
+    ), corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y AS node FROM tri
+      UNION ALL SELECT z AS node FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS total_triangles
+    FROM corners
+    GROUP BY node
+    ORDER BY tri_cnt DESC, node
+    LIMIT {TRI_TOPK}
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle(), tags=("graph",))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the part co-purchase graph (two
+    parts adjacent iff some order contains both) — the clustering-
+    coefficient building block a crawl/link analysis uses to separate
+    genuine communities from link farms (spam hosts sit in sparse,
+    triangle-poor neighborhoods; real topics are triangle-dense).
+    Returns the top-20 nodes by triangle participation plus
+    the global triangle total on every row.
+
+    Algorithm: degree-ordered orientation, the canonical distributed
+    formulation (Suri & Vassilvitskii's MapReduce scheme; also
+    Cohen's and GraphX's). Orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one — a DAG in which
+    each triangle {x,y,z} has exactly ONE topological layout x->y,
+    x->z, y->z — then one wedge self-join (out-edges joined on their
+    source's successor) verified against the oriented edge list
+    counts each triangle exactly once, no /6 dedup factor, no
+    double-counted wedges.
+
+    Why it scales: orientation bounds effective out-degree by
+    O(sqrt(m)) regardless of raw skew (a celebrity node of degree D
+    contributes wedges only where it is the LOW endpoint), so the
+    wedge join materializes O(m^1.5) rows worst-case instead of the
+    naive O(sum deg^2) — the difference between feasible and not on a
+    power-law web graph. All three joins are shuffle equi-joins on
+    node keys (never broadcast: the edge list is data-sized); the
+    per-order pair expansion is bounded by TPC-H's <=7 lineitems per
+    order (on a real basket graph you'd cap or sample mega-baskets
+    first — same lever as dedup's hot-shingle cap). The corner
+    explode + groupBy has map-side combine; top-20 cut is a
+    TakeOrderedAndProject; the global total rides in as a single-row
+    broadcast crossJoin."""
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pr.alias("a"), pr.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wedges = (
+        oe.alias("a")
+        .join(oe.alias("b"), F.col("b.s") == F.col("a.t"))
+        .select(
+            F.col("a.s").alias("x"),
+            F.col("a.t").alias("y"),
+            F.col("b.t").alias("z"),
+        )
+    )
+    # tri feeds two consumers (global total + corner counts):
+    # localCheckpoint so the three-join chain runs once, not twice.
+    tri = (
+        wedges.join(
+            oe.alias("c"),
+            (F.col("c.s") == F.col("x")) & (F.col("c.t") == F.col("z")),
+        )
+        .select("x", "y", "z")
+        .localCheckpoint(eager=False)
+    )
+    total = tri.agg(F.count(F.lit(1)).cast("long").alias("total_triangles"))
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_cnt"))
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.desc("tri_cnt"), F.asc("node"))
+        .limit(TRI_TOPK)
+    )

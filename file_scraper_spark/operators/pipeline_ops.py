@@ -1587,3 +1587,67 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.expr("sum(n_chars) div count(1)").cast("long").alias("mean_chars"),
     )
+
+
+#: k-anonymity threshold (HIPAA Safe-Harbor-style small-cell rule) and
+#: the account-balance generalization width for the quasi-identifier.
+KANON_K = 5
+KANON_BAL_WIDTH = 1000
+
+
+@query(
+    "privacy_kanonymity",
+    oracle=f"""
+    SELECT c_nationkey AS nation,
+           c_mktsegment AS segment,
+           CAST(floor(c_acctbal / {KANON_BAL_WIDTH}) AS BIGINT)
+             AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= {KANON_K} AS k_anon,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                                    THEN 'debt' ELSE 'credit' END)
+                AS BIGINT) AS l_diversity
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+    tags=("privacy", "governance"),
+)
+def privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the released
+    quasi-identifier projection — the privacy gate a corpus publisher
+    runs BEFORE shipping per-record metadata (the reference scrapes
+    file metadata into a shared Postgres table; the [EXT] analog asks
+    whether that metadata re-identifies individuals). Equivalence
+    class = (nation, segment, generalized balance bucket); a class
+    with fewer than {KANON_K} members fails k-anonymity (``k_anon``
+    false -> suppress or generalize further), and ``l_diversity``
+    counts distinct sensitive values (debt vs credit standing) within
+    the class — a k-anonymous class with l=1 still leaks the
+    sensitive attribute (homogeneity attack).
+
+    Scale shape: one groupBy on the quasi-identifier with full
+    map-side combine; output cardinality is the product of QI domains
+    (25 nations x 5 segments x ~12 buckets, corpus-size-independent),
+    so the report frame is always tiny regardless of input scale. No
+    joins, no window, no collect. The l-diversity distinct-count runs
+    inside the same aggregation (expand-free: the sensitive domain is
+    binary, so Spark plans it as a two-phase distinct agg over the
+    same shuffle)."""
+    cust = load(spark, sf_dir, "customer")
+    sensitive = F.when(F.col("c_acctbal") < 0, F.lit("debt")).otherwise(
+        F.lit("credit")
+    )
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / KANON_BAL_WIDTH)
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            (F.count(F.lit(1)) >= KANON_K).alias("k_anon"),
+            F.countDistinct(sensitive).cast("long").alias("l_diversity"),
+        )
+    )

@@ -2440,7 +2440,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT ``//`` on positive operands — parity spot-checked in this
     session's harness run), per the registry's integer-quantization
     rule; production would keep the double ``log2`` PMI. Hapax pairs
-    (c_pair < {PMI_MIN_COUNT}) are dropped BEFORE the unigram joins —
+    (c_pair < PMI_MIN_COUNT=2) are dropped BEFORE the unigram joins —
     under Zipf that prunes the dominant mass of the pair table ahead
     of the only shuffle joins in the plan.
 
@@ -2491,3 +2491,163 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_q"), "w1", "w2").limit(PMI_TOPK)
+
+
+#: fixture-frequent query phrase (7 corpus occurrences at sf0.01) —
+#: three consecutive tokens, matched via positional postings.
+PHRASE = ("row", "column", "sort")
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), hit AS (
+      SELECT doc_id, i
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 2)) AS i
+      )
+      WHERE ts[i] = '{PHRASE[0]}'
+        AND ts[i+1] = '{PHRASE[1]}'
+        AND ts[i+2] = '{PHRASE[2]}'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+    FROM hit
+    GROUP BY doc_id
+    """,
+    tags=("text", "search"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("row column sort") via positional
+    posting lists — the inverted-index primitive behind quoted-phrase
+    retrieval and the contamination scanner's exact-span matching
+    (dedup_exact_substring finds SHARED spans corpus-wide; this finds
+    a GIVEN span, the serving-side analog). Emits matching docs with
+    occurrence count and the first match's 0-based token offset (the
+    snippet anchor).
+
+    Plan: posexplode to (doc_id, pos, token) postings, filtered to
+    the query's three terms BEFORE anything shuffles — the posting
+    list for a query term is corpus-frequency-sized, not corpus-sized
+    (and in a deployed index it's a pre-built table bucketed by term,
+    read without a scan at all; same deployment evolution as
+    dedup_incremental_indexed). Adjacency = two equi-joins on
+    (doc_id, pos+offset) — posting-list intersection with position
+    arithmetic, the textbook evaluation — then one groupBy(doc_id)
+    with map-side combine. Rarest-term-first ordering is the classic
+    optimizer lever; here all three postings prune equally and AQE
+    sizes the join sides at runtime."""
+    docs = load(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id", F.posexplode(_words()).alias("pos", "w")
+        )
+        .filter(F.col("w").isin(*PHRASE))
+        .localCheckpoint(eager=False)
+    )
+    p = [
+        postings.filter(F.col("w") == term).select(
+            "doc_id", F.col("pos").alias(f"pos{i}")
+        )
+        for i, term in enumerate(PHRASE)
+    ]
+    # position arithmetic lives IN the join condition so Catalyst
+    # extracts (doc_id, pos+k) as hash-join keys — a post-join filter
+    # would degrade to a doc_id-only join materializing tf1 x tf2
+    # pairs per document.
+    j1 = p[0].join(
+        p[1],
+        (p[0]["doc_id"] == p[1]["doc_id"])
+        & (p[1]["pos1"] == p[0]["pos0"] + 1),
+    ).select(p[0]["doc_id"].alias("doc_id"), "pos0")
+    hits = j1.join(
+        p[2],
+        (j1["doc_id"] == p[2]["doc_id"])
+        & (p[2]["pos2"] == j1["pos0"] + 2),
+    ).select(j1["doc_id"].alias("doc_id"), "pos0")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos0").cast("long").alias("first_pos"),
+    )
+
+
+#: boolean retrieval query: ALL of BOOL_MUST, NONE of BOOL_MUST_NOT.
+BOOL_MUST = ("spark", "merge")
+BOOL_MUST_NOT = ("vector",)
+
+
+@query(
+    "text_search_boolean",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             {" + ".join(
+                 "len(list_filter(ts, w -> w = '%s'))" % w
+                 for w in BOOL_MUST
+             )} AS tf_must,
+             {" AND ".join(
+                 "list_contains(ts, '%s')" % w for w in BOOL_MUST
+             )} AS has_all,
+             {" OR ".join(
+                 "list_contains(ts, '%s')" % w for w in BOOL_MUST_NOT
+             )} AS has_banned
+      FROM t
+    )
+    SELECT doc_id, CAST(tf_must AS BIGINT) AS tf_must
+    FROM flags
+    WHERE has_all AND NOT has_banned
+    """,
+    tags=("text", "search"),
+)
+def text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval — docs matching (spark AND merge)
+    AND NOT (vector) — the filter-language
+    companion to text_bm25_topk's ranked retrieval: corpus curation
+    expresses inclusion/exclusion rules ("has 'spark' and 'merge',
+    no 'vector'") as posting-list set algebra, and this operator is
+    that algebra. Ships each hit with the summed must-term frequency
+    (the ranking signal a downstream scorer would consume).
+
+    Plan: per-row higher-order array functions (filter/array_contains
+    — JVM-side, no UDF, no explode): one scan, one projection, one
+    pushed-down... the predicate itself can't reach parquet (it's
+    over split output) but everything stays in whole-stage codegen
+    and NOTHING shuffles — boolean retrieval over a raw corpus is a
+    pure scan problem. Deployed against a pre-built inverted index
+    the same query becomes posting-list intersection (the
+    text_phrase_search machinery minus position arithmetic); the
+    scan form here is what you run when building that index in the
+    first place."""
+    docs = load(spark, sf_dir, "documents")
+    ts = _words()
+    def _tf(term: str) -> Column:
+        # closure over the function arg — a `lambda w, term=term:`
+        # default would give the lambda arity 2 and PySpark would
+        # bind the second param to the ELEMENT INDEX.
+        return F.size(F.filter(ts, lambda w: w == F.lit(term)))
+
+    tf = [_tf(term) for term in BOOL_MUST]
+    has_all = F.lit(True)
+    for term in BOOL_MUST:
+        has_all = has_all & F.array_contains(ts, term)
+    has_banned = F.lit(False)
+    for term in BOOL_MUST_NOT:
+        has_banned = has_banned | F.array_contains(ts, term)
+    tf_must = tf[0]
+    for c in tf[1:]:
+        tf_must = tf_must + c
+    return (
+        docs.select(
+            "doc_id",
+            tf_must.cast("long").alias("tf_must"),
+            has_all.alias("ha"),
+            has_banned.alias("hb"),
+        )
+        .filter(F.col("ha") & ~F.col("hb"))
+        .select("doc_id", "tf_must")
+    )

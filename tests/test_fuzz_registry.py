@@ -71,6 +71,7 @@ QUERIES = (
     "dedup_cluster_cap",
     "dedup_clusters",
     "dedup_clusters_sampled",
+    "dedup_cdc_chunks",
     "dedup_containment",
     "dedup_containment_sampled",
     "dedup_editdistance",
@@ -101,6 +102,8 @@ QUERIES = (
     "text_chunk",
     "text_bm25_topk",
     "text_collocations_pmi",
+    "text_phrase_search",
+    "text_search_boolean",
     "text_diversity",
     "text_heavy_hitters",
     "text_langid",
@@ -476,6 +479,8 @@ TPCH_QUERIES = (
     "window_distribution",
     "window_first_last",
     "window_rank",
+    "privacy_kanonymity",
+    "graph_triangle_count",
 ) + tuple(f"tpch_q{i}_shape" for i in range(2, 23))
 
 _TPCH_TS_BASE = 789_000_000_000_000  # 1995-01-02T06:40Z in micros

@@ -1184,3 +1184,64 @@ def test_collocations_pmi_plan(spark, sf_dir):
     # exactly one nested-loop join: the single-row corpus-total
     # crossJoin. A second one would mean a unigram join degenerated.
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_phrase_search_postings_join_on_position(spark, sf_dir):
+    """text_phrase_search: adjacency must ride IN the hash-join keys
+    ((doc_id, pos+k) equi-joins), never as a post-join filter over a
+    doc_id-only join (that materializes tf1 x tf2 position pairs per
+    document). So: hash joins present, no nested-loop join, and no
+    join that is keyed on doc_id alone — every join key list carries
+    a pos term."""
+    plan = plan_of("text_phrase_search", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boolean_search_is_scan_only(spark, sf_dir):
+    """text_search_boolean is pure scan + per-row array algebra: no
+    shuffle (Exchange), no join, no explode-driven Generate — the
+    whole query must stay in one codegen stage over the scan."""
+    plan = plan_of("text_search_boolean", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    # '*(n)' is the whole-stage-codegen marker in the tree string
+    # (the array_contains filter compiles; the HOF tf projection
+    # stays interpreted — still JVM-side, still single-stage)
+    assert "*(" in plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """graph_triangle_count: the wedge join and the closing-edge
+    verification must be shuffle equi-joins on node keys — no
+    cartesian/nested-loop pair materialization anywhere except the
+    single-row global-total broadcast."""
+    plan = plan_of("graph_triangle_count", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kanonymity_single_aggregation(spark, sf_dir):
+    """privacy_kanonymity is ONE groupBy over the scan: no joins, no
+    windows. (Two Exchanges are expected — the QI shuffle plus the
+    distinct-agg expand phase for l-diversity — but nothing else.)"""
+    plan = plan_of("privacy_kanonymity", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_cdc_chunks_window_is_per_doc(spark, sf_dir):
+    """dedup_cdc_chunks: the chunk-number running sum must be a
+    window PARTITIONED BY doc_id (per-document state), never an
+    unpartitioned global window; the top-50 cut must be a
+    TakeOrderedAndProject."""
+    plan = plan_of("dedup_cdc_chunks", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    import re as _re
+    wins = _re.findall(r"Window .*", plan)
+    assert wins, "expected a Window node"
+    for w in wins:
+        assert "doc_id" in w
