@@ -320,3 +320,141 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tri_cnt"), F.asc("node"))
         .limit(TRI_TOPK)
     )
+
+
+#: HITS fixed-point scale and round count (definitional, like
+#: PR_ROUNDS); L1 normalization each half-step keeps every score in
+#: [0, HITS_SCALE] so the HUGEINT/DECIMAL(38,0) multiply never nears
+#: overflow even at web-scale node counts.
+HITS_SCALE = 10**6
+HITS_ROUNDS = 2
+HITS_TOPK = 20
+
+
+def _hits_oracle() -> str:
+    """K-round unrolled DuckDB twin of the Spark loop below."""
+    steps = []
+    h_prev = "h0"
+    a_prev = None
+    for k in range(1, HITS_ROUNDS + 1):
+        steps.append(
+            f"""a{k}r AS (
+      SELECT e.s, SUM(h.h) AS ar FROM e JOIN {h_prev} h ON h.p = e.p
+      GROUP BY e.s
+    ), a{k}t AS (SELECT SUM(ar) AS t FROM a{k}r),
+    a{k} AS (
+      SELECT s, CAST((ar::HUGEINT * {HITS_SCALE})
+                       // (SELECT t FROM a{k}t) AS BIGINT) AS a
+      FROM a{k}r
+    ), h{k}r AS (
+      SELECT e.p, SUM(a.a) AS hr FROM e JOIN a{k} a ON a.s = e.s
+      GROUP BY e.p
+    ), h{k}t AS (SELECT SUM(hr) AS t FROM h{k}r),
+    h{k} AS (
+      SELECT p, CAST((hr::HUGEINT * {HITS_SCALE})
+                       // (SELECT t FROM h{k}t) AS BIGINT) AS h
+      FROM h{k}r
+    )"""
+        )
+        h_prev, a_prev = f"h{k}", f"a{k}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), h0 AS (
+      SELECT DISTINCT p, CAST({HITS_SCALE} AS BIGINT) AS h FROM e
+    ),
+    {joined}
+    SELECT * FROM (
+      SELECT 'hub' AS kind, p AS node_id, h AS score_q
+      FROM {h_prev} ORDER BY h DESC, p LIMIT {HITS_TOPK}
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'auth' AS kind, s AS node_id, a AS score_q
+      FROM {a_prev} ORDER BY a DESC, s LIMIT {HITS_TOPK}
+    )
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle(), tags=("graph",))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over the directed
+    part->supplier purchase graph, K=2 full rounds, fixed-point
+    BIGINT with L1 normalization each half-step; returns the top-20
+    hubs and top-20 authorities. The OTHER classic link-centrality:
+    where PageRank answers "globally endorsed" (crawl priority), HITS
+    separates CURATORS (hubs: parts sourced from many strong
+    suppliers / pages linking to many strong sources) from SOURCES
+    (authorities) — the split a seed-list builder for focused
+    crawling or citation-mining actually wants.
+
+    Determinism: each half-step divides by the running L1 total with
+    floor division — score = (raw * 1e6) div sum(raw) — computed in
+    DECIMAL(38,0) (Spark) vs HUGEINT (DuckDB), bit-identical on
+    positive operands (same parity rule as text_collocations_pmi);
+    normalized scores live in [0, 1e6] so magnitudes never grow with
+    graph size, unlike an unnormalized power iteration that would
+    overflow at web scale. Round count is definitional (both engines
+    run exactly K), like PR_ROUNDS.
+
+    Scale shape: same as graph_pagerank — the distinct edge list is
+    the one resident structure (localCheckpoint; checkpoint() on a
+    real cluster), each half-step is one node-frame equi-join against
+    it plus a groupBy with map-side combine (shuffle O(nodes), not
+    O(edges)), and each L1 total is a single-row broadcast crossJoin
+    (a control-plane scalar, never a collect). Top-k cuts are
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _l1_normalize(raw: DataFrame, key: str, rawcol: str, out: str) -> DataFrame:
+        tot = raw.agg(F.sum(rawcol).alias("t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(
+                f"CAST((CAST({rawcol} AS DECIMAL(38,0)) * {HITS_SCALE})"
+                f" DIV CAST(t AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias(out),
+        )
+
+    h = edges.select("p").distinct().select(
+        "p", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            edges.join(h, "p")
+            .groupBy("s")
+            .agg(F.sum("h").alias("ar"))
+        )
+        a = _l1_normalize(a_raw, "s", "ar", "a").localCheckpoint(eager=False)
+        h_raw = (
+            edges.join(a, "s")
+            .groupBy("p")
+            .agg(F.sum("a").alias("hr"))
+        )
+        h = _l1_normalize(h_raw, "p", "hr", "h").localCheckpoint(eager=False)
+    hubs = (
+        h.orderBy(F.desc("h"), F.asc("p"))
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("p").alias("node_id"),
+            F.col("h").alias("score_q"),
+        )
+    )
+    auths = (
+        a.orderBy(F.desc("a"), F.asc("s"))
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("auth").alias("kind"),
+            F.col("s").alias("node_id"),
+            F.col("a").alias("score_q"),
+        )
+    )
+    return hubs.unionAll(auths)

@@ -1651,3 +1651,60 @@ def privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(sensitive).cast("long").alias("l_diversity"),
         )
     )
+
+
+#: blocking-plan knobs: a block bigger than ER_BLOCK_CAP records gets
+#: flagged (its quadratic pair cost dominates the comparison budget).
+ER_BLOCK_CAP = 40
+
+
+@query(
+    "er_blocking_plan",
+    oracle=f"""
+    WITH b AS (
+      SELECT string_split(p_name, ' ')[2] AS name_token,
+             p_type AS type_key,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM part
+      GROUP BY 1, 2
+    )
+    SELECT name_token, type_key, n_records,
+           n_records * (n_records - 1) // 2 AS n_pairs,
+           n_records > {ER_BLOCK_CAP} AS oversized
+    FROM b
+    """,
+    tags=("dedup", "planning"),
+)
+def er_blocking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking plan — the PAIR-BUDGET report run
+    BEFORE any fuzzy-matching pass (the ER analog of
+    shard_skew_report): group candidate records by a cheap blocking
+    key (last name-token x product type here; phonetic code x zip in
+    a classic MDM deployment), and for each block report the record
+    count, the quadratic comparison cost n*(n-1)/2 the matcher would
+    pay inside it, and whether the block exceeds the comparison cap.
+    The whole point of blocking is turning an O(N^2) corpus-wide
+    match into sum-of-small-quadratics; this report is how you KNOW
+    it worked before you spend the cluster time, and the ``oversized``
+    rows are where you refine the key or sub-block (same hot-key
+    lever as dedup's hot-shingle cap and the skew-join salt).
+
+    Scale shape: one groupBy with map-side combine, output is
+    block-count-sized, pair math is per-row integer algebra (floor
+    division — exact in both engines). No joins, no window, no pair
+    materialization: the report costs O(N) for a matcher it budgets
+    at O(sum n_b^2)."""
+    part = load(spark, sf_dir, "part")
+    blocks = part.groupBy(
+        F.split(F.col("p_name"), " ").getItem(1).alias("name_token"),
+        F.col("p_type").alias("type_key"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    return blocks.select(
+        "name_token",
+        "type_key",
+        "n_records",
+        F.expr("(n_records * (n_records - 1)) div 2")
+        .cast("long")
+        .alias("n_pairs"),
+        (F.col("n_records") > ER_BLOCK_CAP).alias("oversized"),
+    )

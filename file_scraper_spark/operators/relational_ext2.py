@@ -724,3 +724,88 @@ def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         (F.sum(bq).cast("double") / QUANT).alias("totacctbal"),
     )
+
+
+#: zone-map report knobs: virtual shard width (orderkeys per shard,
+#: mimicking write-order file boundaries) and the probe predicate
+#: (a shipdate range + a quantity floor, conjunctive).
+ZM_SHARD = 4096
+ZM_DATE_LO = "1995-01-01"
+ZM_DATE_HI = "1995-12-31"
+ZM_QTY_MIN = 45.0
+
+
+@query(
+    "zonemap_prune_report",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_orderkey // {ZM_SHARD} AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(l_shipdate) AS ship_min, MAX(l_shipdate) AS ship_max,
+             MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max
+      FROM lineitem
+      GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_rows,
+           ship_min, ship_max, qty_min, qty_max,
+           (ship_max < TIMESTAMP '{ZM_DATE_LO} 00:00:00'
+             OR ship_min > TIMESTAMP '{ZM_DATE_HI} 00:00:00')
+             AS prune_date,
+           (qty_max < {ZM_QTY_MIN}) AS prune_qty,
+           NOT (ship_max < TIMESTAMP '{ZM_DATE_LO} 00:00:00'
+                OR ship_min > TIMESTAMP '{ZM_DATE_HI} 00:00:00'
+                OR qty_max < {ZM_QTY_MIN}) AS must_scan
+    FROM z
+    """,
+    tags=("layout",),
+)
+def zonemap_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning report — the data-
+    skipping math every lakehouse scan planner runs, materialized as
+    a query: partition the fact table into virtual write-order shards
+    (l_orderkey div 4096 — the row-group/file boundary a sequential
+    writer produces), compute each shard's min/max zone for the two
+    predicate columns, and evaluate which shards a conjunctive
+    predicate (shipdate IN 1995 AND quantity >= 45) can skip WITHOUT
+    READING THEM. ``prune_date`` / ``prune_qty`` show per-conjunct
+    skippability, ``must_scan`` is the scheduler's verdict — and
+    because write order correlates with shipdate but not quantity,
+    the report exhibits the real-world asymmetry (date zones prune
+    well on time-ordered data; quantity zones are useless without
+    Z-ORDER — zorder_layout is the fix, and the two operators
+    together tell the whole layout story).
+
+    Scale shape: one groupBy over the scan with map-side combine;
+    output is shard-count-sized (rows / 4096-ish), predicate
+    evaluation is per-shard scalar algebra. This is exactly the
+    stats-collection pass a table-format writer (Delta/Iceberg
+    add-file stats, parquet row-group footers) amortizes into the
+    write; the min/max comparison against the predicate is what
+    their scan planners replay per query. Timestamp min/max compare
+    bit-exactly between engines (both UTC microseconds; no doubles
+    anywhere near the zone bounds)."""
+    li = load(spark, sf_dir, "lineitem")
+    z = li.groupBy(
+        F.expr(f"l_orderkey div {ZM_SHARD}").cast("long").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_shipdate").alias("ship_min"),
+        F.max("l_shipdate").alias("ship_max"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+    )
+    lo = F.to_timestamp(F.lit(f"{ZM_DATE_LO} 00:00:00"))
+    hi = F.to_timestamp(F.lit(f"{ZM_DATE_HI} 00:00:00"))
+    prune_date = (F.col("ship_max") < lo) | (F.col("ship_min") > hi)
+    prune_qty = F.col("qty_max") < F.lit(ZM_QTY_MIN)
+    return z.select(
+        "shard",
+        "n_rows",
+        "ship_min",
+        "ship_max",
+        "qty_min",
+        "qty_max",
+        prune_date.alias("prune_date"),
+        prune_qty.alias("prune_qty"),
+        (~(prune_date | prune_qty)).alias("must_scan"),
+    )

@@ -1400,3 +1400,48 @@ def stream_bloom_index_upsert(
     return spark.createDataFrame(
         sink.word_rows(), "word long, bits long"
     )
+
+
+HH_TOPK = 20
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, n_events
+    FROM (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    ORDER BY n_events DESC, user_id
+    LIMIT {HH_TOPK}
+    """,
+    tags=("streaming",),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-20 heavy hitters by event count, complete mode —
+    the live "who is hammering the pipeline" leaderboard (hot crawl
+    hosts, abusive clients, runaway producers). Complete mode is the
+    only output mode that can re-rank across batches (a key can enter
+    or leave the top-k as counts grow), and it is exactly right at
+    this output size: the SINK receives 20 rows per trigger no matter
+    the corpus.
+
+    Deterministic and oracle-exact because the replay drains in one
+    pass and the final ranking (count desc, user_id asc — a total
+    order) equals the batch top-k. State-scale note: complete-mode
+    aggregation state is O(distinct keys); on an unbounded key domain
+    the production variant bounds state with approx_top_k partials
+    per batch (text_heavy_hitters' sketch, foreachBatch-merged) —
+    same trade documented on stream_minhash_dedup's band index. The
+    streaming sort is permitted only after aggregation in complete
+    mode, and Spark plans it as a TakeOrderedAndProject over the
+    state store snapshot, not a global sort."""
+    ev = events_stream(spark, sf_dir)
+    ranked = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(HH_TOPK)
+    )
+    return run_to_memory(ranked, mode="complete")

@@ -481,6 +481,9 @@ TPCH_QUERIES = (
     "window_rank",
     "privacy_kanonymity",
     "graph_triangle_count",
+    "graph_hits",
+    "zonemap_prune_report",
+    "er_blocking_plan",
 ) + tuple(f"tpch_q{i}_shape" for i in range(2, 23))
 
 _TPCH_TS_BASE = 789_000_000_000_000  # 1995-01-02T06:40Z in micros

@@ -1245,3 +1245,35 @@ def test_cdc_chunks_window_is_per_doc(spark, sf_dir):
     assert wins, "expected a Window node"
     for w in wins:
         assert "doc_id" in w
+
+
+def test_zonemap_report_single_aggregation(spark, sf_dir):
+    """zonemap_prune_report: one groupBy over the scan, per-shard
+    scalar predicate algebra — no joins, no windows; the scan must
+    read only the three referenced columns."""
+    plan = plan_of("zonemap_prune_report", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "l_orderkey", "l_quantity", "l_shipdate"
+    }
+
+
+def test_er_blocking_single_aggregation(spark, sf_dir):
+    """er_blocking_plan: the pair budget is O(N) to compute — one
+    groupBy, no joins, no pair materialization of any kind."""
+    plan = plan_of("er_blocking_plan", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_hits_no_cartesian_no_global_sort(spark, sf_dir):
+    """graph_hits: every half-step is an equi-join + map-side-combined
+    groupBy; the only nested-loop joins are the single-row L1-total
+    broadcasts (2 per round + none after); top-k cuts are
+    TakeOrderedAndProject."""
+    plan = plan_of("graph_hits", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
