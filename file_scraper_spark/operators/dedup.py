@@ -4001,12 +4001,11 @@ CDC_DIV = 8
 CDC_REM = 0
 CDC_TOPK = 50
 
-_CDC_TOK_HASH_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    " list_transform(string_split(w, ''),"
-    " c -> CAST(ascii(c) AS BIGINT))),"
-    f" (acc, c) -> (acc * 31 + c) % {10**15})"
-)
+#: md5-nibble boundary hash: C-speed in both engines (the r13 probe
+#: showed a per-token char-level HOF hash costing ~4x the rest of the
+#: pipeline at 100x; md5 of the token is one native call and remains
+#: bit-identical cross-engine).
+_CDC_TOK_HASH_SQL = "CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)"
 
 
 @query(
@@ -4064,9 +4063,11 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_paragraph needs exact paragraph structure; CDC finds
     repeated spans wherever they sit).
 
-    Plan: posexplode to (doc, pos, token), per-token polynomial hash
-    (JVM-side HOF aggregate over chars — same kernel as
-    doc_fingerprint, per token), boundary flag, then ONE window
+    Plan: posexplode to (doc, pos, token), per-token md5-prefix
+    boundary hash (one native call per token; the first-cut
+    char-level HOF hash cost ~4x the whole rest of the pipeline at
+    the 100x probe and was replaced — probe pair in NOTES), then ONE
+    window
     partitioned by doc_id (never global — per-document state only)
     turns the flags into chunk numbers via a shifted running sum.
     Chunk assembly is a groupBy(doc, chunk_no) with sort_array over
@@ -4087,11 +4088,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
     )
-    tok_hash = F.aggregate(
-        F.transform(F.split(F.col("w"), ""), lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + c) % F.lit(10**15),
-    )
+    tok_hash = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
     flagged = toks.withColumn(
         "boundary",
         F.when(tok_hash % CDC_DIV == CDC_REM, F.lit(1)).otherwise(F.lit(0)),

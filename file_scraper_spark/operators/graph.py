@@ -458,3 +458,117 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hubs.unionAll(auths)
+
+
+#: k-core peeling: drop nodes with degree < KCORE_K, repeat
+#: KCORE_ROUNDS times (fixed, definitional — convergence detection
+#: would make the oracle data-dependent).
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled DuckDB twin of the peeling loop below."""
+    steps = []
+    rows = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        steps.append(
+            f"""d{r} AS (
+      SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src
+    ), s{r} AS (
+      SELECT src FROM d{r} WHERE deg >= {KCORE_K}
+    ), e{r} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN s{r} a ON a.src = e.src
+      JOIN s{r} b ON b.src = e.dst
+    )"""
+        )
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS n_nodes,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) // 2 AS n_edges"
+        )
+        prev = f"e{r}"
+    joined = ",\n    ".join(steps)
+    unioned = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+      FROM lineitem
+    ), e0 AS (
+      SELECT p AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, p AS dst FROM pairs
+    ),
+    {joined}
+    {unioned}
+    """
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle(), tags=("graph",))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling profile (k=3, 3 fixed rounds) over the
+    undirected part<->supplier graph: each round removes every node
+    of degree < k and the edges touching it, and the operator reports
+    the surviving node/edge counts per round — the density
+    monitoring a spam/community analysis runs (link farms and
+    low-quality hosts fall out of low cores; the dense core that
+    SURVIVES peeling is where coordinated structures live, which is
+    why k-core is the standard pre-filter before expensive community
+    detection). The fixed round count is definitional, like
+    PR_ROUNDS: both engines peel exactly R times, so the unrolled
+    oracle replays bit-exactly; a production decomposition loops to
+    fixpoint with the same per-round plan (the profile converging —
+    n_nodes flat between rounds — IS the stopping signal this report
+    surfaces).
+
+    Scale shape: per round, one groupBy(src) degree count with
+    map-side combine (shuffle O(nodes)) and two semi-shaped
+    equi-joins filtering the edge list against the survivor set —
+    edges stay partitioned by src across rounds, survivors are
+    node-sized. Per-round stats are single-row aggregates unioned
+    in-plan (no driver collects). localCheckpoint truncates the
+    R-deep lineage like the other iterative operators; the peeled
+    edge list SHRINKS monotonically, so later rounds cost less, not
+    more."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = (
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        surv = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        edges = (
+            edges.join(surv.withColumnRenamed("src", "a"),
+                       F.col("src") == F.col("a"))
+            .drop("a")
+            .join(surv.withColumnRenamed("src", "b"),
+                  F.col("dst") == F.col("b"))
+            .drop("b")
+            .localCheckpoint(eager=False)
+        )
+        n_nodes = surv.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        n_edges = edges.agg(
+            F.expr("CAST(count(1) AS BIGINT) div 2").alias("n_edges")
+        )
+        stats.append(
+            n_nodes.crossJoin(F.broadcast(n_edges)).select(
+                F.lit(r).cast("long").alias("round"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

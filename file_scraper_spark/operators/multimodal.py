@@ -729,3 +729,140 @@ def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def build_png(width: int, height: int, payload: bytes) -> bytes:
+    """Minimal deterministic PNG-structured container: signature +
+    IHDR (13-byte data) + one IDAT carrying ``payload`` verbatim +
+    IEND, each chunk framed length(4,BE) | type(4) | data | CRC32
+    (over type+data, zlib.crc32 — the real PNG CRC). Pixels are NOT
+    encoded (no zlib stream): the INDEXER under test walks chunk
+    structure, it never inflates image data — exactly what a shard
+    indexer does to a real PNG."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", payload)
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> dict:
+    """REAL chunk walk: verify the 8-byte signature, then per chunk
+    parse the big-endian length, VERIFY the CRC32 over type+data,
+    and stop at IEND. Raises ValueError on malformed input — the
+    fail-loud contract decode_media's formats share."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, n, data_bytes = 8, 0, 0
+    width = height = None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (stored,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if stored != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"png chunk crc mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+        n += 1
+        data_bytes += length
+        pos += 12 + length
+        if ctype == b"IEND":
+            return {
+                "n_chunks": n,
+                "data_bytes": data_bytes,
+                "png_bytes": pos,
+                "width": width,
+                "height": height,
+            }
+    raise ValueError("png truncated before IEND")
+
+
+@query(
+    "multimodal_png_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_chunks,
+           CAST(13 + octet_length(encode(text)) AS BIGINT) AS data_bytes,
+           CAST(8 + 25 + 12 + octet_length(encode(text)) + 12 AS BIGINT)
+             AS png_bytes,
+           CAST(64 AS BIGINT) AS width,
+           CAST(1 + n_chars // 64 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_png_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG-container indexing — the OTHER shard-framing family next
+    to multimodal_tar_index's fixed 512-byte blocks: length-prefixed
+    big-endian chunks with per-chunk CRC32 (PNG/MNG/ICC all frame
+    this way; so do many custom training-shard formats). Each doc's
+    payload is wrapped as signature + IHDR + one IDAT + IEND by a
+    deterministic writer, then indexed by the genuine ``parse_png``
+    walk — length parse, CRC32 VERIFICATION over type+data (the real
+    polynomial via zlib.crc32), IHDR dimension extraction, IEND
+    termination — in one Arrow-batched mapInPandas.
+
+    The oracle recomputes every field analytically from the framing
+    formulas (8 sig + 25 IHDR chunk + 12-byte IDAT overhead +
+    payload + 12 IEND; dims 64 x ceil-ish rows), so a parser
+    regression — CRC skip, off-by-one in the length math, missed
+    IEND — hash-mismatches; a CRC failure raises rather than
+    mis-indexing (fail-loud, pinned by the ValueError contract).
+    Same scale plumbing as the tar/WAV/BMP twins: binary in, typed
+    index out, one Python batch hop, linear partitioning, no
+    shuffle."""
+    media = media_table(spark, sf_dir)
+    docs = media.select(
+        "doc_id", "payload", F.col("media_meta.declared_size").alias("nch")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, nch in zip(
+                pdf["doc_id"], pdf["payload"], pdf["nch"]
+            ):
+                png = build_png(64, 1 + int(nch) // 64, bytes(payload))
+                idx = parse_png(png)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_chunks": idx["n_chunks"],
+                        "data_bytes": idx["data_bytes"],
+                        "png_bytes": idx["png_bytes"],
+                        "width": idx["width"],
+                        "height": idx["height"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_chunks", T.LongType()),
+                T.StructField("data_bytes", T.LongType()),
+                T.StructField("png_bytes", T.LongType()),
+                T.StructField("width", T.LongType()),
+                T.StructField("height", T.LongType()),
+            ]
+        ),
+    )

@@ -19,7 +19,7 @@ bucketed table instead of a per-query derivation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_scraper_spark.functions.exact import QUANT, dsum, oracle_dsum
@@ -749,4 +749,71 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+#: fixed event-sequence pattern (adjacent in each user's timeline)
+PATTERN = ("view", "click", "purchase")
+
+
+@query(
+    "event_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type, 2) OVER w AS e2,
+             lag(event_type, 1) OVER w AS e1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), hits AS (
+      SELECT user_id, ts
+      FROM seq
+      WHERE e2 = '{PATTERN[0]}' AND e1 = '{PATTERN[1]}'
+        AND event_type = '{PATTERN[2]}'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(ts) AS first_match_ts
+    FROM hits
+    GROUP BY user_id
+    """,
+    tags=("events",),
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection — MATCH_RECOGNIZE's core for
+    a fixed pattern: find every user whose timeline contains
+    view -> click -> purchase as ADJACENT events (the strict-
+    contiguity conversion funnel; funnel_analysis answers the
+    eventually-ordered version, this answers the consecutive one —
+    both are standard product questions with different answers).
+    Emits per-user match count and first completion time.
+
+    Plan: the pattern window is two lag() columns over (PARTITION BY
+    user_id ORDER BY ts, event_id) — per-user state only, the
+    partition key is the natural shard, no global window anywhere;
+    then a filter and one groupBy(user_id) with map-side combine.
+    This lag-k formulation covers any fixed-length strict pattern at
+    the cost of k-1 lag columns and ZERO joins/explodes — the same
+    evaluation strategy Flink CEP compiles simple patterns to
+    (NFA state collapses to a lookbehind when the pattern has no
+    quantifiers). Kleene-star patterns need stateful iteration
+    (applyInPandasWithState — see streaming/queries.py); strict
+    fixed patterns should never pay that price."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("e2"),
+        F.lag("event_type", 1).over(w).alias("e1"),
+    )
+    hits = seq.filter(
+        (F.col("e2") == PATTERN[0])
+        & (F.col("e1") == PATTERN[1])
+        & (F.col("event_type") == PATTERN[2])
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
     )

@@ -321,6 +321,7 @@ EV_QUERIES = (
     "conditional_agg",
     "date_arith",
     "funnel_analysis",
+    "event_pattern_match",
     "map_funcs",
     "map_transform_funcs",
     "merge_upsert",
@@ -482,6 +483,7 @@ TPCH_QUERIES = (
     "privacy_kanonymity",
     "graph_triangle_count",
     "graph_hits",
+    "graph_kcore_peel",
     "zonemap_prune_report",
     "er_blocking_plan",
 ) + tuple(f"tpch_q{i}_shape" for i in range(2, 23))

@@ -1277,3 +1277,26 @@ def test_hits_no_cartesian_no_global_sort(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pattern_match_window_is_per_user(spark, sf_dir):
+    """event_pattern_match: the lag lookbehind must be a window
+    PARTITIONED BY user_id (per-user state, natural sharding) — never
+    an unpartitioned global window; no joins, no explode."""
+    plan = plan_of("event_pattern_match", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    wins = re.findall(r"Window .*", plan)
+    assert wins, "expected a Window node"
+    for w in wins:
+        assert "user_id" in w
+
+
+def test_kcore_no_cartesian(spark, sf_dir):
+    """graph_kcore_peel: every round is a degree groupBy plus
+    survivor equi-joins; the only nested-loop joins are the
+    single-row per-round stat broadcasts (one per round)."""
+    plan = plan_of("graph_kcore_peel", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    from file_scraper_spark.operators.graph import KCORE_ROUNDS
+    assert plan.count("BroadcastNestedLoopJoin") <= KCORE_ROUNDS
