@@ -103,6 +103,7 @@ QUERIES = (
     "text_bm25_topk",
     "text_collocations_pmi",
     "text_phrase_search",
+    "text_phrase_search_indexed",
     "text_search_boolean",
     "text_diversity",
     "text_heavy_hitters",

@@ -1300,3 +1300,15 @@ def test_kcore_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     from file_scraper_spark.operators.graph import KCORE_ROUNDS
     assert plan.count("BroadcastNestedLoopJoin") <= KCORE_ROUNDS
+
+
+def test_phrase_index_serving_is_partition_pruned(spark, sf_dir):
+    """text_phrase_search_indexed: the serving plan must read the
+    maintained posting table with PartitionFilters on the term
+    bucket (kb) — and never re-scan or re-tokenize the corpus
+    (no documents scan, no Generate/posexplode)."""
+    plan = plan_of("text_phrase_search_indexed", spark, sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "kb" in m.group(1), plan[:1500]
+    assert "documents.parquet" not in plan
+    assert "Generate" not in plan

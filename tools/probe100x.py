@@ -55,6 +55,8 @@ SUBSET = [
     "dedup_incremental_indexed",
     "bloom_index_build",
     "dedup_bloom_gate_indexed",
+    "phrase_index_build",
+    "text_phrase_search_indexed",
     "dedup_jaccard_sampled",
     "dedup_jaccard_sampled_fast",
     "contamination_check",
@@ -176,8 +178,22 @@ def _dedup_jaccard_sampled_fast(spark, sf_dir):
     )
 
 
+def _phrase_index_build(spark, sf_dir):
+    """Maintenance-time build of the partitioned positional posting
+    index (round 13) — own row like corpus_index_build, so
+    text_phrase_search_indexed's cold row shows what a SERVED query
+    costs once the index is maintained. Drops the memo so every cold
+    rep is a genuine rebuild."""
+    from file_scraper_spark.operators import text
+
+    text._PIDX_MEMO.clear()
+    name = text._phrase_index(spark, sf_dir)
+    return spark.table(name).limit(1)
+
+
 EXTRA = {
     "jaccard_edges_build": _jaccard_edges_build,
+    "phrase_index_build": _phrase_index_build,
     "corpus_index_build": _corpus_index_build,
     "bloom_index_build": _bloom_index_build,
     "dedup_minhash_fast": _dedup_minhash_fast,
