@@ -485,6 +485,7 @@ TPCH_QUERIES = (
     "graph_triangle_count",
     "graph_hits",
     "graph_kcore_peel",
+    "graph_link_predict",
     "zonemap_prune_report",
     "er_blocking_plan",
 ) + tuple(f"tpch_q{i}_shape" for i in range(2, 23))

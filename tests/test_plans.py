@@ -1312,3 +1312,14 @@ def test_phrase_index_serving_is_partition_pruned(spark, sf_dir):
     assert m and "kb" in m.group(1), plan[:1500]
     assert "documents.parquet" not in plan
     assert "Generate" not in plan
+
+
+def test_link_predict_zero_joins(spark, sf_dir):
+    """graph_link_predict: the shipped form folds each order to one
+    part-set row and expands pairs IN-ROW — the plan must carry NO
+    join of any kind (the 109s four-shuffle join form is the pinned
+    regression), exactly two aggregates' exchanges, and a
+    TakeOrderedAndProject top-30."""
+    plan = plan_of("graph_link_predict", spark, sf_dir)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
