@@ -259,6 +259,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject; the global total rides in as a single-row
     broadcast crossJoin."""
     li = load(spark, sf_dir, "lineitem")
+    # Edge construction stays the postings SELF-JOIN on the order key:
+    # the link_predict-style collect_set fold + in-row pair expansion
+    # was A/B-measured interleaved same-JVM at 100x and LOST here
+    # (min-of-2: 12.0s join form vs 26.1s set form) — with no weights
+    # to carry and a distinct right after, the ObjectHashAggregate set
+    # build costs more than the AQE-planned self-join it replaces.
+    # (graph_link_predict keeps the set form because there it removes
+    # TWO extra data-sized shuffles: 109.4s -> 53.8s. Same primitive,
+    # opposite verdicts — measured, not assumed.)
     pr = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
