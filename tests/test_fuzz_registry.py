@@ -66,6 +66,7 @@ QUERIES = (
     "unigram_train_steps",
     "context_windows",
     "corpus_mixture",
+    "corpus_overlap_matrix",
     "corpus_shuffle",
     "corpus_token_budget",
     "dedup_cluster_cap",
