@@ -1490,3 +1490,216 @@ def embedding_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         encode, "vec_id long, cell int, code_sum long, recon_err_q long"
     )
+
+
+_IVFPQ_IDX_MEMO: dict = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str | None:
+    """Build (or reuse) the PARKED IVFPQ index: managed table
+    ``fss_ivfpq_<slug>`` of (vec_id, codes array<int>) PARTITIONED BY
+    the coarse cell — the billion-vector layout where the floats
+    never leave cold storage and the served index is cells + 4-byte
+    code words. Returns None on an empty corpus. Bounded retention:
+    rebuilding drops other ivfpq generations and sweeps orphaned
+    warehouse dirs (same contract as the shingle/posting indexes)."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        QUANT,
+        embedding_centroids,
+    )
+    from file_scraper_spark.tables import data_key  # noqa: PLC0415
+
+    key = data_key(sf_dir, "embeddings")
+    hit = _IVFPQ_IDX_MEMO.get(key)
+    if hit is not None and spark.catalog.tableExists(hit):
+        return hit
+    emb = load(spark, sf_dir, "embeddings")
+    dim_row = emb.select("embedding").head()
+    if dim_row is None:
+        return None
+    dim = len(dim_row[0])
+    cents = embedding_centroids(spark, sf_dir).collect()
+    by_label: dict[int, list[float]] = {}
+    for r in cents:
+        by_label.setdefault(r["label"], [0.0] * dim)[r["pos"]] = r["centroid"]
+    labels = sorted(by_label)
+    seed = sorted(
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cb_list = [
+        [int(x) for x in row]
+        for row in _quantize_np([r["embedding"] for r in seed])
+    ]
+
+    slug = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    name = f"fss_ivfpq_{slug}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith("fss_ivfpq_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    try:
+        for d in os.scandir(wh):
+            if d.name.startswith("fss_ivfpq_"):
+                shutil.rmtree(d.path, ignore_errors=True)
+    except OSError:
+        pass
+
+    cent_rows = [by_label[lab] for lab in labels]
+    labels_arr = list(labels)
+
+    def assign_and_encode(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cent_rows, dtype=np.float64)
+        CB = np.array(cb_list, dtype=np.int64).reshape(-1, PQ_M, PQ_SUBD)
+        lab_np = np.array(labels_arr, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            for s in range(0, len(V), 2048):
+                chunk = V[s : s + 2048]
+                prod = chunk[:, None, :] * C[None, :, :]
+                dots = np.floor(prod * float(QUANT)).sum(axis=2)
+                cell = lab_np[np.argmax(dots, axis=1)]
+                Q = np.floor(chunk * float(KM_Q)).astype(np.int64).reshape(
+                    -1, PQ_M, PQ_SUBD
+                )
+                codes = np.empty((Q.shape[0], PQ_M), dtype=np.int32)
+                for m in range(PQ_M):
+                    diff = Q[:, None, m, :] - CB[None, :, m, :]
+                    codes[:, m] = (diff * diff).sum(axis=2).argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[s : s + 2048],
+                        "cell": cell,
+                        "codes": list(codes),
+                    }
+                )
+
+    (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            assign_and_encode, "vec_id long, cell long, codes array<int>"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(name)
+    )
+    _IVFPQ_IDX_MEMO[key] = name
+    return name
+
+
+@query(
+    "similarity_ann_ivfpq_indexed",
+    oracle=_ivfpq_oracle(),
+    tags=("ann", "pq", "indexed"),
+)
+def similarity_ann_ivfpq_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """similarity_ann_ivfpq's DEPLOYMENT shape — the serving story
+    FAISS-on-a-lakehouse actually runs: cells + 4-bit codes PARK in a
+    warehouse table partitioned by coarse cell (built once per corpus
+    change by `_ivfpq_index`, floats touched only at build time); a
+    query then (a) picks its 3 probe cells driver-side from the tiny
+    centroid codebook, (b) reads ONLY those cells via partition
+    pruning (plan-pinned: PartitionFilters on ``cell``, no embeddings
+    scan, no Python at serve time), and (c) ranks by asymmetric
+    distance ENTIRELY JVM-SIDE — the 8x16 integer LUT ships as a
+    nested array literal and the ADC sum is one array HOF over the
+    stored codes, closed by a TakeOrderedAndProject top-10. Same
+    oracle as the one-pass variant: one spec, two physical
+    strategies, byte-identical results.
+
+    Cost split at 10^9 vectors: build = one kernel pass + partitioned
+    write (amortized over every query); serve = read nprobe/ncells of
+    a 4-bytes-per-vector index, 128-entry LUT lookup per row, zero
+    shuffles before the bounded top-k merge. This is the end state
+    the similarity family's docstrings promise; the gate proves the
+    parked path returns exactly the one-pass ranking."""
+    import math  # noqa: PLC0415
+
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        QUANT,
+        QUERY_VEC_ID,
+        embedding_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    name = _ivfpq_index(spark, sf_dir)
+    if name is None:
+        return spark.createDataFrame([], schema="vec_id long, adc_q long")
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    )
+    if qrow is None:
+        return spark.createDataFrame([], schema="vec_id long, adc_q long")
+    qv = [float(x) for x in qrow[0]]
+    dim = len(qv)
+    cents = embedding_centroids(spark, sf_dir).collect()
+    by_label: dict[int, list[float]] = {}
+    for r in cents:
+        by_label.setdefault(r["label"], [0.0] * dim)[r["pos"]] = r["centroid"]
+    labels = sorted(by_label)
+
+    def pydot(a, b):
+        return sum(int(math.floor(x * y * QUANT)) for x, y in zip(a, b))
+
+    probe = sorted(
+        sorted(labels, key=lambda lab: -pydot(qv, by_label[lab]))[:3]
+    )
+
+    import numpy as np  # noqa: PLC0415
+
+    seed = sorted(
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    CB = np.array(
+        [[int(x) for x in row] for row in _quantize_np([r["embedding"] for r in seed])],
+        dtype=np.int64,
+    ).reshape(-1, PQ_M, PQ_SUBD)
+    QQ = (
+        np.array([int(x) for x in _quantize_np([qv])[0]], dtype=np.int64)
+        .reshape(PQ_M, PQ_SUBD)
+    )
+    ldiff = QQ[None, :, :] - CB  # (K, M, SUBD)
+    LUT = (ldiff * ldiff).sum(axis=2).T  # (M, K)
+
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(int(LUT[m][k])) for k in range(LUT.shape[1])])
+            for m in range(PQ_M)
+        ]
+    )
+    t = spark.table(name).filter(F.col("cell").isin([int(p) for p in probe]))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda c, m: F.element_at(
+                F.element_at(F.col("lut"), m + 1), c.cast("int") + 1
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        t.withColumn("lut", lut_lit)
+        .select("vec_id", adc.alias("adc_q"))
+        .orderBy(F.asc("adc_q"), F.asc("vec_id"))
+        .limit(10)
+    )

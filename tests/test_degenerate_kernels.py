@@ -115,6 +115,7 @@ def test_pq_family_matches_oracle_on_subseed_corpora(spark, tmp_path):
         "embedding_pq_adc_recall",
         "embedding_pq_residual",
         "similarity_ann_ivfpq",
+        "similarity_ann_ivfpq_indexed",
         "kmeans_lloyd",
         "similarity_ann_ivf_trained",
     )

@@ -1323,3 +1323,19 @@ def test_link_predict_zero_joins(spark, sf_dir):
     plan = plan_of("graph_link_predict", spark, sf_dir)
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_index_serving_partition_pruned_jvm_only(spark, sf_dir):
+    """similarity_ann_ivfpq_indexed: serving must read the parked
+    code table with PartitionFilters on the coarse cell, never
+    re-scan embeddings, and rank entirely JVM-side (no Python batch
+    hop at serve time — the ADC sum is an array HOF over stored
+    codes); top-10 via TakeOrderedAndProject."""
+    plan = plan_of("similarity_ann_ivfpq_indexed", spark, sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:1500]
+    assert "embeddings.parquet" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -57,6 +57,8 @@ SUBSET = [
     "dedup_bloom_gate_indexed",
     "phrase_index_build",
     "text_phrase_search_indexed",
+    "ivfpq_index_build",
+    "similarity_ann_ivfpq_indexed",
     "dedup_jaccard_sampled",
     "dedup_jaccard_sampled_fast",
     "contamination_check",
@@ -191,9 +193,21 @@ def _phrase_index_build(spark, sf_dir):
     return spark.table(name).limit(1)
 
 
+def _ivfpq_index_build(spark, sf_dir):
+    """Maintenance-time build of the parked IVFPQ code table (round
+    13) — own row, so similarity_ann_ivfpq_indexed's cold row shows
+    pure serving cost. Drops the memo so every cold rep rebuilds."""
+    from file_scraper_spark.operators import clustering
+
+    clustering._IVFPQ_IDX_MEMO.clear()
+    name = clustering._ivfpq_index(spark, sf_dir)
+    return spark.table(name).limit(1)
+
+
 EXTRA = {
     "jaccard_edges_build": _jaccard_edges_build,
     "phrase_index_build": _phrase_index_build,
+    "ivfpq_index_build": _ivfpq_index_build,
     "corpus_index_build": _corpus_index_build,
     "bloom_index_build": _bloom_index_build,
     "dedup_minhash_fast": _dedup_minhash_fast,
