@@ -118,3 +118,43 @@ def _old_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_BASELINES = {
     "dedup_winnowing": _old_dedup_winnowing,
 }
+
+
+def _old_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 continuation superseded form (cut 2 of 3): order-
+    bucket postings SELF-JOIN + degree join — four data-sized
+    shuffles, 109.4s cold at 100x vs the shipped in-row set-expansion
+    form's 53.8s. Kept one round per the contract."""
+    from file_scraper_spark.operators.graph import RA_SCALE, RA_TOPK
+    from file_scraper_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("o").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.o") == F.col("a.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.o").alias("o"), F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .join(deg, "o")
+        .select("u", "v", F.expr(f"{RA_SCALE} div d").alias("c"))
+    )
+    return (
+        pairs.groupBy("u", "v")
+        .agg(
+            F.sum("c").cast("long").alias("ra_q"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+        .orderBy(F.desc("ra_q"), F.asc("u"), F.asc("v"))
+        .limit(RA_TOPK)
+    )
+
+
+AB_BASELINES["graph_link_predict"] = _old_graph_link_predict
+# (dedup_cdc_chunks's superseded char-HOF boundary hash is NOT an arm
+# here: a different hash chunks differently, so it fails this module's
+# same-result-set contract — its measured pair lives in
+# PROBE_r13.json["anomalies"]["dedup_cdc_chunks"] instead.)

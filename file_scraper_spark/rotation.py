@@ -226,6 +226,26 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "quality_ensemble",
     "corpus_curriculum",
     "embedding_pq_adc_recall",
+    # added round-13 second continuation (search/graph/governance/
+    # dedup/events/multimodal families + the two indexed serving
+    # shapes — unverified, so reorder() fronts them in the r14 window)
+    "text_collocations_pmi",
+    "text_phrase_search",
+    "text_phrase_search_indexed",
+    "text_search_boolean",
+    "dedup_cdc_chunks",
+    "privacy_kanonymity",
+    "er_blocking_plan",
+    "zonemap_prune_report",
+    "graph_triangle_count",
+    "graph_hits",
+    "graph_kcore_peel",
+    "graph_link_predict",
+    "event_pattern_match",
+    "stream_heavy_hitters",
+    "multimodal_png_index",
+    "corpus_overlap_matrix",
+    "similarity_ann_ivfpq_indexed",
 )
 
 
