@@ -1695,8 +1695,13 @@ def er_blocking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization: the report costs O(N) for a matcher it budgets
     at O(sum n_b^2)."""
     part = load(spark, sf_dir, "part")
+    # F.get, not getItem: a single-token name has no element 1, and
+    # under ANSI mode getItem THROWS where DuckDB's list[2] returns
+    # NULL — the deep-fuzz divergence this line originally shipped
+    # with (the NULL block key is the defined semantics: un-keyable
+    # records pool in one block the report then flags).
     blocks = part.groupBy(
-        F.split(F.col("p_name"), " ").getItem(1).alias("name_token"),
+        F.get(F.split(F.col("p_name"), " "), 1).alias("name_token"),
         F.col("p_type").alias("type_key"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_records"))
     return blocks.select(
