@@ -1703,3 +1703,264 @@ def similarity_ann_ivfpq_indexed(
         .orderBy(F.asc("adc_q"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+#: nprobe recall sweep: probe budgets to evaluate, candidates ranked
+#: by exact cosine within the probed cells, judged against the
+#: unfiltered exact top-IVFR_K.
+IVFR_NPROBES = (1, 2, 3)
+IVFR_K = 10
+IVFR_QUERY_MOD = 25
+IVFR_QUERY_CAP = 2000
+
+
+def _ivfr_oracle() -> str:
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        PAIR_QUANT,
+        QUANT,
+    )
+
+    probes = ", ".join(str(p) for p in IVFR_NPROBES)
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             (CAST(SUM(CAST(floor(v * {QUANT}) AS BIGINT)) AS DOUBLE)
+              / {QUANT}) / COUNT(*) AS c
+      FROM flat GROUP BY label, pos
+    ), dots AS (
+      SELECT f.vec_id, c.label,
+             SUM(CAST(floor((f.v * c.c) * {QUANT}) AS BIGINT)) AS dp
+      FROM flat f JOIN cent c ON c.pos = f.pos
+      GROUP BY f.vec_id, c.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dp DESC, label ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ), qset AS (
+      SELECT vec_id AS qid FROM embeddings
+      WHERE vec_id % {IVFR_QUERY_MOD} = 0 AND vec_id < {IVFR_QUERY_CAP}
+    ), cellrank AS (
+      SELECT d.vec_id AS qid, d.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id ORDER BY d.dp DESC, d.label ASC
+             ) AS cr
+      FROM dots d JOIN qset q ON q.qid = d.vec_id
+    ), iv AS (
+      SELECT vec_id, pos,
+             CAST(floor(v * {PAIR_QUANT}) AS BIGINT) AS q
+      FROM flat
+    ), nrm AS (
+      SELECT vec_id, sqrt(CAST(SUM(q * q) AS DOUBLE)) AS n
+      FROM iv GROUP BY vec_id
+    ), pd AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q * b.q) AS dp
+      FROM iv a
+      JOIN qset qs ON qs.qid = a.vec_id
+      JOIN iv b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ), cos AS (
+      SELECT pd.qid, pd.cid,
+             CAST(pd.dp AS DOUBLE) / (nq.n * nc.n) AS cosine
+      FROM pd
+      JOIN nrm nq ON nq.vec_id = pd.qid
+      JOIN nrm nc ON nc.vec_id = pd.cid
+      WHERE nq.n > 0 AND nc.n > 0
+    ), lv AS (
+      SELECT unnest([{probes}]) AS nprobe
+    ), cand AS (
+      SELECT l.nprobe, c.qid, c.cid, c.cosine
+      FROM cos c
+      JOIN assigned a ON a.vec_id = c.cid
+      JOIN cellrank r ON r.qid = c.qid AND r.label = a.cell
+      CROSS JOIN lv l
+      WHERE r.cr <= l.nprobe
+    ), ranked AS (
+      SELECT nprobe, qid, cid FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY nprobe, qid ORDER BY cosine DESC, cid
+      ) <= {IVFR_K}
+    ), truth AS (
+      SELECT qid, cid FROM cos
+      QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, cid
+      ) <= {IVFR_K}
+    )
+    SELECT CAST(r.nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(DISTINCT r.qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(t.cid) AS BIGINT) AS hits,
+           CAST(COUNT(t.cid) * 100
+                // (COUNT(DISTINCT r.qid) * {IVFR_K}) AS BIGINT)
+             AS recall_pct
+    FROM ranked r
+    LEFT JOIN truth t ON t.qid = r.qid AND t.cid = r.cid
+    GROUP BY r.nprobe
+    """
+
+
+@query(
+    "ivf_nprobe_recall",
+    oracle=_ivfr_oracle(),
+    tags=("ann", "eval"),
+)
+def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve — the instrument every IVF deployment
+    reads before fixing its probe budget: for nprobe in (1, 2, 3),
+    rank the corpus against a fixed query set by exact cosine WITHIN
+    the query's top-nprobe coarse cells only, and report recall@10
+    vs the unfiltered exact ranking. Closes the ANN instrument set
+    (embedding_matryoshka_recall sweeps DIMENSION budget,
+    embedding_pq_adc_recall judges CODE fidelity; this sweeps the
+    CELL budget — the three axes a serving config actually tunes).
+
+    Scale shape — the matryoshka kernel with a cell mask: the query
+    set is fixed-size and ships in the closure with its per-query
+    CELL PREFERENCE ORDER (ranked by the exact quantized dot rule the
+    IVF family shares); ONE Arrow pass assigns each corpus vector's
+    cell (argmax, ties to lowest label — identical to the oracle's
+    row_number rule), computes exact int64 pair dots, and emits only
+    per-batch top-K per (query, budget) — plus a budget-0 truth
+    lane. The global merge is a bounded window; recall math is
+    integer floor-division. Determinism: the similarity_pairs
+    argument (exact int dots, IEEE division on identical operands,
+    vec_id tiebreaks)."""
+    import numpy as np  # noqa: PLC0415
+
+    from file_scraper_spark.operators.similarity import (  # noqa: PLC0415
+        PAIR_QUANT,
+        QUANT,
+        embedding_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = "nprobe long, n_queries long, hits long, recall_pct long"
+    dim_row = emb.select("embedding").head()
+    if dim_row is None:
+        return spark.createDataFrame([], out_schema)
+    dim = len(dim_row[0])
+    q_rows = (
+        emb.where(
+            (F.col("vec_id") % IVFR_QUERY_MOD == 0)
+            & (F.col("vec_id") < IVFR_QUERY_CAP)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    q_rows.sort(key=lambda r: r["vec_id"])
+
+    cents = embedding_centroids(spark, sf_dir).collect()
+    by_label: dict[int, list[float]] = {}
+    for r in cents:
+        by_label.setdefault(r["label"], [0.0] * dim)[r["pos"]] = r["centroid"]
+    labels = sorted(by_label)
+
+    import math  # noqa: PLC0415
+
+    def pydot(a, b):
+        return sum(int(math.floor(x * y * QUANT)) for x, y in zip(a, b))
+
+    qids_l, Qf, cell_rank_rows = [], [], []
+    for r in q_rows:
+        qv = [float(x) for x in r["embedding"]]
+        order = sorted(labels, key=lambda lab: (-pydot(qv, by_label[lab]), lab))
+        rank_of = {lab: i + 1 for i, lab in enumerate(order)}
+        qids_l.append(r["vec_id"])
+        Qf.append(qv)
+        cell_rank_rows.append([rank_of[lab] for lab in labels])
+
+    Q = np.floor(np.array(Qf, dtype=np.float64) * PAIR_QUANT).astype(np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    qids = np.array(qids_l, dtype=np.int64)
+    CR = np.array(cell_rank_rows, dtype=np.int64)  # (nq, L)
+    cent_rows = [by_label[lab] for lab in labels]
+    budgets = list(IVFR_NPROBES)
+
+    def topk_kernel(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cent_rows, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Vf = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            prod = Vf[:, None, :] * C[None, :, :]
+            cell_idx = np.argmax(
+                np.floor(prod * float(QUANT)).sum(axis=2), axis=1
+            )  # index into labels, ties -> lowest label
+            V = np.floor(Vf * float(PAIR_QUANT)).astype(np.int64)
+            cn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            D = V @ Q.T  # (n, nq)
+            out_q, out_p, out_v, out_c = [], [], [], []
+            for j in range(len(qids)):
+                if qn[j] == 0.0:
+                    continue
+                r_level = CR[j][cell_idx]  # (n,) rank of each vec's cell
+                base = (cn > 0.0) & (vids != qids[j])
+                cos = np.where(
+                    base, D[:, j] / (cn * qn[j] + (~base)), -np.inf
+                )
+                for p in [0, *budgets]:
+                    keep = base if p == 0 else (base & (r_level <= p))
+                    if not keep.any():
+                        continue
+                    cosk = np.where(keep, cos, -np.inf)
+                    k = min(IVFR_K, int(keep.sum()))
+                    idx = np.argpartition(-cosk, k - 1)[:k]
+                    out_q.extend([qids[j]] * k)
+                    out_p.extend([p] * k)
+                    out_v.extend(vids[idx])
+                    out_c.extend(cosk[idx])
+            yield pd.DataFrame(
+                {
+                    "qid": np.array(out_q, dtype=np.int64),
+                    "nprobe": np.array(out_p, dtype=np.int64),
+                    "cid": np.array(out_v, dtype=np.int64),
+                    "cosine": np.array(out_c, dtype=np.float64),
+                }
+            )
+
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        topk_kernel, "qid long, nprobe long, cid long, cosine double"
+    )
+    w = W.partitionBy("nprobe", "qid").orderBy(
+        F.desc("cosine"), F.asc("cid")
+    )
+    ranked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFR_K)
+        .select("nprobe", "qid", "cid")
+        .localCheckpoint(eager=False)
+    )
+    truth = ranked.filter(F.col("nprobe") == 0).select(
+        F.col("qid").alias("t_qid"), F.col("cid").alias("t_cid")
+    )
+    return (
+        ranked.filter(F.col("nprobe") > 0)
+        .join(
+            truth,
+            (F.col("qid") == F.col("t_qid")) & (F.col("cid") == F.col("t_cid")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count("t_cid").cast("long").alias("hits"),
+            F.expr(
+                f"CAST((count(t_cid) * 100) div "
+                f"(count(distinct qid) * {IVFR_K}) AS BIGINT)"
+            ).alias("recall_pct"),
+        )
+    )

@@ -246,6 +246,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "multimodal_png_index",
     "corpus_overlap_matrix",
     "similarity_ann_ivfpq_indexed",
+    "ivf_nprobe_recall",
 )
 
 

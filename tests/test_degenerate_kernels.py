@@ -116,6 +116,7 @@ def test_pq_family_matches_oracle_on_subseed_corpora(spark, tmp_path):
         "embedding_pq_residual",
         "similarity_ann_ivfpq",
         "similarity_ann_ivfpq_indexed",
+        "ivf_nprobe_recall",
         "kmeans_lloyd",
         "similarity_ann_ivf_trained",
     )

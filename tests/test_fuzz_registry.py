@@ -232,6 +232,7 @@ EMB_QUERIES = (
     "embedding_gram",
     "embedding_centroids",
     "embedding_quantize",
+    "ivf_nprobe_recall",
     "similarity_maxsim",
     "similarity_pairs",
     "similarity_topk",

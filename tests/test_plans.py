@@ -1339,3 +1339,18 @@ def test_ivfpq_index_serving_partition_pruned_jvm_only(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nprobe_recall_bounded_tail(spark, sf_dir):
+    """ivf_nprobe_recall: the ranked frame is localCheckpointed (its
+    kernel+window lineage is upstream of the visible plan — the
+    checkpoint shows as a Scan ExistingRDD), so pin the tail: the
+    truth join must BROADCAST (both sides are <= batches x K rows —
+    a data-sized join here would mean the kernel stopped bounding
+    its emission) and nothing may plan a cartesian. The kernel and
+    per-(nprobe, qid) window themselves are exercised by the oracle
+    gate and the degenerate matrix."""
+    plan = plan_of("ivf_nprobe_recall", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed ranked frame
+    assert "BroadcastHashJoin" in plan
