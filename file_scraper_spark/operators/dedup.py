@@ -4008,35 +4008,84 @@ CDC_TOPK = 50
 _CDC_TOK_HASH_SQL = "CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)"
 
 
-@query(
-    "dedup_cdc_chunks",
-    oracle=f"""
-    WITH toks AS (
+def _cdc_chunks_sql(src_cte: str, prefix: str = "") -> str:
+    """The CDC chunking CTE chain over ``src_cte`` (a CTE/table name
+    with columns (doc_id, text)); yields CTE ``{prefix}chunks`` of
+    (doc_id, chunk_no, chunk_md5, chunk_tokens). Shared by the
+    scan query and the indexed daily query — one spec."""
+    P = prefix
+    return f"""{P}toks AS (
       SELECT doc_id, w, CAST(i - 1 AS BIGINT) AS pos
       FROM (
-        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        SELECT doc_id, string_split(text, ' ') AS ts FROM {src_cte}
       ), LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i),
            LATERAL (SELECT ts[i] AS w)
       WHERE ts[i] <> ''
-    ), flagged AS (
+    ), {P}flagged AS (
       SELECT doc_id, w, pos,
              CASE WHEN {_CDC_TOK_HASH_SQL} % {CDC_DIV} = {CDC_REM}
                   THEN 1 ELSE 0 END AS boundary
-      FROM toks
-    ), chunked AS (
+      FROM {P}toks
+    ), {P}chunked AS (
       SELECT doc_id, w, pos,
              SUM(boundary) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS chunk_no
-      FROM flagged
-    ), chunks AS (
+      FROM {P}flagged
+    ), {P}chunks AS (
       SELECT doc_id, COALESCE(chunk_no, 0) AS chunk_no,
              md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
              CAST(COUNT(*) AS BIGINT) AS chunk_tokens
-      FROM chunked
+      FROM {P}chunked
       GROUP BY doc_id, COALESCE(chunk_no, 0)
+    )"""
+
+
+def _cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Engine twin of _cdc_chunks_sql: (doc_id, chunk_no, chunk_md5,
+    chunk_tokens) for a (doc_id, text) frame."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
     )
+    tok_hash = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    flagged = toks.withColumn(
+        "boundary",
+        F.when(tok_hash % CDC_DIV == CDC_REM, F.lit(1)).otherwise(F.lit(0)),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_no", F.coalesce(F.sum("boundary").over(w), F.lit(0))
+    )
+    return chunked.groupBy("doc_id", "chunk_no").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda st: st["w"],
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+        F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
+    )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH {_cdc_chunks_sql("documents")}
     SELECT chunk_md5,
            CAST(COUNT(*) AS BIGINT) AS n_copies,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -4077,47 +4126,8 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine; top-50 via TakeOrderedAndProject. At
     100 TB each stage is keyed by doc_id or chunk_md5 — both
     uniform, no hot keys (the hash IS the partitioner)."""
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
     docs = load(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "w"),
-        )
-        .filter(F.col("w") != "")
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
-    )
-    tok_hash = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    flagged = toks.withColumn(
-        "boundary",
-        F.when(tok_hash % CDC_DIV == CDC_REM, F.lit(1)).otherwise(F.lit(0)),
-    )
-    w = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    chunked = flagged.withColumn(
-        "chunk_no", F.coalesce(F.sum("boundary").over(w), F.lit(0))
-    )
-    chunks = (
-        chunked.groupBy("doc_id", "chunk_no")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "w"))
-                        ),
-                        lambda s: s["w"],
-                    ),
-                    " ",
-                )
-            ).alias("chunk_md5"),
-            F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
-        )
-    )
+    chunks = _cdc_chunks(docs)
     return (
         chunks.groupBy("chunk_md5")
         .agg(
@@ -4127,4 +4137,133 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_copies"), F.asc("chunk_md5"))
         .limit(CDC_TOPK)
+    )
+
+
+CDCX_BUCKETS = 32
+
+_CDCX_MEMO: dict = {}
+
+
+def corpus_cdc_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the parked CDC chunk store: managed table
+    ``fss_cdcx_<slug>`` of DISTINCT corpus chunk hashes, bucketed by
+    ``chunk_md5`` — the restic/borg repository index reshaped as a
+    warehouse table. Bounded retention like the shingle index."""
+    import hashlib  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from file_scraper_spark.tables import data_key  # noqa: PLC0415
+
+    key = data_key(sf_dir, "documents")
+    hit = _CDCX_MEMO.get(key)
+    if hit is not None and spark.catalog.tableExists(hit):
+        return hit
+    slug = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    name = f"fss_cdcx_{slug}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith("fss_cdcx_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    try:
+        for d in os.scandir(wh):
+            if d.name.startswith("fss_cdcx_"):
+                shutil.rmtree(d.path, ignore_errors=True)
+    except OSError:
+        pass
+    docs = load(spark, sf_dir, "documents")
+    (
+        _cdc_chunks(docs)
+        .select("chunk_md5")
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(CDCX_BUCKETS, "chunk_md5")
+        .sortBy("chunk_md5")
+        .saveAsTable(name)
+    )
+    _CDCX_MEMO[key] = name
+    return name
+
+
+@query(
+    "dedup_cdc_chunks_indexed",
+    oracle=f"""
+    WITH {_cdc_chunks_sql("documents", prefix="c")}, idx AS (
+      SELECT DISTINCT chunk_md5 FROM cchunks
+    ), shard_src AS (
+      SELECT -(doc_id + 1) AS doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1,
+                 CAST(floor(len(string_split(text, ' ')) * 0.8) AS BIGINT)),
+               ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ), {_cdc_chunks_sql("shard_src", prefix="s")}
+    SELECT s.doc_id AS new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(i.chunk_md5) AS BIGINT) AS n_known,
+           CAST(COUNT(i.chunk_md5) * 100 // COUNT(*) AS BIGINT)
+             AS known_pct
+    FROM schunks s
+    LEFT JOIN idx i ON i.chunk_md5 = s.chunk_md5
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup", "indexed"),
+)
+def dedup_cdc_chunks_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cdc_chunks' DEPLOYMENT shape — the daily ingest gate of
+    a chunk-level dedup store (what restic/borg do per backup, here
+    per corpus shard): corpus chunk hashes PARK in a warehouse table
+    bucketed by chunk_md5 (built once per corpus change by
+    `corpus_cdc_index`); an arriving shard (the family's standard
+    derived shard: every fifth doc truncated to 80% of its tokens,
+    negative-mirror ids) is chunked by the SAME shared `_cdc_chunks`
+    kernel and probed against the store — emitting per shard doc its
+    chunk count, how many chunks the store already holds, and the
+    known percentage (the "this document is mostly re-uploaded
+    boilerplate" signal that decides dedup-at-ingest).
+
+    Scale shape: the store side NEVER exchanges — the known-count
+    join streams the bucketed scan against the (tiny) shard chunk
+    frame (broadcast at fixture scale, bucket-aligned sort-merge
+    beyond; either way zero chunk_md5-keyed exchanges — plan-pinned
+    like the shingle index). Totals come from a doc_id-keyed
+    aggregate that never touches the store. Because chunking is
+    content-defined, the truncated shard re-aligns with the corpus
+    after the cut point, so known_pct is HIGH for re-uploads — the
+    property the shift-resistance test pins."""
+    name = corpus_cdc_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shard = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                words, 1, F.floor(F.size(words) * 0.8).cast("int")
+            ),
+            " ",
+        ).alias("text"),
+    )
+    sh_chunks = _cdc_chunks(shard).localCheckpoint(eager=False)
+    totals = sh_chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    idx = spark.table(name)
+    known = (
+        sh_chunks.join(idx, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_known"))
+    )
+    return (
+        totals.join(known, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("new_id"),
+            "n_chunks",
+            F.coalesce(F.col("n_known"), F.lit(0))
+            .cast("long")
+            .alias("n_known"),
+            F.expr(
+                "CAST((coalesce(n_known, 0) * 100) div n_chunks AS BIGINT)"
+            ).alias("known_pct"),
+        )
     )

@@ -247,6 +247,7 @@ ROUND8_REMAINDER: tuple[str, ...] = (
     "corpus_overlap_matrix",
     "similarity_ann_ivfpq_indexed",
     "ivf_nprobe_recall",
+    "dedup_cdc_chunks_indexed",
 )
 
 

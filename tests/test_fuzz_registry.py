@@ -73,6 +73,7 @@ QUERIES = (
     "dedup_clusters",
     "dedup_clusters_sampled",
     "dedup_cdc_chunks",
+    "dedup_cdc_chunks_indexed",
     "dedup_containment",
     "dedup_containment_sampled",
     "dedup_editdistance",

@@ -1354,3 +1354,16 @@ def test_nprobe_recall_bounded_tail(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # the checkpointed ranked frame
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_indexed_store_side_no_shuffle(spark, sf_dir):
+    """dedup_cdc_chunks_indexed: the parked chunk store is bucketed
+    by chunk_md5, so the daily probe NEVER exchanges the store — pin
+    a Bucketed: true scan of the fss_cdcx table and zero
+    chunk_md5-keyed exchanges (fixture scale broadcasts the tiny
+    shard side; beyond, the bucket-aligned sort-merge still leaves
+    the store in place)."""
+    plan = plan_of("dedup_cdc_chunks_indexed", spark, sf_dir)
+    assert "fss_cdcx_" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(chunk_md5" not in plan

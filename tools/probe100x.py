@@ -58,6 +58,8 @@ SUBSET = [
     "phrase_index_build",
     "text_phrase_search_indexed",
     "ivfpq_index_build",
+    "cdc_index_build",
+    "dedup_cdc_chunks_indexed",
     "similarity_ann_ivfpq_indexed",
     "dedup_jaccard_sampled",
     "dedup_jaccard_sampled_fast",
@@ -204,10 +206,23 @@ def _ivfpq_index_build(spark, sf_dir):
     return spark.table(name).limit(1)
 
 
+def _cdc_index_build(spark, sf_dir):
+    """Maintenance-time build of the parked CDC chunk store (round
+    13) — own row, so dedup_cdc_chunks_indexed's cold row shows the
+    daily shard-probe cost alone. Drops the memo so every cold rep
+    rebuilds."""
+    from file_scraper_spark.operators import dedup
+
+    dedup._CDCX_MEMO.clear()
+    name = dedup.corpus_cdc_index(spark, sf_dir)
+    return spark.table(name).limit(1)
+
+
 EXTRA = {
     "jaccard_edges_build": _jaccard_edges_build,
     "phrase_index_build": _phrase_index_build,
     "ivfpq_index_build": _ivfpq_index_build,
+    "cdc_index_build": _cdc_index_build,
     "corpus_index_build": _corpus_index_build,
     "bloom_index_build": _bloom_index_build,
     "dedup_minhash_fast": _dedup_minhash_fast,
