@@ -154,6 +154,155 @@ def _old_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["graph_link_predict"] = _old_graph_link_predict
+
+
+def _old_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: 3 corpus-sized explode passes
+    (db + the two model aggregations each re-expanded the corpus) and
+    2 corpus-side joins (bigram model + prefix marginal separately).
+    The live form derives the marginal FROM the bigram model
+    (vocab-sized sum) and pre-joins the model tables, so occurrences
+    pay one explode feeding one aggregation and one join."""
+    from file_scraper_spark.operators.text import _bigrams, _words
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    db = (
+        docs.filter(F.size(words) >= 2)
+        .select("doc_id", F.explode(_bigrams(words)).alias("bigram"))
+        .select(
+            "doc_id",
+            "bigram",
+            F.substring_index("bigram", " ", 1).alias("w1"),
+        )
+    )
+    bc = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    uc = db.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    p = F.col("bc").cast("double") / F.col("uc").cast("double")
+    return (
+        db.join(bc, "bigram")
+        .join(uc, "w1")
+        .select("doc_id", F.floor(p * F.lit(1000000.0)).alias("p_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("p_q").cast("long").alias("avg_pq"),
+            F.min("p_q").cast("long").alias("min_pq"),
+        )
+    )
+
+
+AB_BASELINES["text_lm_score"] = _old_text_lm_score
+
+
+def _old_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: joined ALL lineitem against
+    ALL orders (o_orderstatus carried through the join and filtered
+    only at the l1 branch). The live form pushes the 'F' filter onto
+    orders BEFORE the join (per-orderkey groups are unchanged by
+    dropping other orders, and only F orderkeys are consulted), so
+    every fact-side stage runs on the F fraction (~49%). A full
+    single-pass rewrite (n_late carried through the per_os aggregate,
+    no line-granularity second pass) was ALSO built and A/B-measured:
+    2x SLOWER at 100x (6.4s vs 12.8s min-of-2) — AQE's reuse of the
+    lo exchange makes the second pass nearly free; rejected, numbers
+    in OPTIMIZATION_r13.md."""
+    from file_scraper_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderstatus", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("any_late")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    l1 = (
+        lo.filter((F.col("o_orderstatus") == "F") & late)
+        .join(
+            per_order.withColumnRenamed("l_orderkey", "pk"),
+            F.col("l_orderkey") == F.col("pk"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+AB_BASELINES["tpch_q21_shape"] = _old_tpch_q21_shape
+
+
+def _old_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: the read-back side ran XML
+    schema INFERENCE — a full extra parse pass over the written files
+    before the real read. The live form declares the schema like every
+    other roundtrip in io_formats."""
+    from file_scraper_spark.operators.io_formats import _tmpdir
+    from file_scraper_spark.tables import load
+
+    out = _tmpdir("fss_xml_abold_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+AB_BASELINES["xml_roundtrip"] = _old_xml_roundtrip
+
+
+def _old_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: higher-order ``aggregate``
+    fold over ``split(text, '')`` — interpreted lambda per character
+    plus a one-char-string array per document. The live form runs the
+    same exact integer Horner fold batch-vectorized in a numpy
+    mapInPandas kernel."""
+    from file_scraper_spark.operators.text import FP_MOD
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(FP_MOD),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+AB_BASELINES["doc_fingerprint"] = _old_doc_fingerprint
 # (dedup_cdc_chunks's superseded char-HOF boundary hash is NOT an arm
 # here: a different hash chunks differently, so it fails this module's
 # same-result-set contract — its measured pair lives in

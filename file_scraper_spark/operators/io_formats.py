@@ -174,8 +174,14 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "order")
         .save(out)
     )
+    # explicit schema, like every other roundtrip here: without it the
+    # XML source runs schema INFERENCE — a full extra parse pass over
+    # the written files before the real read (r13 optimization; the
+    # rest of this module always declared schemas, this reader was the
+    # one gap)
     back = (
         spark.read.format("xml")
+        .schema("o_orderkey long, o_orderstatus string")
         .option("rowTag", "order")
         .load(out)
     )

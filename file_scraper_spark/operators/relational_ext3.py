@@ -713,7 +713,23 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitions with the l1 join at 100 TB (and the reason Q21 is
     the poster child for decorrelation in every OLAP paper).
 
-    Scale shape: both aggregations and the l1 join shuffle on
+    Scale shape (r13 optimization): the order-status filter commutes
+    with every correlated predicate (status is constant within an
+    order and l1 requires 'F', so non-F orders contribute nothing to
+    any consulted count — per-orderkey groups are unchanged by
+    dropping other orders), so orders is filtered to 'F' BEFORE the
+    lineitem⋈orders join: the fact-side join, both aggregations and
+    the l1 re-filter all run on the F fraction (~49% on TPC-H data)
+    of the corpus. The two-pass shape itself is KEPT: a single-pass
+    rewrite that carried n_late through the (orderkey, suppkey)
+    aggregate and summed it over qualifying groups — avoiding the
+    second line-granularity pass entirely — was A/B-measured same-JVM
+    interleaved at 100x and LOST 2x (min-of-2 6.4s vs 12.8s, both
+    pairs agree; superseded arm + numbers in OPTIMIZATION_r13.md):
+    AQE reuses the one lo exchange across per_os and the l1 branch,
+    so the 'extra' pass is nearly free, while the single-pass form
+    pays an extra corpus-sized aggregate exchange plus wider
+    aggregation state. Both aggregations and the l1 join shuffle on
     orderkey (one exchange reused by AQE); supplier and nation are
     broadcast dims; no correlated re-scan of lineitem per row."""
     li = load(spark, sf_dir, "lineitem")
@@ -721,8 +737,10 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    lo = li.join(
-        orders.select("o_orderkey", "o_orderstatus", "o_orderdate"),
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
@@ -737,7 +755,7 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
     )
     l1 = (
-        lo.filter((F.col("o_orderstatus") == "F") & late)
+        lo.filter(late)
         .join(
             per_order.withColumnRenamed("l_orderkey", "pk"),
             F.col("l_orderkey") == F.col("pk"),

@@ -258,16 +258,73 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp-style rolling hash over the character stream as a
-    compact document fingerprint — pure integer fold (higher-order
-    aggregate), identical in any engine."""
+    compact document fingerprint.
+
+    r13 optimization (guide §4.2): the r12 form was a higher-order
+    ``aggregate`` over ``split(text, '')`` — Catalyst evaluates HOF
+    lambdas INTERPRETED (no whole-stage codegen inside the lambda)
+    and materializes a one-char-string array per document, so every
+    character paid an interpreted closure call plus a string alloc.
+    This form hands whole Arrow batches to a numpy kernel: decode
+    each text to its code points in one C call (utf-32), then run the
+    Horner fold VECTORIZED ACROSS THE BATCH — one masked
+    ``(acc*31 + code) % MOD`` step per character *position*, each a
+    numpy op over all docs in the batch at once (docs cap at ~1k
+    chars, so the loop is short; padding positions are masked so they
+    never touch acc). 31*MOD fits int64, so the arithmetic is exact —
+    bit-identical to the fold (same A/B-proven pattern as the
+    clustering/PQ kernels). Same-JVM A/B + plan diff (HOF Generate
+    pipeline -> one MapInPandas over (doc_id, text)) in
+    OPTIMIZATION_r13.md; superseded HOF form is this round's
+    ``ab_variants`` arm.
+
+    Scale shape: one scan, zero shuffles, embarrassingly parallel —
+    unchanged from the HOF form; only the per-task execution engine
+    changed (guide §1.2 step 2)."""
     docs = load(spark, sf_dir, "documents")
-    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
-    fp = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + c) % F.lit(FP_MOD),
+
+    def fold(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        mod = FP_MOD
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["text"]
+            n = len(texts)
+            lens = np.zeros(n, dtype=np.int64)
+            arrs: list = [None] * n
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                a = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                arrs[i] = a
+                lens[i] = len(a)
+            maxlen = int(lens.max()) if n else 0
+            # (maxlen, n) so each Horner step reads one contiguous row
+            mat = np.zeros((maxlen, n), dtype=np.int64)
+            for i, a in enumerate(arrs):
+                if a is not None and len(a):
+                    mat[: len(a), i] = a
+            acc = np.zeros(n, dtype=np.int64)
+            for j in range(maxlen):
+                acc = np.where(
+                    j < lens, (acc * 31 + mat[j]) % mod, acc
+                )
+            out = acc.astype(object)
+            for i, a in enumerate(arrs):
+                if a is None:
+                    out[i] = None
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "fingerprint": out}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fold, "doc_id long, fingerprint long"
     )
-    return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 def _bigrams(words: Column) -> Column:
@@ -908,32 +965,41 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking signal for a filter threshold (same policy as
     text_tfidf_topterms / text_diversity).
 
-    Scale shape: one bigram explode feeding two map-side-combined
-    hash aggregations (bigram model, prefix marginals) and two
-    equi-joins of occurrences against them — both model tables are
-    vocabulary-sized (<< corpus), so AQE broadcasts them when they
-    fit and the occurrence frame never shuffles on a skewed key
-    otherwise; the per-doc sum is again map-side combinable. Linear
-    at 100 TB; at web-scale vocab the joins degrade gracefully to
-    shuffle joins on uniformly-hashed n-gram keys."""
+    Scale shape (r13 optimization): one bigram explode feeds ONE
+    map-side-combined hash aggregation (the bigram model bc); the
+    prefix marginal uc is derived FROM bc — sum(bc) grouped by the
+    bigram's first word — a vocabulary-sized aggregation instead of a
+    second corpus-sized pass, and the per-bigram quantized probability
+    is attached to bc by a vocab⋈vocab join. The occurrence frame then
+    pays exactly ONE equi-join (against the finished model) instead of
+    two, and never computes a per-occurrence substring_index. (r12
+    form: 3 corpus explodes, 2 corpus-side joins, 2 corpus-sized model
+    aggregations; same-JVM A/B and plan diff in OPTIMIZATION_r13.md.)
+    Model tables are vocabulary-sized (<< corpus), so AQE broadcasts
+    them when they fit; the per-doc sum is map-side combinable. Linear
+    at 100 TB; at web-scale vocab the join degrades gracefully to a
+    shuffle join on uniformly-hashed n-gram keys."""
     docs = load(spark, sf_dir, "documents")
     words = _words()
-    db = (
-        docs.filter(F.size(words) >= 2)
-        .select("doc_id", F.explode(_bigrams(words)).alias("bigram"))
-        .select(
-            "doc_id",
-            "bigram",
-            F.substring_index("bigram", " ", 1).alias("w1"),
-        )
+    db = docs.filter(F.size(words) >= 2).select(
+        "doc_id", F.explode(_bigrams(words)).alias("bigram")
     )
     bc = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
-    uc = db.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    # marginal count per first word, from the model table (sum of the
+    # bigram counts sharing the prefix == the occurrence count the
+    # oracle aggregates corpus-side — exact, and vocab-sized here)
+    uc = bc.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.sum("bc").alias("uc"))
     p = F.col("bc").cast("double") / F.col("uc").cast("double")
+    model = (
+        bc.join(
+            uc, F.substring_index(bc["bigram"], " ", 1) == uc["w1"]
+        )
+        .select("bigram", F.floor(p * F.lit(1000000.0)).alias("p_q"))
+    )
     return (
-        db.join(bc, "bigram")
-        .join(uc, "w1")
-        .select("doc_id", F.floor(p * F.lit(1000000.0)).alias("p_q"))
+        db.join(model, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
