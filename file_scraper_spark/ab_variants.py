@@ -25,6 +25,14 @@ answered the r9–r11 drift question as ambient box load, ratios
 1.04x/0.97x/1.05x on byte-identical code, recorded in BENCH_r12.json
 and NOTES.md; re-add anchors only if a new trend appears):
 
+Optimization-session entries (each documented in OPTIMIZATION_r13.md
+with its same-JVM 100x pairs): ``text_lm_score`` (marginal derived
+from the bigram model, one corpus join), ``tpch_q21_shape`` (orders
+'F' filter pushed below the join; the single-pass rewrite measured 2x
+slower and was rejected), ``xml_roundtrip`` (declared read-back
+schema vs inference), ``doc_fingerprint`` (vectorized numpy Horner
+kernel vs interpreted HOF fold).
+
 - ``dedup_winnowing``: the pre-rewrite tail FORCE-BROADCAST the
   docs-proportional per-doc fingerprint-count frame (sizes) twice
   into the containment-ratio filter — an executor OOM at the 100 TB
