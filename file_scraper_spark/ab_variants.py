@@ -311,6 +311,132 @@ def _old_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["doc_fingerprint"] = _old_doc_fingerprint
+
+
+def _old_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form of the PORTABLE minhash path:
+    per-shingle JVM expressions (arrays_zip 3-gram strings -> explode
+    one row per shingle -> md5 + hex substring + two conv parses) feed
+    a partial-mins Arrow kernel and a groupBy(doc_id) exchange merges
+    the per-batch partials into signatures. The live form computes the
+    whole per-doc sketch inside one mapInPandas kernel over
+    (doc_id, words) — no explode, no per-shingle Arrow rows, no
+    signature groupBy. Downstream (bands, candidates, verify, expand)
+    is byte-identical to the live query."""
+    from file_scraper_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_P,
+        _portable_hash2,
+        band_candidates,
+        data_key,
+        exact_collapse,
+        expand_pairs,
+        near_dup_corpus,
+    )
+    from file_scraper_spark.tables import load, scoped_cache
+
+    docs = load(spark, sf_dir, "documents")
+    corpus, members = exact_collapse(
+        near_dup_corpus(docs),
+        cache_key=("neardup", data_key(sf_dir, "documents")),
+    )
+    words = F.col("words")
+    n_grams = F.size(words) - 2
+    zipped = F.arrays_zip(
+        F.slice(words, 1, n_grams).alias("g0"),
+        F.slice(words, 2, n_grams).alias("g1"),
+        F.slice(words, 3, n_grams).alias("g2"),
+    )
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            zipped, lambda t: F.concat_ws(" ", t["g0"], t["g1"], t["g2"])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = corpus.select("doc_id", F.explode(grams).alias("sh"))
+    h1c, h2c = _portable_hash2(F.col("sh"))
+    hashed = sh.select("doc_id", h1c.alias("h1"), h2c.alias("h2"))
+
+    part_schema = "doc_id long, " + ", ".join(
+        f"h{i} long" for i in range(MINHASH_K)
+    )
+
+    def partial_mins(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        coeff = np.arange(MINHASH_K, dtype=np.int64)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            h1 = pdf["h1"].to_numpy()[:, None]
+            h2 = pdf["h2"].to_numpy()[:, None]
+            A = (h1 + coeff * h2) % MINHASH_P
+            starts = np.flatnonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1]))
+            )
+            M = np.minimum.reduceat(A, starts, axis=0)
+            out = pd.DataFrame(M, columns=[f"h{i}" for i in range(MINHASH_K)])
+            out.insert(0, "doc_id", ids[starts])
+            yield out
+
+    partials = hashed.mapInPandas(partial_mins, part_schema)
+    mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
+    sigs = scoped_cache(
+        partials.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig"),
+        )
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    cand = band_candidates(bands, "band", "band_key")
+    joined = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    rep_pairs = joined.select(
+        "doc_a",
+        "doc_b",
+        (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.4)
+    return expand_pairs(
+        rep_pairs,
+        members,
+        sigs.select(F.col("doc_id").alias("rep")),
+        F.lit(1.0),
+        "est_jaccard",
+    )
+
+
+AB_BASELINES["dedup_minhash"] = _old_dedup_minhash
 # (dedup_cdc_chunks's superseded char-HOF boundary hash is NOT an arm
 # here: a different hash chunks differently, so it fails this module's
 # same-result-set contract — its measured pair lives in

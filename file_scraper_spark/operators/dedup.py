@@ -1683,6 +1683,81 @@ _MINHASH_ORACLE = (
 )
 
 
+def _portable_sig_batches(batches):
+    """Per-doc MinHash sketch kernel for the PORTABLE (md5) family —
+    the full shingle -> md5 -> k=32 affine -> min pipeline for each
+    document inside one mapInPandas pass over (doc_id, words).
+
+    Bit-exact twin of the expression form it replaced (r13): the
+    shingle string is ``" ".join`` of the 3-word window — identical
+    bytes to ``concat_ws(' ', g0, g1, g2)`` (split() never yields
+    NULL words, and the join runs on the words' UTF-8 bytes, the same
+    bytes Spark's md5 hashes); h1/h2 are the integer values of hex
+    digits [0,10) / [10,20) of the md5 digest = big-endian ints of
+    digest bytes [0,5) / [5,10) (both < 2^40, exactly as
+    ``conv(substring(md5(s), ..), 16, 10)`` computed them); the
+    affine family and min run in int64 numpy (h1 + 31*h2 < 2^45 — no
+    overflow, identical arithmetic). Docs with fewer than 3 words (or
+    NULL text) produced zero shingle rows in the old explode and
+    produce no signature row here.
+
+    Why a kernel: the old shape materialized one exploded row PER
+    SHINGLE, paid per-shingle JVM md5 + hex substring + two conv
+    parses, shipped every (doc_id, h1, h2) shingle row through Arrow
+    into the partial-mins kernel, and then paid a groupBy(doc_id)
+    exchange to merge partials. All of that collapses into one
+    per-doc loop whose md5 calls are the only per-shingle Python
+    cost; the min/affine math vectorizes across each doc's shingles.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from hashlib import md5  # noqa: PLC0415
+
+    coeff = np.arange(MINHASH_K, dtype=np.int64)[None, :]
+    sep = " ".encode()
+    join = sep.join
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out_ids: list = []
+        out_sigs: list = []
+        for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+            if words is None or len(words) < 3:
+                continue
+            bw = [w.encode() for w in words]
+            digests = b"".join(
+                md5(join(t)).digest()
+                for t in zip(bw, bw[1:], bw[2:])
+            )
+            B = (
+                np.frombuffer(digests, dtype=np.uint8)
+                .reshape(-1, 16)
+                .astype(np.int64)
+            )
+            h1 = (
+                (B[:, 0] << 32)
+                | (B[:, 1] << 24)
+                | (B[:, 2] << 16)
+                | (B[:, 3] << 8)
+                | B[:, 4]
+            )
+            h2 = (
+                (B[:, 5] << 32)
+                | (B[:, 6] << 24)
+                | (B[:, 7] << 16)
+                | (B[:, 8] << 8)
+                | B[:, 9]
+            )
+            sig = (
+                ((h1[:, None] + coeff * h2[:, None]) % MINHASH_P)
+                .min(axis=0)
+            )
+            out_ids.append(doc_id)
+            out_sigs.append(sig)
+        if out_ids:
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+
 def minhash_pairs(
     docs: DataFrame,
     portable_hash: bool = True,
@@ -1703,7 +1778,15 @@ def minhash_pairs(
       not cross-engine checkable.
 
     Shared machinery, each piece a measured 100x-probe fix:
-    - numpy partial mins per Arrow batch for the k=32 affine family
+    - (portable branch, r13) the whole shingle->md5->affine->min
+      sketch runs in ONE per-doc mapInPandas kernel
+      (``_portable_sig_batches``): a doc's shingles never leave the
+      task, so the explode row stream, the per-shingle JVM
+      md5+hex+conv expressions, the shingle-rows Arrow boundary into
+      the old partial-mins kernel AND the signature groupBy exchange
+      are all gone — the kernel emits the finished (doc_id, sig) row;
+    - (fast branch) numpy partial mins per Arrow batch for the k=32
+      affine family
       (np.minimum.reduceat — the 32 mul/add/mod/min per shingle row
       was the hot loop as Catalyst expressions; exact: h1 + i*h2 <
       2^45 in int64), merged by a cheap 32-column min over per-batch
@@ -1740,21 +1823,11 @@ def minhash_pairs(
     words = F.col("words")
     n_grams = F.size(words) - 2
     if portable_hash:
-        zipped = F.arrays_zip(
-            F.slice(words, 1, n_grams).alias("g0"),
-            F.slice(words, 2, n_grams).alias("g1"),
-            F.slice(words, 3, n_grams).alias("g2"),
+        hashed = None
+        sig_rows = corpus.select("doc_id", "words").mapInPandas(
+            _portable_sig_batches,
+            "doc_id long, sig array<long>",
         )
-        grams = F.when(
-            F.size(words) >= 3,
-            F.transform(
-                zipped,
-                lambda t: F.concat_ws(" ", t["g0"], t["g1"], t["g2"]),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        sh = corpus.select("doc_id", F.explode(grams).alias("sh"))
-        h1c, h2c = _portable_hash2(F.col("sh"))
-        hashed = sh.select("doc_id", h1c.alias("h1"), h2c.alias("h2"))
     else:
         zipped = F.arrays_zip(
             F.slice(words, 1, n_grams).alias("g0"),
@@ -1775,34 +1848,49 @@ def minhash_pairs(
             F.xxhash64(F.lit(1), "sh").bitwiseAND(F.lit(mask)).alias("h2"),
         )
 
-    part_schema = "doc_id long, " + ", ".join(
-        f"h{i} long" for i in range(MINHASH_K)
-    )
+    if hashed is None:
+        # portable branch: the kernel already emits finished
+        # (doc_id, sig) rows — no partials, no groupBy exchange.
+        sig_frame = sig_rows
+    else:
+        part_schema = "doc_id long, " + ", ".join(
+            f"h{i} long" for i in range(MINHASH_K)
+        )
 
-    def partial_mins(batches):
-        import numpy as np  # noqa: PLC0415
-        import pandas as pd  # noqa: PLC0415
+        def partial_mins(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
 
-        coeff = np.arange(MINHASH_K, dtype=np.int64)[None, :]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["doc_id"].to_numpy()
-            h1 = pdf["h1"].to_numpy()[:, None]
-            h2 = pdf["h2"].to_numpy()[:, None]
-            A = (h1 + coeff * h2) % MINHASH_P
-            starts = np.flatnonzero(
-                np.concatenate(([True], ids[1:] != ids[:-1]))
+            coeff = np.arange(MINHASH_K, dtype=np.int64)[None, :]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["doc_id"].to_numpy()
+                h1 = pdf["h1"].to_numpy()[:, None]
+                h2 = pdf["h2"].to_numpy()[:, None]
+                A = (h1 + coeff * h2) % MINHASH_P
+                starts = np.flatnonzero(
+                    np.concatenate(([True], ids[1:] != ids[:-1]))
+                )
+                M = np.minimum.reduceat(A, starts, axis=0)
+                out = pd.DataFrame(
+                    M, columns=[f"h{i}" for i in range(MINHASH_K)]
+                )
+                out.insert(0, "doc_id", ids[starts])
+                yield out
+
+        partials = hashed.mapInPandas(partial_mins, part_schema)
+        mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
+        sig_frame = (
+            partials.groupBy("doc_id")
+            .agg(*mins)
+            .select(
+                "doc_id",
+                F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias(
+                    "sig"
+                ),
             )
-            M = np.minimum.reduceat(A, starts, axis=0)
-            out = pd.DataFrame(
-                M, columns=[f"h{i}" for i in range(MINHASH_K)]
-            )
-            out.insert(0, "doc_id", ids[starts])
-            yield out
-
-    partials = hashed.mapInPandas(partial_mins, part_schema)
-    mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
+        )
     # scoped_cache, not localCheckpoint: the three consumers (bands,
     # sig_a/sig_b rejoins) share one materialization either way, but a
     # checkpoint — even eager=False — executes every upstream query
@@ -1813,16 +1901,7 @@ def minhash_pairs(
     # sf0.1: 2.49s checkpoint vs 2.58s cache — a wash; signatures are
     # order-independent mins, so an eviction-forced recompute is
     # result-identical.
-    sigs = scoped_cache(
-        partials.groupBy("doc_id")
-        .agg(*mins)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias(
-                "sig"
-            ),
-        )
-    )
+    sigs = scoped_cache(sig_frame)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = sigs.select(
         "doc_id",
