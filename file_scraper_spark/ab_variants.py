@@ -437,6 +437,52 @@ def _old_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["dedup_minhash"] = _old_dedup_minhash
+
+
+def _old_similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: BroadcastNestedLoopJoin of
+    the MAXSIM_QN query rows onto the corpus, with the cosines as
+    per-row interpreted ``_dec_fold`` JVM folds — 3 x 64 lambda calls
+    per cross row (dot, norm(v), and norm(q) re-derived EVERY row).
+    The live form fetches the query set driver-side (scan-parameter
+    pattern) and computes the same quantized-fold cosine grid
+    batch-vectorized in one mapInPandas kernel."""
+    from file_scraper_spark.operators.similarity import (
+        MAXSIM_QN,
+        MAXSIM_TOPK,
+        QUANT,
+        cosine,
+    )
+    from file_scraper_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q4 = emb.filter(F.col("vec_id") < MAXSIM_QN).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    sc = cosine(F.col("embedding"), F.col("qe"))
+    per = (
+        emb.crossJoin(F.broadcast(q4))
+        .select("label", "qid", sc.alias("cos"))
+        .groupBy("label", "qid")
+        .agg(F.max("cos").alias("mc"))
+    )
+    return (
+        per.select(
+            "label",
+            "qid",
+            F.floor(F.col("mc") * F.lit(float(QUANT))).alias("mq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_qterms"),
+            F.sum("mq").alias("maxsim_q"),
+        )
+        .orderBy(F.col("maxsim_q").desc(), "label")
+        .limit(MAXSIM_TOPK)
+    )
+
+
+AB_BASELINES["similarity_maxsim"] = _old_similarity_maxsim
 # (dedup_cdc_chunks's superseded char-HOF boundary hash is NOT an arm
 # here: a different hash chunks differently, so it fails this module's
 # same-result-set contract — its measured pair lives in

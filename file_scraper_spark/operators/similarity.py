@@ -1252,6 +1252,61 @@ MAXSIM_QN = 4
 MAXSIM_TOPK = 5
 
 
+def _maxsim_cos_fn(qids: list, qvecs: list):
+    """Per-corpus-row cosine grid against the (<= MAXSIM_QN)-vector
+    query set, one mapInPandas pass: emits (label, qid, cos) rows —
+    the exact rows the old BroadcastNestedLoopJoin + per-row JVM
+    folds produced, computed batch-vectorized (r13 optimization; the
+    interpreted ``_dec_fold`` paid 3 x 64 lambda calls per cross
+    row — dot, norm(v), and a re-derived norm(q) every row).
+
+    Bit-exact twin of ``cosine()``: products are float64 (the float32
+    inputs widen exactly), each addend is ``floor(product * 1e9)``
+    summed in int64 (< 2^53, so the float64 intermediates are exact
+    integers and summation order cannot perturb them), norms take the
+    same quantized fold before one IEEE sqrt, and a zero divisor
+    yields NULL exactly like ``try_divide``."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        if not qids:
+            return
+        Q = np.array(qvecs, dtype=np.float64)  # (m, d)
+        quant = float(QUANT)
+        qn = np.sqrt(
+            np.floor((Q * Q) * quant).sum(axis=1) / quant
+        )  # (m,)
+        m = len(qids)
+        qid_arr = np.array(qids, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            labels = pdf["label"].to_numpy()
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            P = V[:, :, None] * Q.T[None, :, :]  # (n, d, m)
+            dp = np.floor(P * quant).sum(axis=1) / quant  # (n, m)
+            nv = np.sqrt(np.floor((V * V) * quant).sum(axis=1) / quant)
+            denom = nv[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dp / denom
+            out = pd.DataFrame(
+                {
+                    "label": np.repeat(labels, m),
+                    "qid": np.tile(qid_arr, n),
+                    "cos": cos.reshape(-1),
+                }
+            )
+            zero = (denom == 0.0).reshape(-1)
+            if zero.any():
+                out.loc[zero, "cos"] = None
+            yield out
+
+    return gen
+
+
 @query(
     "similarity_maxsim",
     oracle=f"""
@@ -1296,21 +1351,29 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles; the final sum quantizes each max floor(1e9*x)
     into exact BIGINT addition, so the 4-addend sum cannot reorder.
 
-    Scale shape: the query set is a BROADCAST nested-loop of
-    MAXSIM_QN rows (tiny-grid cross join — the accepted pattern);
-    per-(vector, query) cosines are one linear scan with JVM folds,
-    no corpus shuffle; both aggregations carry label-sized frames
-    (map-side max, then a label-count frame), and the top-k is a
-    TakeOrderedAndProject. At 1000 executors the only data movement
-    is the label-keyed partial-max combine."""
+    Scale shape: the query set is a SCAN PARAMETER — MAXSIM_QN rows
+    fetched once driver-side (the ``query_vector`` pattern) and
+    closed over by one batch-vectorized cosine kernel
+    (``_maxsim_cos_fn``), so the per-(vector, query) cosines are one
+    linear corpus scan with no joins at all; both aggregations carry
+    label-sized frames (map-side max, then a label-count frame), and
+    the top-k is a TakeOrderedAndProject. At 1000 executors the only
+    data movement is the label-keyed partial-max combine. (r13: the
+    previous BroadcastNestedLoopJoin + interpreted per-row JVM folds
+    paid 3 x 64 lambda calls per cross row; the kernel computes the
+    same quantized-fold cosines batch-vectorized, bit-exactly —
+    same-JVM A/B in OPTIMIZATION_r13.md.)"""
     emb = load(spark, sf_dir, "embeddings")
-    q4 = emb.filter(F.col("vec_id") < MAXSIM_QN).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    q_rows = (
+        emb.filter(F.col("vec_id") < MAXSIM_QN)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    sc = cosine(F.col("embedding"), F.col("qe"))
+    qids = [int(r["vec_id"]) for r in q_rows]
+    qvecs = [[float(x) for x in r["embedding"]] for r in q_rows]
     per = (
-        emb.crossJoin(F.broadcast(q4))
-        .select("label", "qid", sc.alias("cos"))
+        emb.select("label", "embedding")
+        .mapInPandas(_maxsim_cos_fn(qids, qvecs), "label int, qid long, cos double")
         .groupBy("label", "qid")
         .agg(F.max("cos").alias("mc"))
     )

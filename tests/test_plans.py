@@ -666,19 +666,21 @@ def test_lm_score_models_join_without_cartesian(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_maxsim_query_set_broadcasts(spark, sf_dir):
-    """similarity_maxsim's multi-vector query must reach the corpus as
-    a BROADCAST nested loop of MAXSIM_QN rows (tiny-grid cross join);
-    the corpus itself must never shuffle un-aggregated (the only
-    exchanges carry label-keyed partial aggregates), the cosines stay
-    JVM-side folds (no Python), and the top-k is a per-partition
-    heap."""
+def test_maxsim_kernel_scan_no_joins(spark, sf_dir):
+    """similarity_maxsim (r13): the query set is a driver-side scan
+    parameter closed over by ONE batch-vectorized cosine kernel, so
+    the executed plan has no joins of any kind; the corpus must never
+    shuffle un-aggregated (the only exchanges carry label-keyed
+    partial aggregates — partial max before the exchange), and the
+    top-k is a per-partition heap. (The pre-r13 form was a
+    BroadcastNestedLoopJoin of the MAXSIM_QN rows with 3 interpreted
+    64-element folds per cross row — same-JVM A/B in
+    OPTIMIZATION_r13.md.)"""
     plan = plan_of("similarity_maxsim", spark, sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_max" in plan
 
 
 def test_semdedup_pairs_are_cell_local(spark, sf_dir):
