@@ -483,6 +483,123 @@ def _old_similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["similarity_maxsim"] = _old_similarity_maxsim
+
+
+def _old_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: per-corpus-row interpreted
+    ``cosine()`` JVM folds (3 x 64 lambda calls per row) against the
+    literal query-vector array. The live form runs the same quantized
+    cosine batch-vectorized in one mapInPandas kernel."""
+    from file_scraper_spark.operators.similarity import (
+        cosine,
+        query_vector,
+    )
+    from file_scraper_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = query_vector(spark, sf_dir)
+    return (
+        emb.select("vec_id", cosine(F.col("embedding"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+AB_BASELINES["similarity_topk"] = _old_similarity_topk
+
+
+def _old_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: JVM ``_sign_bucket``
+    projection (N_PLANES interpreted 64-element folds per corpus
+    row), IN-list probe filter, then per-candidate interpreted
+    cosine folds. The live form fuses bucketing + probe filter +
+    rerank into one batch-vectorized kernel pass."""
+    from file_scraper_spark.operators.similarity import (
+        N_PLANES,
+        QUERY_VEC_ID,
+        _sign_bucket,
+        cosine,
+        query_vector,
+    )
+    from file_scraper_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    q_row = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    q_bucket = q_row["bucket"]
+    probe = [q_bucket] + [q_bucket ^ (1 << p) for p in range(N_PLANES)]
+    q = query_vector(spark, sf_dir)
+    return (
+        bucketed.filter(F.col("bucket").isin(probe))
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+AB_BASELINES["similarity_ann_lsh"] = _old_similarity_ann_lsh
+
+
+def _old_similarity_ann_lsh_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r13 optimization superseded form: JVM-bucketed corpus joined
+    with a broadcast (queries x 9)-row probe frame, per-candidate
+    interpreted cosine folds. The live form fetches the query rows
+    driver-side and fuses bucketing + probe membership + rerank for
+    all queries into one kernel pass."""
+    from pyspark.sql import Window
+
+    from file_scraper_spark.operators.similarity import (
+        N_PLANES,
+        N_QUERY_BATCH,
+        _sign_bucket,
+        cosine,
+    )
+    from file_scraper_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    queries = bucketed.filter(F.col("vec_id") < N_QUERY_BATCH).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[
+                    F.col("qb").bitwiseXOR(F.lit(1 << p))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = bucketed.join(F.broadcast(probes), "bucket")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", "vec_id")
+    )
+
+
+AB_BASELINES["similarity_ann_lsh_batch"] = _old_similarity_ann_lsh_batch
 # (dedup_cdc_chunks's superseded char-HOF boundary hash is NOT an arm
 # here: a different hash chunks differently, so it fails this module's
 # same-result-set contract — its measured pair lives in

@@ -21,6 +21,7 @@ Scale paths:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -201,12 +202,25 @@ def _oracle_dec_sum(expr: str) -> str:
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 query vector.
-    Plan: one scan, per-row JVM fold, TakeOrderedAndProject(10) — no
-    shuffle of the corpus at any scale."""
+    Plan: one scan, one batch-vectorized cosine kernel
+    (``_scan_probe_cos_fn`` — r13: replaces the per-row interpreted
+    JVM fold, 3 x 64 lambda calls per corpus row, bit-exactly; the
+    query vector is a driver-side scan parameter as before),
+    TakeOrderedAndProject(10) — no shuffle of the corpus at any
+    scale."""
     emb = load(spark, sf_dir, "embeddings")
-    q = query_vector(spark, sf_dir)
+    q_row = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    qvec = [float(v) for v in q_row[0]]
     return (
-        emb.select("vec_id", cosine(F.col("embedding"), q).alias("cosine"))
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            _scan_probe_cos_fn([(QUERY_VEC_ID, qvec, None)], False),
+            "vec_id long, cosine double",
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
@@ -888,6 +902,103 @@ def _sign_bucket(vec: Column) -> Column:
     return out
 
 
+def _py_sign_bucket(qvec: list) -> int:
+    """Driver-side bit-exact twin of ``_sign_bucket`` for ONE vector:
+    the fold addends floor((v_d * w_pd) * 1e9) are the same IEEE
+    double ops in CPython, summed as exact ints, and the JVM's
+    (sum/1e9) > 0 test is equivalent to the integer sum > 0."""
+    quant = float(QUANT)
+    bucket = 0
+    for p in range(N_PLANES):
+        plane = _dedup_plane(p)
+        s = sum(
+            math.floor((v * w) * quant) for v, w in zip(qvec, plane)
+        )
+        if s > 0:
+            bucket += 1 << p
+    return bucket
+
+
+def _scan_probe_cos_fn(qspecs: list, emit_qid: bool):
+    """Fused linear-scan cosine kernel shared by similarity_topk and
+    the two sign-LSH ANN forms (r13 optimization): one mapInPandas
+    pass over (vec_id, embedding) computes — batch-vectorized — the
+    8 sign-LSH bucket bits (only when a probe filter is present) and
+    the exact quantized-fold cosine against each driver-side query
+    vector, emitting (query_id?, vec_id, cosine) rows only for probe
+    hits. Replaces per-row interpreted ``_dec_fold`` HOF lambdas
+    (N_PLANES x 64 for bucketing plus 3 x 64 per cosine).
+
+    ``qspecs`` is a list of (query_id, qvec, probe_buckets_or_None);
+    a None probe set means "score every corpus row" (the brute-force
+    top-k form). Bit-exactness mirrors ``_maxsim_cos_fn``: float64
+    products of exactly-widened float32 inputs, floor(x*1e9) addends
+    summed exactly (integers < 2^53), one IEEE sqrt per norm, NULL on
+    a zero divisor exactly like ``try_divide``; bucket bits test the
+    exact integer projection sum > 0, identical to ``_sign_bucket``.
+    """
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        if not qspecs:
+            return
+        quant = float(QUANT)
+        Q = np.array([s[1] for s in qspecs], dtype=np.float64)
+        qn = np.sqrt(np.floor((Q * Q) * quant).sum(axis=1) / quant)
+        probes = [
+            None if s[2] is None else np.array(sorted(s[2]), dtype=np.int64)
+            for s in qspecs
+        ]
+        need_buckets = any(p is not None for p in probes)
+        if need_buckets:
+            P = np.array([_dedup_plane(p) for p in range(N_PLANES)])
+            weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nv = np.sqrt(np.floor((V * V) * quant).sum(axis=1) / quant)
+            if need_buckets:
+                proj = np.floor(
+                    (V[:, None, :] * P[None, :, :]) * quant
+                ).sum(axis=2)
+                buckets = ((proj > 0) * weights).sum(axis=1)
+            for j, (qid, _, _probe) in enumerate(qspecs):
+                if probes[j] is None:
+                    Vs, ids_s, nv_s = V, ids, nv
+                else:
+                    sel = np.isin(buckets, probes[j])
+                    if not sel.any():
+                        continue
+                    Vs, ids_s, nv_s = V[sel], ids[sel], nv[sel]
+                dp = (
+                    np.floor((Vs * Q[j][None, :]) * quant).sum(axis=1)
+                    / quant
+                )
+                denom = nv_s * qn[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dp / denom
+                cols = {"vec_id": ids_s, "cosine": cos}
+                if emit_qid:
+                    cols = {
+                        "query_id": np.full(
+                            len(ids_s), qid, dtype=np.int64
+                        ),
+                        **cols,
+                    }
+                out = pd.DataFrame(cols)
+                zero = denom == 0.0
+                if zero.any():
+                    out.loc[zero, "cosine"] = None
+                yield out
+
+    return gen
+
+
 @query(
     "similarity_ann_lsh",
     oracle=f"""
@@ -940,23 +1051,28 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle REPLAYS bucketing, probing, and rerank in SQL. Recall vs
     the exact top-10 is additionally asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    # single-probe form: the query vector is fetched with one driver
+    # .head() (a tiny pruned job — the vec_id filter reaches the
+    # scan) and its bucket + 9-bucket probe set computed driver-side
+    # (bit-exact ``_py_sign_bucket``); corpus bucketing, the probe
+    # membership filter AND the exact-cosine rerank then run fused in
+    # ONE batch-vectorized kernel pass (r13: previously the corpus
+    # paid N_PLANES interpreted 64-element folds per row to bucket,
+    # plus 3 more per candidate to rerank).
+    q_row = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()
     )
-    # single-probe form: the query's bucket is fetched with one driver
-    # .head() and inlined as an IN-list — acceptable for a one-vector
-    # probe (one tiny pruned job before the scan), but each extra
-    # query vector would add a driver round-trip. The N-query shape is
-    # similarity_ann_lsh_batch below, which keeps probe-bucket
-    # selection inside the plan (explode + broadcast join, zero
-    # driver fetches) — the same move knn_join makes.
-    q_row = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).head()
-    q_bucket = q_row["bucket"]
-    probe = [q_bucket] + [q_bucket ^ (1 << p) for p in range(N_PLANES)]
-    q = query_vector(spark, sf_dir)
+    qvec = [float(v) for v in q_row[0]]
+    q_bucket = _py_sign_bucket(qvec)
+    probe = {q_bucket} | {q_bucket ^ (1 << p) for p in range(N_PLANES)}
     return (
-        bucketed.filter(F.col("bucket").isin(probe))
-        .select("vec_id", cosine(F.col("embedding"), q).alias("cosine"))
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            _scan_probe_cos_fn([(QUERY_VEC_ID, qvec, probe)], False),
+            "vec_id long, cosine double",
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
@@ -1031,55 +1147,46 @@ N_QUERY_BATCH = 4
 )
 def similarity_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched sign-LSH ANN: top-10 neighbors for a SET of query
-    vectors in one job, with probe-bucket selection entirely inside
-    the plan — the serving shape for "embed a batch, retrieve for
-    each" workloads, vs similarity_ann_lsh's one-vector probe whose
-    bucket is fetched driver-side.
+    vectors in one job — the serving shape for "embed a batch,
+    retrieve for each" workloads, vs similarity_ann_lsh's one-vector
+    probe.
 
-    Dataflow: bucket the corpus once (one pass, one 8-bit key); the
-    query side is the SAME projection behind a ``vec_id <
-    N_QUERY_BATCH`` filter — pushed to the parquet scan, so the
-    second "scan" reads a handful of rows, cheaper at any scale than
-    caching the fully-bucketed corpus. Each query row explodes into
-    its 9 probe buckets (self + all Hamming-1 flips) and the tiny
-    (queries x 9)-row side BROADCASTS onto the corpus's bucket key:
-    no corpus shuffle, no driver round-trips, N more query vectors
-    cost N more broadcast rows. Exact-cosine rerank + per-query
-    row_number keeps the 10 best; only the candidate subset
-    (~9/256 of the corpus per query) reaches that shuffle.
+    Dataflow (r13): the N_QUERY_BATCH query rows are fetched once
+    driver-side (the ``vec_id < N_QUERY_BATCH`` filter is pushed to
+    a tiny pruned parquet read — the scan-parameter pattern) and
+    their 9-bucket probe sets (self + all Hamming-1 flips) computed
+    with the bit-exact ``_py_sign_bucket``; corpus bucketing, probe
+    membership and the exact-cosine rerank for ALL queries then run
+    fused in ONE batch-vectorized kernel pass over the corpus.
+    Per-query row_number keeps the 10 best; only the candidate
+    subset (~9/256 of the corpus per query) reaches that shuffle.
+    (The pre-r13 form kept probe selection in-plan as a broadcast
+    join onto a JVM-bucketed corpus — but the bucketing paid
+    N_PLANES interpreted 64-element folds per corpus row and the
+    rerank 3 more per candidate; same-JVM A/B in
+    OPTIMIZATION_r13.md.)
 
-    100 TB shape: corpus side stays a single scan + broadcast-join +
-    filter; the rerank shuffle carries |queries| * expected bucket
-    occupancy * 9 rows. Scale sign bits with corpus size (see
+    100 TB shape: corpus side stays a single scan + one kernel; the
+    rerank shuffle carries |queries| * expected bucket occupancy * 9
+    rows. N more query vectors cost N more rows in the kernel
+    closure. Scale sign bits with corpus size (see
     ``dedup_band_bits``) to hold occupancy — and with them the probe
     fan-out — flat."""
     emb = load(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket")
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERY_BATCH)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    queries = bucketed.filter(F.col("vec_id") < N_QUERY_BATCH).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("qb"),
-    )
-    probes = queries.select(
-        "query_id",
-        "q_emb",
-        F.explode(
-            F.array(
-                F.col("qb"),
-                *[
-                    F.col("qb").bitwiseXOR(F.lit(1 << p))
-                    for p in range(N_PLANES)
-                ],
-            )
-        ).alias("bucket"),
-    )
-    cand = bucketed.join(F.broadcast(probes), "bucket")
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+    qspecs = []
+    for r in sorted(q_rows, key=lambda r: r["vec_id"]):
+        qvec = [float(v) for v in r["embedding"]]
+        qb = _py_sign_bucket(qvec)
+        probe = {qb} | {qb ^ (1 << p) for p in range(N_PLANES)}
+        qspecs.append((int(r["vec_id"]), qvec, probe))
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _scan_probe_cos_fn(qspecs, True),
+        "query_id long, vec_id long, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")

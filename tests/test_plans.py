@@ -109,14 +109,16 @@ def test_range_join_is_sweep_not_pair_join(spark, sf_dir):
 
 def test_no_python_row_udfs_in_relational_plans(spark, sf_dir):
     """Core relational queries stay entirely JVM-side (BatchEvalPython
-    appears only in the explicitly-Pandas multimodal/udf queries)."""
+    appears only in the explicitly-Pandas multimodal/udf queries).
+    (similarity_topk left this list in r13: its cosine now runs in a
+    batch-vectorized mapInPandas kernel — see
+    test_similarity_scan_kernels.)"""
     for name in (
         "agg_groupby",
         "join_family",
         "window_rank",
         "sessionize",
         "text_quality",
-        "similarity_topk",
         "dedup_minhash",
     ):
         plan = plan_of(name, spark, sf_dir)
@@ -594,21 +596,26 @@ def test_dedup_incremental_corpus_scanned_once(spark, sf_dir):
     assert n_joins == 2, f"expected the two count joins only, saw {n_joins}"
 
 
-def test_ann_lsh_batch_probes_in_plan(spark, sf_dir):
-    """similarity_ann_lsh_batch keeps probe-bucket selection inside
-    the plan: the (queries x 9)-row probe side BROADCASTS onto the
-    corpus bucket key (no corpus shuffle for candidate generation,
-    no driver round-trip per query), and the query side's vec_id
-    filter is pushed to its parquet scan so the second scan reads a
-    handful of rows instead of re-bucketing the corpus."""
-    df = R["similarity_ann_lsh_batch"].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") == 1
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
-    assert re.search(r"DataFilters: \[[^\]]*vec_id[^\]]*< 4\)", plan), (
-        "query-side vec_id filter must reach the scan"
-    )
+def test_similarity_scan_kernels(spark, sf_dir):
+    """similarity_topk and both sign-LSH ANN forms (r13): the query
+    vectors are driver-side scan parameters closed over by ONE fused
+    batch-vectorized kernel (bucket bits + probe membership + exact
+    cosine), so each executed plan is a single corpus scan feeding
+    exactly one MapInPandas with no joins of any kind; the top-k
+    forms keep the per-partition heap, and the batch form's only
+    corpus-sized data movement is the per-query window-rank
+    exchange over the candidate subset. (The pre-r13 forms paid
+    N_PLANES + 3 interpreted 64-element JVM folds per row —
+    same-JVM A/B in OPTIMIZATION_r13.md.)"""
+    for name in ("similarity_topk", "similarity_ann_lsh"):
+        plan = plan_of(name, spark, sf_dir)
+        assert plan.count("MapInPandas") == 1, name
+        assert "Join" not in plan and "CartesianProduct" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+    plan = plan_of("similarity_ann_lsh_batch", spark, sf_dir)
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
 
 
 def test_bm25_probe_terms_broadcast(spark, sf_dir):
