@@ -33,21 +33,19 @@ slower and was rejected), ``xml_roundtrip`` (declared read-back
 schema vs inference), ``doc_fingerprint`` (vectorized numpy Horner
 kernel vs interpreted HOF fold).
 
-- ``dedup_winnowing``: the pre-rewrite tail FORCE-BROADCAST the
-  docs-proportional per-doc fingerprint-count frame (sizes) twice
-  into the containment-ratio filter — an executor OOM at the 100 TB
-  design point, and a hint AQE cannot override (VERDICT r12 weak
-  #1). The live form is the same join tail WITHOUT the hint: AQE
-  picks broadcast at fixture/probe scale from runtime sizes and
-  degrades to sort-merge past the threshold. (The verdict's sketched
-  zero-post-pair-join form — nf as a per-doc window carried through
-  a struct collect_list — was built and A/B-measured same-JVM at
-  100x first: 66.7s vs 22.7s min-of-2, a 3x regression; rejected
-  with the numbers in NOTES.md r13.) Expected ratio here ~1.0: both
-  arms should plan the identical broadcast at probe scale — the pair
-  exists to CONFIRM the hint removal is free where it used to win,
-  not to show a speedup. Both arms share ``dedup._winnowing_kept``
-  inside one JVM, so the pair times only the changed tail.
+- ``dedup_winnowing``: round 13 changed this query twice. (a) The
+  tail's forced broadcast of the docs-proportional sizes frame was
+  dropped (VERDICT r12 weak #1; AQE now picks the strategy from
+  runtime sizes) — that pair was measured at ~1.005 and is recorded
+  in BENCH_LOCAL_r13.json's ab section; the verdict's sketched
+  zero-post-pair-join form was built, measured 3x SLOWER at 100x
+  and rejected (NOTES.md r13). (b) The fingerprint stage was then
+  rewritten as a per-doc kernel (3-gram md5, W-window min and the
+  distinct all inside one mapInPandas pass — dedup_minhash's move).
+  THIS arm isolates (b): old exploded fps (posexplode to one row
+  per 3-gram, codegen'd md5, window-min over a doc_id exchange +
+  sort, corpus-sized distinct) feeding the SAME hint-free tail as
+  the live form.
 """
 
 from __future__ import annotations
@@ -58,8 +56,69 @@ from pyspark.sql import functions as F
 from file_scraper_spark.operators import dedup
 
 
+def _old_winnowing_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded fingerprint stage: posexplode to
+    one row per 3-gram, per-gram JVM md5 + hex conv, window minimum
+    over a doc_id exchange + per-doc sort, corpus-sized distinct.
+    The live form runs the whole pipeline per-doc in one kernel
+    (``dedup._winnowing_fp_batches``)."""
+    from pyspark.sql import Window
+
+    from file_scraper_spark.operators.dedup import (
+        WIN_CAP,
+        WIN_W,
+        near_dup_corpus,
+    )
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = near_dup_corpus(docs)
+    words = F.col("words")
+    n_grams = F.size(words) - 2
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, n_grams).alias(f"g{j}") for j in range(3)]
+    )
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(3)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = corpus.select(
+        "doc_id", F.posexplode(grams).alias("p0", "g")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WIN_W - 1)
+    wn = Window.partitionBy("doc_id")
+    winmin = pos.select(
+        "doc_id",
+        "p",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    fps = (
+        winmin.where(F.col("p") + (WIN_W - 1) <= F.col("n"))
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > WIN_CAP)
+        .select("fp")
+    )
+    return fps.join(F.broadcast(hot), "fp", "left_anti")
+
+
 def _old_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept = dedup._winnowing_kept(spark, sf_dir)
+    kept = _old_winnowing_kept(spark, sf_dir)
     sizes = (
         kept.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nf"))
@@ -100,8 +159,8 @@ def _old_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     min_nf = F.least("nf_a", "nf_b")
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(
             (min_nf >= dedup.WIN_MIN_FP)
             & (

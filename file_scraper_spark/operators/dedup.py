@@ -3867,14 +3867,17 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins land at exactly ratio_pct=100 (a prefix's window minima are
     a subset of the original's).
 
-    Scale shape: positional hashing is scan + posexplode; the window
-    minimum runs per-doc (one exchange on doc_id, partitions bounded
-    by document length, never corpus-wide); the pair join is a
-    POSTING-LIST self-join on fingerprint with the WIN_CAP df gate
-    bounding bucket occupancy — candidate volume is sum(df^2) over
-    kept fingerprints, never all-pairs (band_candidates' contract).
-    The distinct/cap/join all shuffle on the same fp key, so AQE
-    shares the exchange footprint."""
+    Scale shape: fingerprinting is ONE scan + one per-doc kernel
+    (``_winnowing_fp_batches`` — r13: 3-gram hash, W-window minimum
+    and the per-doc distinct all run inside the task; the old
+    posexplode + window form paid a 60M-row explode, a doc_id
+    exchange + per-doc sort and a corpus-sized distinct, same-JVM
+    A/B in OPTIMIZATION_r13.md); the pair join is a POSTING-LIST
+    self-join on fingerprint with the WIN_CAP df gate bounding
+    bucket occupancy — candidate volume is sum(df^2) over kept
+    fingerprints, never all-pairs (band_candidates' contract). The
+    cap/join shuffle on the same fp key, so AQE shares the exchange
+    footprint."""
     kept = _winnowing_kept(spark, sf_dir)
     sizes = (
         kept.groupBy("doc_id")
@@ -3949,64 +3952,115 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnowing_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, fp) winnowing fingerprint relation after the MOSS
-    df gate — shared by the registered query and its one-round bench
-    A/B arm (ab_variants), so the pair A/B times only the tail that
-    the round-13 rewrite changed."""
+def _winnowing_fp_batches(batches):
+    """Per-doc winnowing fingerprint kernel: the full 3-gram -> md5 ->
+    W-window min -> distinct pipeline for each document inside one
+    mapInPandas pass over (doc_id, words) — the dedup_minhash move
+    (r13) applied to the MOSS fingerprinter.
+
+    Bit-exact twin of the exploded form it replaced: the 3-gram
+    string is ``b" ".join`` of the word window — identical UTF-8
+    bytes to ``concat_ws(' ', g0, g1, g2)`` (split() never yields
+    NULL words; empty-string words concatenate identically); h is
+    the big-endian int of md5 digest bytes [0,5) — exactly
+    ``conv(substring(md5(g), 1, 10), 16, 10)`` (the equivalence
+    verified for dedup_minhash's h1, same construction); the window
+    minimum runs only over FULL W-windows (the old ``p + W-1 <= n``
+    guard), i.e. positions 0..n_grams-W, so docs with fewer than
+    W + 2 words (no full window — this subsumes the <3-words
+    no-grams case) emit nothing, exactly like the old explode; the
+    per-doc np.unique is the old distinct (doc_id is unique per
+    corpus row — base ids are table-unique, perturbed ids are their
+    disjoint negative mirror — so per-doc dedup IS the global
+    distinct).
+
+    Why a kernel: the old shape materialized one exploded row PER
+    3-GRAM (~60M at 100x), paid per-gram JVM md5 + hex substring +
+    conv, then a full exchange + per-doc SORT for the window minimum
+    and a 60M-row distinct. All of that collapses into one per-doc
+    loop whose md5 calls are the only per-gram Python cost; the
+    window min is W-1 vectorized np.minimum passes and the distinct
+    a per-doc np.unique, and NOTHING leaves the task but the final
+    ~2/(W+1)-density fingerprint rows."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from hashlib import md5  # noqa: PLC0415
+
+    join = b" ".join
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ids: list = []
+        fps: list = []
+        for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+            if words is None or len(words) < WIN_W + 2:
+                continue
+            bw = [w.encode() for w in words]
+            digests = b"".join(
+                md5(join(t)).digest()[:5]
+                for t in zip(bw, bw[1:], bw[2:])
+            )
+            B = (
+                np.frombuffer(digests, dtype=np.uint8)
+                .reshape(-1, 5)
+                .astype(np.int64)
+            )
+            h = (
+                (B[:, 0] << 32)
+                | (B[:, 1] << 24)
+                | (B[:, 2] << 16)
+                | (B[:, 3] << 8)
+                | B[:, 4]
+            )
+            m = h[: len(h) - WIN_W + 1].copy()
+            for j in range(1, WIN_W):
+                np.minimum(m, h[j : j + len(m)], out=m)
+            u = np.unique(m)
+            ids.append(np.full(len(u), doc_id, dtype=np.int64))
+            fps.append(u)
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "fp": np.concatenate(fps),
+                }
+            )
+
+
+def _winnowing_fps_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, fp) winnowing fingerprints, pre-df-gate —
+    one scan, one kernel, no shuffle (near_dup_corpus's round-robin
+    balance is the only exchange). Split out of _winnowing_kept so
+    plan tooling can dump the fingerprint pipeline that the lazy
+    localCheckpoint otherwise hides behind a Scan ExistingRDD.
+
+    (r13 kernel rewrite; the old exploded form — posexplode to one
+    row per 3-gram, codegen'd md5, window-min over an exchange +
+    per-doc sort, 60M-row distinct — is this round's
+    ab_variants arm. Historical negative result kept for the record:
+    an in-array spelling — transform(md5) + log-shift zip_with
+    folds, no window — measured 4x WORSE than the explode (384s):
+    CollapseProject re-inlined the md5 transform into every
+    downstream slice, 270 copies in the optimized plan; lambda-
+    bearing arrays do not get the multi-reference exemption that
+    saved embedding_quantize. NOTES.md.)"""
     docs = load(spark, sf_dir, "documents")
     corpus = near_dup_corpus(docs)
-    words = F.col("words")
-    n_grams = F.size(words) - 2
-    zipped = F.arrays_zip(
-        *[F.slice(words, j + 1, n_grams).alias(f"g{j}") for j in range(3)]
+    return corpus.mapInPandas(
+        _winnowing_fp_batches, "doc_id long, fp long"
     )
-    grams = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            zipped,
-            lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(3)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
-    # Positional hashing is EXPLODED (doc_id, p, h) so the md5 runs as
-    # a codegen'd per-row expression (8.1s for the 60M-shingle scan at
-    # 100x). The tempting in-array spelling — transform(md5) + log-
-    # shift zip_with folds, no window — measured 4x WORSE (384s):
-    # CollapseProject re-inlined the md5 transform into every
-    # downstream slice (270 copies in the optimized plan) and neither
-    # staged selects nor a repartition boundary stopped it; lambda-
-    # bearing arrays do not get the multi-reference exemption that
-    # saved embedding_quantize. Negative result recorded in NOTES.md.
-    pos = corpus.select(
-        "doc_id", F.posexplode(grams).alias("p0", "g")
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("p"),  # 1-based, as the oracle's
-        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WIN_W - 1)
-    wn = Window.partitionBy("doc_id")
-    winmin = pos.select(
-        "doc_id",
-        "p",
-        F.min("h").over(w).alias("fp"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    # the per-doc distinct adds NO exchange: the window already hash-
-    # partitioned on doc_id, which satisfies the (doc_id, fp) grouping.
+
+def _winnowing_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, fp) winnowing fingerprint relation after the MOSS
+    df gate."""
     # fps is localCheckpoint-materialized because FOUR consumers read
     # it (hot list, kept x2 legs, and through them sizes/pairs) and
     # Spark replicates the producing subtree per consumer — branch
-    # re-execution, not the window, was most of the first probe row's
-    # 88.3s. Swap for checkpoint()/cache on a real cluster.
-    fps = (
-        winmin.where(F.col("p") + (WIN_W - 1) <= F.col("n"))
-        .select("doc_id", "fp")
-        .distinct()
-        .localCheckpoint(eager=False)
+    # re-execution was most of the first probe row's 88.3s. Swap for
+    # checkpoint()/cache on a real cluster.
+    fps = _winnowing_fps_frame(spark, sf_dir).localCheckpoint(
+        eager=False
     )
     # df gate as a BROADCAST ANTI-join against the HOT list (fps with
     # df > cap) — tiny by nature (ultra-common fingerprints only), so
