@@ -663,3 +663,150 @@ AB_BASELINES["similarity_ann_lsh_batch"] = _old_similarity_ann_lsh_batch
 # here: a different hash chunks differently, so it fails this module's
 # same-result-set contract — its measured pair lives in
 # PROBE_r13.json["anomalies"]["dedup_cdc_chunks"] instead.)
+
+
+def _old_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: whole-stage-codegen'd
+    double-regexp_replace pipeline, evaluated TWICE per row (once
+    under length, once under md5 — CollapseProject re-inlines the
+    shared norm subtree). The live form normalizes once per doc in a
+    C-level byte kernel (text._norm_bytes) with no regex at all."""
+    from file_scraper_spark.tables import load
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+AB_BASELINES["text_normalize"] = _old_text_normalize
+
+
+def _old_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 optimization superseded form: the normalize stage as the
+    codegen'd double-regex pipeline (same expression as
+    _old_text_normalize) feeding the unchanged dedup/gate/split/stats
+    tail. The live form runs the normalize stage per-doc in the
+    _norm_bytes kernel."""
+    from file_scraper_spark.operators.pipeline_ops import hash_bucket
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    normed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.md5(norm).alias("norm_md5"),
+    )
+    deduped = normed.groupBy("norm_md5").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+        F.min_by("n_words", "doc_id").alias("n_words"),
+    )
+    kept = deduped.filter(F.col("n_words") >= 10).withColumn(
+        "b", hash_bucket(F.col("doc_id"))
+    )
+    split = (
+        F.when(F.col("b") < 80, "train")
+        .when(F.col("b") < 90, "valid")
+        .otherwise("test")
+    )
+    return kept.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+AB_BASELINES["pipeline_end2end"] = _old_pipeline_end2end
+
+
+def _old_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 continuation superseded form: two corpus-sized bigram
+    EXPLODES (per-bigram JVM md5 + hex conv each), broadcast ratio
+    join onto the exploded stream, corpus-sized groupBy(doc_id)
+    rollup. The live form runs two per-doc kernels with the
+    fixed-width ratio table collected driver-side (IVF-codebook
+    pattern) — bigrams never leave their task and the only exchange
+    is the <= DSIR_BUCKETS-row bucket aggregation."""
+    from file_scraper_spark.operators.pipeline_ops import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+    )
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n2 = F.size(words) - 1
+    zipped = F.arrays_zip(
+        F.slice(words, 1, n2).alias("w1"), F.slice(words, 2, n2).alias("w2")
+    )
+    bigrams = F.when(F.size(words) >= 2, zipped).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    grams = (
+        docs.select("doc_id", "lang", F.explode(bigrams).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", "g.w1", "g.w2")), 1, 10
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    ratios = grams.groupBy("b").agg(
+        F.expr(
+            f"((sum(case when lang = 'en' then 1 else 0 end) + 1)"
+            f" * {DSIR_SCALE}) div (count(1) + {DSIR_BUCKETS // 100})"
+        ).alias("r")
+    )
+    scored = (
+        grams.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("sum(r) div count(1)").alias("score_q"),
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("score_q").cast("long").alias("score_q"),
+        (
+            u * DSIR_SCALE
+            < F.least(F.col("score_q") * 4, F.lit(DSIR_SCALE))
+            * F.lit(1099511627776)
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+AB_BASELINES["dsir_weights"] = _old_dsir_weights

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from file_scraper_spark.operators.text import (
     STOPWORDS,
     _marker_count,
+    _norm_bytes,
     _oracle_marker_count,
     _words,
 )
@@ -263,19 +264,43 @@ def pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits. This is the plan shape a 100 TB corpus build runs
     nightly."""
     docs = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +",
-            " ",
-        )
-    )
-    normed = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.size(F.split("text", " ")).alias("n_words"),
-        F.md5(norm).alias("norm_md5"),
+
+    # r13: the normalize stage is the same per-doc kernel move as
+    # text_normalize (see text._norm_bytes — C-level byte ops replace
+    # the codegen'd double-regex pipeline, the scan's dominant cost at
+    # 100x). n_words twin: size(split(text, ' ')) = count(' ') + 1 for
+    # non-NULL text (single-space split keeps empties), NULL for NULL
+    # text (ANSI size(NULL)); md5/NULL propagation as in text_normalize.
+    def norm_rows(batches):
+        import pandas as pd  # noqa: PLC0415
+        from hashlib import md5  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nw: list = []
+            digs: list = []
+            for text in pdf["text"]:
+                if text is None:
+                    nw.append(None)
+                    digs.append(None)
+                else:
+                    nw.append(text.count(" ") + 1)
+                    digs.append(md5(_norm_bytes(text)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "n_chars": pdf["n_chars"],
+                    "n_words": pd.array(nw, dtype="Int64"),
+                    "norm_md5": digs,
+                }
+            )
+
+    normed = docs.select("doc_id", "lang", "n_chars", "text").mapInPandas(
+        norm_rows,
+        "doc_id long, lang string, n_chars long, n_words long,"
+        " norm_md5 string",
     )
     # min_by, not any_value: if two docs ever normalize to the same
     # text with different raw attributes, the representative must be
@@ -1413,6 +1438,45 @@ DSIR_BUCKETS = 10_000
 DSIR_SCALE = 10**6
 
 
+def _dsir_bucket_ids(text):
+    """Hashed-bigram bucket ids of one document, or None when the doc
+    has no bigrams — the bit-exact kernel twin of the old exploded
+    expression ``conv(substring(md5(concat_ws(' ', w1, w2)), 1, 10),
+    16, 10) % DSIR_BUCKETS`` over ``split(text, ' ')``:
+
+    - ``text.split(" ")`` is the single-space split KEEPING empties,
+      exactly Spark's split (empty-string words pair up identically);
+    - the bigram bytes are ``w1 + b" " + w2`` — the same UTF-8 bytes
+      concat_ws feeds Spark's md5 (split never yields NULL words);
+    - hex digits [0, 10) of an md5 are digest bytes [0, 5) big-endian
+      (< 2^40 — the equivalence verified for dedup_minhash's h1), and
+      the modulo runs on exact ints in both engines.
+    Docs with < 2 words (or NULL text) produced zero exploded rows in
+    the old form and return None here."""
+    from hashlib import md5  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if text is None:
+        return None
+    words = text.split(" ")
+    if len(words) < 2:
+        return None
+    bw = [w.encode() for w in words]
+    digs = b"".join(
+        md5(a + b" " + b).digest()[:5] for a, b in zip(bw, bw[1:])
+    )
+    B = np.frombuffer(digs, dtype=np.uint8).reshape(-1, 5).astype(np.int64)
+    h = (
+        (B[:, 0] << 32)
+        | (B[:, 1] << 24)
+        | (B[:, 2] << 16)
+        | (B[:, 3] << 8)
+        | B[:, 4]
+    )
+    return h % DSIR_BUCKETS
+
+
 @query(
     "dsir_weights",
     oracle=f"""
@@ -1472,75 +1536,112 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     with fewer than two words have no features and are excluded in
     both engines.
 
-    Scale shape: ONE corpus-linear bigram pass feeding two
-    aggregations that both key on the hashed bucket — the ratio table
-    is {DSIR_BUCKETS} rows by construction and BROADCASTS back onto
-    the feature stream, so the only corpus-sized exchange is the
-    per-doc rollup; the bucket table's fixed width is what makes the
-    same plan hold at 100 TB (an unhashed vocab table would not
-    broadcast)."""
+    Scale shape (r13 continuation — kernel rewrite, the dedup_minhash
+    move): pass 1 is one per-doc kernel emitting per-BATCH bucket
+    partials (at most {DSIR_BUCKETS} tiny rows per Arrow batch), so
+    the only exchange anywhere is the <= {DSIR_BUCKETS}-row bucket
+    aggregation; the finished ratio table — fixed width by
+    construction, DSIR's core scaling idea — is collected driver-side
+    (the IVF-codebook control-plane pattern, corpus-independent size)
+    and closed over by pass 2, a second per-doc kernel that computes
+    each doc's n_bigrams/score/coin directly. The old shape paid two
+    corpus-sized bigram EXPLODES (one exploded row per bigram, each
+    with a JVM md5 + hex substring + conv parse), a broadcast join
+    onto 60M exploded rows and a corpus-sized groupBy(doc_id)
+    exchange; all of that is gone — bigrams never leave their task,
+    and the per-doc rollup happens where the doc already is. An
+    earlier A/B had already rejected materializing the exploded frame
+    (27.9s vs 23.8s recompute, NOTES r12); this removes the frame
+    entirely instead."""
+    import numpy as np  # noqa: PLC0415
+
     docs = load(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n2 = F.size(words) - 1
-    zipped = F.arrays_zip(
-        F.slice(words, 1, n2).alias("w1"), F.slice(words, 2, n2).alias("w2")
-    )
-    bigrams = F.when(F.size(words) >= 2, zipped).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
-    grams = (
-        docs.select("doc_id", "lang", F.explode(bigrams).alias("g"))
+
+    def bucket_partials(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+            n_en = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                bs = _dsir_bucket_ids(text)
+                if bs is None:
+                    continue
+                np.add.at(n, bs, 1)
+                if lang == "en":
+                    np.add.at(n_en, bs, 1)
+            occ = np.nonzero(n)[0]
+            if len(occ):
+                yield pd.DataFrame(
+                    {
+                        "b": occ.astype(np.int64),
+                        "n": n[occ],
+                        "n_en": n_en[occ],
+                    }
+                )
+
+    ratio_rows = (
+        docs.select("lang", "text")
+        .mapInPandas(bucket_partials, "b long, n long, n_en long")
+        .groupBy("b")
+        .agg(F.sum("n").alias("n"), F.sum("n_en").alias("n_en"))
         .select(
-            "doc_id",
-            "lang",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", "g.w1", "g.w2")), 1, 10
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % DSIR_BUCKETS
-            ).alias("b"),
+            "b",
+            F.expr(
+                f"((n_en + 1) * {DSIR_SCALE})"
+                f" div (n + {DSIR_BUCKETS // 100})"
+            ).alias("r"),
         )
+        .collect()
     )
-    # Deliberately NOT materialized despite the two consumers (ratio
-    # build + probe side): a same-box A/B measured the localCheckpoint
-    # of this 60M-row exploded frame at 27.9s cold vs 23.8s for the
-    # recompute — serializing corpus-sized intermediate rows costs
-    # more than re-running one cheap scan+hash projection. Contrast
-    # dedup_winnowing (4 consumers over a window+distinct pipeline),
-    # where materialization won 2.6x: the rule is consumers x
-    # recompute-cost vs materialize-cost, not "always checkpoint".
-    ratios = grams.groupBy("b").agg(
-        F.expr(
-            f"((sum(case when lang = 'en' then 1 else 0 end) + 1)"
-            f" * {DSIR_SCALE}) div (count(1) + {DSIR_BUCKETS // 100})"
-        ).alias("r")
-    )
-    scored = (
-        grams.join(F.broadcast(ratios), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.expr("sum(r) div count(1)").alias("score_q"),
-        )
-    )
-    u = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
-    ).cast("long")
-    return scored.select(
-        "doc_id",
-        "n_bigrams",
-        F.col("score_q").cast("long").alias("score_q"),
-        (
-            u * DSIR_SCALE
-            < F.least(F.col("score_q") * 4, F.lit(DSIR_SCALE))
-            * F.lit(1099511627776)
-        )
-        .cast("int")
-        .alias("kept"),
+    r_arr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    for row in ratio_rows:
+        r_arr[row["b"]] = row["r"]
+
+    def score_rows(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        from hashlib import md5  # noqa: PLC0415
+
+        lim = 1099511627776  # 2^40: the u40 coin scale
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            nbs: list = []
+            sqs: list = []
+            keeps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bs = _dsir_bucket_ids(text)
+                if bs is None:
+                    continue
+                nb = len(bs)
+                sq = int(r_arr[bs].sum()) // nb
+                u = int.from_bytes(
+                    md5(str(doc_id).encode()).digest()[:5], "big"
+                )
+                ids.append(doc_id)
+                nbs.append(nb)
+                sqs.append(sq)
+                keeps.append(
+                    1 if u * DSIR_SCALE < min(sq * 4, DSIR_SCALE) * lim else 0
+                )
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array(ids, dtype=np.int64),
+                        "n_bigrams": np.array(nbs, dtype=np.int64),
+                        "score_q": np.array(sqs, dtype=np.int64),
+                        "kept": np.array(keeps, dtype=np.int32),
+                    }
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        score_rows,
+        "doc_id long, n_bigrams long, score_q long, kept int",
     )
 
 

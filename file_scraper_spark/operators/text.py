@@ -493,6 +493,68 @@ def text_topn_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: UTF-8 bytes DELETED by the normalization char class [^a-z0-9 ]:
+#: everything but ASCII lowercase/digits/space. Deleting these BYTES
+#: from UTF-8 equals deleting those CHARS — every byte of a multi-byte
+#: sequence is >= 0x80, so non-ASCII chars vanish whole.
+_NORM_DELETE = bytes(
+    c
+    for c in range(256)
+    if c not in b"abcdefghijklmnopqrstuvwxyz0123456789 "
+)
+
+
+def _norm_bytes(text: str) -> bytes:
+    """Bit-exact bytes twin of the normalization expression
+    ``trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+    ''), ' +', ' '))`` — all C-level ops, no regex:
+
+    - ``str.lower()`` is the Unicode default case conversion, the
+      same mapping Spark's UTF8String.toLowerCase (Locale.ROOT) and
+      DuckDB's utf8proc apply for every char the class can keep; the
+      one full-vs-simple mapping divergence (U+0130 lowers to
+      "i"+U+0307 full, "i" simple) converges after the strip deletes
+      the combining dot — both engines keep exactly "i".
+    - ``translate(None, _NORM_DELETE)`` is the char-class strip (see
+      _NORM_DELETE: byte-level == char-level on UTF-8).
+    - only 0x20 survives the strip, so ``split()`` (any-whitespace,
+      empties dropped) + single-space ``join`` IS collapse-runs+trim.
+    The result is pure ASCII, so byte length == char length and the
+    md5 input bytes are identical to Spark's cast-to-binary."""
+    return b" ".join(
+        text.lower().encode("utf-8").translate(None, _NORM_DELETE).split()
+    )
+
+
+def _normalize_rows(batches):
+    """Per-doc kernel for text_normalize: (doc_id, text) in,
+    (doc_id, norm_len, norm_md5) out; NULL text propagates to NULL
+    outputs exactly like the expression form."""
+    import pandas as pd  # noqa: PLC0415
+    from hashlib import md5  # noqa: PLC0415
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        lens: list = []
+        digs: list = []
+        for text in pdf["text"]:
+            if text is None:
+                lens.append(None)
+                digs.append(None)
+            else:
+                nb = _norm_bytes(text)
+                lens.append(len(nb))
+                digs.append(md5(nb).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "norm_len": pd.array(lens, dtype="Int64"),
+                "norm_md5": digs,
+            }
+        )
+
+
 @query(
     "text_normalize",
     oracle="""
@@ -516,22 +578,23 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (length, md5) so the comparator sees scalars; the md5 doubles as
     the exact-dedup key downstream.
 
-    Scale shape: pure per-row projection — one scan, no shuffle,
-    whole-stage codegen over the regex pipeline. At 100 TB this runs
+    Scale shape: pure per-row projection — one scan, one per-doc
+    kernel pass (``_normalize_rows``), no shuffle. r13: the codegen'd
+    double-regex pipeline was the engine's slowest 100x scan row
+    (42.4s) AND the Project evaluated the whole pipeline TWICE per row
+    (once under length, once under md5 — CollapseProject inlines the
+    shared subexpression); the kernel normalizes once per doc with
+    C-level byte ops (no regex at all, see ``_norm_bytes``) and ships
+    only (doc_id, text) across the Arrow boundary. At 100 TB this runs
     at parquet-scan speed and is where a pipeline normalizes BEFORE
     any shuffle-heavy dedup stage, so byte-identical variants collapse
     as early as possible."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +",
-            " ",
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            _normalize_rows, "doc_id long, norm_len long, norm_md5 string"
         )
-    )
-    return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.length(norm).cast("long").alias("norm_len"),
-        F.md5(norm).alias("norm_md5"),
     )
 
 
