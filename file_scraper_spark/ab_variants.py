@@ -188,26 +188,34 @@ AB_BASELINES = {
 
 
 def _old_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-13 continuation superseded form (cut 2 of 3): order-
-    bucket postings SELF-JOIN + degree join — four data-sized
-    shuffles, 109.4s cold at 100x vs the shipped in-row set-expansion
-    form's 53.8s. Kept one round per the contract."""
+    """Superseded form, REPOINTED mid-round like the winnowing arm:
+    this is now cut 3 (in-row interpreted-HOF pair expansion), which
+    the continuation session replaced with a per-basket numpy kernel
+    (cut 4, 0.28x same-JVM at 100x). Cut 2 (postings self-join +
+    degree join, four data-sized shuffles) was this arm's first
+    occupant; its pair vs cut 3 (109.4s -> 53.8s, 0.49x) is recorded
+    in NOTES.md and the earlier BENCH_LOCAL_r13 capture."""
     from file_scraper_spark.operators.graph import RA_SCALE, RA_TOPK
     from file_scraper_spark.tables import load
 
     li = load(spark, sf_dir, "lineitem")
-    e = (
+    sets = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
     )
-    deg = e.groupBy("o").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a, b = e.alias("a"), e.alias("b")
     pairs = (
-        a.join(b, (F.col("b.o") == F.col("a.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.o").alias("o"), F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .join(deg, "o")
-        .select("u", "v", F.expr(f"{RA_SCALE} div d").alias("c"))
+        sets.withColumn("c", F.expr(f"{RA_SCALE} div size(ps)"))
+        .withColumn(
+            "prs",
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS u, y AS v))))"
+            ),
+        )
+        .select(F.explode("prs").alias("pr"), "c")
+        .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"), "c")
     )
     return (
         pairs.groupBy("u", "v")

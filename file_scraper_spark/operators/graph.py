@@ -626,44 +626,68 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     link-prediction literature RA consistently matches or beats AA
     anyway (Zhou, Lu, Zhang 2009, public result).
 
-    Scale shape (third cut — the first two are recorded A/Bs): pair
-    candidates come only from co-membership buckets, and the bucket
-    is the ORDER (<= 7 lineitems in TPC-H; bounded basket size in any
-    retail feed), so pair expansion is O(edges * basket_size), linear
-    in corpus size. Cut 1 bucketed on the shared SUPPLIER: supplier
-    degree GROWS with the corpus -> deg^2 pairs, 22.8s at sf0.01
-    alone, quadratic beyond. Cut 2 kept order buckets but generated
-    pairs via postings self-join + degree join: four data-sized
-    shuffles, 109.4s cold at 100x. This form folds each order to ONE
-    sorted part-set row (groupBy with map-side partial sets), expands
-    the <= C(7,2) pairs IN-ROW with array HOFs (u < v falls out of
-    sort_array + index order), and pays exactly TWO shuffles total
-    (the set fold + the final groupBy(u,v) with map-side combine) and
-    ZERO joins — 53.8s cold at 100x, 0.49x of cut 2 (pairs in
-    NOTES; the residue is the two 60-90M-row exchanges themselves,
-    the irreducible cost of counting shared baskets). On a feed with
-    unbounded baskets you cap or sample mega-baskets first (the RA
-    weight already makes what the cap drops negligible); top-30 is a
-    TakeOrderedAndProject."""
+    Scale shape (FOURTH cut — the first three are recorded A/Bs):
+    pair candidates come only from co-membership buckets, and the
+    bucket is the ORDER (<= 7 lineitems in TPC-H; bounded basket size
+    in any retail feed), so pair expansion is O(edges * basket_size),
+    linear in corpus size. Cut 1 bucketed on the shared SUPPLIER:
+    supplier degree GROWS with the corpus -> deg^2 pairs, 22.8s at
+    sf0.01 alone, quadratic beyond. Cut 2 kept order buckets but
+    generated pairs via postings self-join + degree join: four
+    data-sized shuffles, 109.4s cold at 100x. Cut 3 folded each order
+    to ONE sorted part-set row and expanded the pairs IN-ROW with
+    array HOFs — 0.49x of cut 2, but Catalyst evaluates HOF lambdas
+    INTERPRETED, so every pair paid nested closure calls plus a
+    struct allocation (the doc_fingerprint finding applied to pair
+    expansion). This cut keeps cut 3's plan shape — the same TWO
+    shuffles (set fold + final groupBy(u, v) with map-side combine),
+    zero joins — and swaps the HOF expansion for a per-basket numpy
+    kernel: precomputed triu index pairs per basket size k gather the
+    C(k,2) (u, v) rows in two vectorized takes (u < v falls out of
+    sort_array + triu order) with c = RA_SCALE div k attached.
+    Same-JVM interleaved A/B at 100x: 49.3s vs 13.6s = 0.28x, kernel
+    faster in both pairs. On a feed with unbounded baskets you cap or
+    sample mega-baskets first (the RA weight already makes what the
+    cap drops negligible); top-30 is a TakeOrderedAndProject."""
     li = load(spark, sf_dir, "lineitem")
     sets = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
     )
-    pairs = (
-        sets.withColumn("c", F.expr(f"{RA_SCALE} div size(ps)"))
-        .withColumn(
-            "prs",
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)),"
-                " y -> struct(x AS u, y AS v))))"
-            ),
-        )
-        .select(F.explode("prs").alias("pr"), "c")
-        .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"), "c")
-    )
+
+    def expand(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        # triu index pairs per basket size: baskets are tiny (<= 7 in
+        # TPC-H), so the full table is a few hundred ints
+        iu = {k: np.triu_indices(k, 1) for k in range(2, 64)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            us: list = []
+            vs: list = []
+            cs: list = []
+            for ps in pdf["ps"]:
+                k = len(ps)
+                if k < 2:
+                    continue
+                arr = np.asarray(ps, dtype=np.int64)
+                a, b = iu[k] if k in iu else np.triu_indices(k, 1)
+                us.append(arr[a])
+                vs.append(arr[b])
+                cs.append(np.full(len(a), RA_SCALE // k, dtype=np.int64))
+            if us:
+                yield pd.DataFrame(
+                    {
+                        "u": np.concatenate(us),
+                        "v": np.concatenate(vs),
+                        "c": np.concatenate(cs),
+                    }
+                )
+
+    pairs = sets.mapInPandas(expand, "u long, v long, c long")
     return (
         pairs.groupBy("u", "v")
         .agg(

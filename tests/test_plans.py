@@ -1353,12 +1353,16 @@ def test_phrase_index_serving_is_partition_pruned(spark, sf_dir):
 
 def test_link_predict_zero_joins(spark, sf_dir):
     """graph_link_predict: the shipped form folds each order to one
-    part-set row and expands pairs IN-ROW — the plan must carry NO
-    join of any kind (the 109s four-shuffle join form is the pinned
-    regression), exactly two aggregates' exchanges, and a
+    part-set row and expands pairs in a per-basket numpy kernel (r13
+    continuation — the interpreted-HOF in-row expansion was 3.6x
+    slower, and the 109s four-shuffle join form remains the pinned
+    regression): the plan must carry NO join of any kind, no
+    Generate/explode, exactly one MapInPandas, and a
     TakeOrderedAndProject top-30."""
     plan = plan_of("graph_link_predict", spark, sf_dir)
     assert "Join" not in plan
+    assert "Generate" not in plan
+    assert plan.count("MapInPandas") == 1
     assert "TakeOrderedAndProject" in plan
 
 
