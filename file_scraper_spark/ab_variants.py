@@ -818,3 +818,39 @@ def _old_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["dsir_weights"] = _old_dsir_weights
+
+
+def _old_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 continuation superseded form: five per-language HOF filter
+    lambdas per doc (interpreted) + the nested CASE argmax in JVM
+    expressions. The live form counts marker membership per doc in
+    one kernel pass."""
+    from file_scraper_spark.operators.text import (
+        LANG_MARKERS,
+        _langid_case,
+        _marker_count,
+        _words,
+    )
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    scores = {
+        lang: _marker_count(words, markers).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    base = docs.select("doc_id", "lang", *scores.values())
+    score_cols = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    return base.select(
+        "doc_id",
+        "lang",
+        "s_en",
+        "s_de",
+        "s_es",
+        "s_fr",
+        "s_zh",
+        _langid_case(score_cols).alias("predicted"),
+    )
+
+
+AB_BASELINES["text_langid"] = _old_text_langid

@@ -176,24 +176,60 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (n-gram-heuristic family): per-language
     integer scores + deterministic priority argmax. (The fixture text
     is synthetic word-soup, so `predicted` won't match `lang` — the
-    operator contract is determinism, both engines agree exactly.)"""
+    operator contract is determinism, both engines agree exactly.)
+
+    r13 continuation: the five per-language HOF filters (each an
+    INTERPRETED lambda over every word — Catalyst does not codegen
+    inside HOF lambdas) run per-doc in one kernel instead. Twin
+    semantics: words = single-space split keeping empties; each score
+    counts membership in the language's marker set; the priority
+    argmax `s_lang >= greatest(later scores)` IS "first language in
+    priority order attaining the max" (>= awards ties to the earlier
+    language); NULL text propagates NULL scores and the CASE falls
+    through every NULL comparison to the final 'zh' in both engines."""
     docs = load(spark, sf_dir, "documents")
-    words = _words()
-    scores = {
-        lang: _marker_count(words, markers).alias(f"s_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    }
-    base = docs.select("doc_id", "lang", *scores.values())
-    score_cols = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
-    return base.select(
-        "doc_id",
-        "lang",
-        "s_en",
-        "s_de",
-        "s_es",
-        "s_fr",
-        "s_zh",
-        _langid_case(score_cols).alias("predicted"),
+    markers = {lang: frozenset(ms) for lang, ms in LANG_MARKERS.items()}
+    order = LANG_PRIORITY
+
+    def langid_rows(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols: dict = {lang: [] for lang in order}
+            preds: list = []
+            for text in pdf["text"]:
+                if text is None:
+                    for lang in order:
+                        cols[lang].append(None)
+                    preds.append(order[-1])
+                    continue
+                words = text.split(" ")
+                scores = [
+                    sum(w in markers[lang] for w in words)
+                    for lang in order
+                ]
+                for lang, s in zip(order, scores):
+                    cols[lang].append(s)
+                best = max(scores)
+                preds.append(order[scores.index(best)])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    **{
+                        f"s_{lang}": pd.array(cols[lang], dtype="Int32")
+                        for lang in order
+                    },
+                    "predicted": preds,
+                }
+            )
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        langid_rows,
+        "doc_id long, lang string, s_en int, s_de int, s_es int,"
+        " s_fr int, s_zh int, predicted string",
     )
 
 
