@@ -854,3 +854,33 @@ def _old_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["text_langid"] = _old_text_langid
+
+
+def _old_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 continuation superseded form: zip_with bigram HOF
+    (interpreted lambda + concat allocation per bigram) +
+    array_distinct, all JVM expressions. The live form counts
+    distinct bigram TUPLES per doc in one kernel."""
+    from file_scraper_spark.operators.text import _bigrams, _words
+    from file_scraper_spark.tables import load
+
+    words = _words()
+    bg = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(words) >= 2)
+        .select("doc_id", _bigrams(words).alias("bigrams"))
+    )
+    n = F.size("bigrams").cast("long")
+    d = F.size(F.array_distinct("bigrams")).cast("long")
+    rep = F.floor(
+        1_000_000.0 * (1.0 - d.cast("double") / n.cast("double"))
+    ).cast("long")
+    return bg.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        d.alias("n_distinct"),
+        rep.alias("rep_q"),
+    )
+
+
+AB_BASELINES["text_repetition"] = _old_text_repetition

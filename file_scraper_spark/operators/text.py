@@ -408,26 +408,56 @@ _ORACLE_BIGRAMS = (
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-bigram ratio — the duplicate-n-gram quality signal of
     C4/Gopher-style corpus filters (a high ratio flags boilerplate
-    and degenerate repetition). Pure higher-order array functions:
-    bigram construction, `array_distinct`, and a quantized ratio, all
-    JVM-side in one scan with no shuffle — the per-document shape
-    that scales linearly to 100 TB."""
-    words = _words()
-    bg = (
-        load(spark, sf_dir, "documents")
-        .filter(F.size(words) >= 2)
-        .select("doc_id", _bigrams(words).alias("bigrams"))
-    )
-    n = F.size("bigrams").cast("long")
-    d = F.size(F.array_distinct("bigrams")).cast("long")
-    rep = F.floor(
-        1_000_000.0 * (1.0 - d.cast("double") / n.cast("double"))
-    ).cast("long")
-    return bg.select(
-        "doc_id",
-        n.alias("n_bigrams"),
-        d.alias("n_distinct"),
-        rep.alias("rep_q"),
+    and degenerate repetition). One scan, no shuffle — the
+    per-document shape that scales linearly to 100 TB.
+
+    r13 continuation: the zip_with bigram HOF (interpreted lambda +
+    a concat allocation per bigram) and array_distinct move into one
+    per-doc kernel. Twin semantics: words = single-space split
+    keeping empties; distinct of (w[i], w[i+1]) TUPLES equals
+    distinct of the 'w1 w2' strings because split words cannot
+    contain the separator; docs with < 2 words (or NULL text) were
+    dropped by the size filter and emit nothing here; rep_q runs the
+    identical IEEE ops (1e6 * (1 - d/n), floored) on the same ints."""
+    docs = load(spark, sf_dir, "documents")
+
+    def rep_rows(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        from math import floor  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            ns: list = []
+            ds: list = []
+            reps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                n = len(words) - 1
+                if n < 1:
+                    continue
+                d = len(set(zip(words, words[1:])))
+                ids.append(doc_id)
+                ns.append(n)
+                ds.append(d)
+                reps.append(floor(1_000_000.0 * (1.0 - d / n)))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array(ids, dtype=np.int64),
+                        "n_bigrams": np.array(ns, dtype=np.int64),
+                        "n_distinct": np.array(ds, dtype=np.int64),
+                        "rep_q": np.array(reps, dtype=np.int64),
+                    }
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        rep_rows,
+        "doc_id long, n_bigrams long, n_distinct long, rep_q long",
     )
 
 
