@@ -33,6 +33,21 @@ slower and was rejected), ``xml_roundtrip`` (declared read-back
 schema vs inference), ``doc_fingerprint`` (vectorized numpy Horner
 kernel vs interpreted HOF fold).
 
+Continuation-session entries (same round, after the first wrap; 100x
+pairs in OPTIMIZATION_r13.md, sf0.1 pairs in the final
+BENCH_LOCAL_r13.json capture): ``text_normalize`` and
+``pipeline_end2end`` (codegen'd double-regex normalization — which
+the plan evaluated twice per row — vs the _norm_bytes byte kernel,
+0.045x/0.073x at 100x), ``dsir_weights`` (two bigram explodes +
+broadcast join + doc_id exchange vs two per-doc kernels around a
+driver-collected fixed-width ratio table, 0.67x),
+``graph_link_predict`` (arm REPOINTED mid-round, see its docstring:
+now cut 3's interpreted-HOF pair expansion vs the per-basket triu
+kernel, 0.28x), ``text_langid`` (five HOF filter lambdas + CASE
+argmax vs one marker-count kernel, 0.61x), ``text_repetition``
+(zip_with bigram concat + array_distinct vs per-doc distinct-tuple
+count, 0.055x).
+
 - ``dedup_winnowing``: round 13 changed this query twice. (a) The
   tail's forced broadcast of the docs-proportional sizes frame was
   dropped (VERDICT r12 weak #1; AQE now picks the strategy from
