@@ -1408,3 +1408,33 @@ def test_cdc_indexed_store_side_no_shuffle(spark, sf_dir):
     assert "fss_cdcx_" in plan
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning(chunk_md5" not in plan
+
+
+def test_continuation_scan_kernels_one_pass(spark, sf_dir):
+    """text_normalize / text_langid / text_repetition (r13
+    continuation): each is one corpus scan feeding exactly one
+    MapInPandas — no regex Project (the old normalize plan evaluated
+    the double-regex pipeline twice per row), no Generate, no joins,
+    no exchanges at all (pure per-doc shape). Same-JVM pairs in
+    OPTIMIZATION_r13.md."""
+    for name in ("text_normalize", "text_langid", "text_repetition"):
+        plan = plan_of(name, spark, sf_dir)
+        assert plan.count("MapInPandas") == 1, name
+        assert "regexp_replace" not in plan, name
+        assert "Generate" not in plan, name
+        assert "Join" not in plan, name
+        assert "Exchange" not in plan, name
+
+
+def test_dsir_scoring_plan_is_kernel_only(spark, sf_dir):
+    """dsir_weights (r13 continuation): the RETURNED frame's plan is
+    one corpus scan feeding one MapInPandas — the exploded bigram
+    representation, the broadcast ratio join and the corpus-sized
+    groupBy(doc_id) exchange are gone (the <= DSIR_BUCKETS-row ratio
+    aggregation runs as its own build-time job and its table rides
+    the kernel closure, the IVF-codebook pattern)."""
+    plan = plan_of("dsir_weights", spark, sf_dir)
+    assert plan.count("MapInPandas") == 1
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
