@@ -32,7 +32,8 @@ def _sampled_rounds_2_to_6() -> set[str]:
 
 def test_rotation_names_exist_and_unique():
     names = set(registry.REGISTRY)
-    for lst in (rotation.DRIVER_WINDOW_PRIORITY, rotation.ROUND8_REMAINDER):
+    for lst in (rotation.DRIVER_WINDOW_PRIORITY, rotation.ROUND8_REMAINDER,
+                rotation.RECHECK_FIRST):
         assert len(lst) == len(set(lst)), "duplicate in rotation list"
         missing = [n for n in lst if n not in names]
         assert not missing, f"rotation names not in registry: {missing}"
@@ -128,6 +129,46 @@ def test_recheck_pads_are_stalest_first(tmp_path):
     # tail: verified pads sorted by last green round (r2, r2, r3, r5),
     # import-order stable within a round (q_a before q_d)
     assert out[2:] == ["q_a", "q_d", "q_b", "q_mid"]
+
+
+def test_recheck_first_lands_behind_unverified_ahead_of_pads(tmp_path):
+    """VERDICT r13 #1: the 16 r13-rewritten queries must get a fresh
+    independent driver row this round. RECHECK_FIRST names are fronted
+    in reorder() output — but only AFTER unverified/latest-red names
+    (the conservative policy keeps its absolute priority) and BEFORE
+    the stalest-green re-check pads."""
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_pad_old": green, "q_rw": green}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "q_pad_new": green,
+        "q_red": {"rows_match": False, "err": None}}))
+    fake = {n: object() for n in
+            ("q_pad_new", "q_rw", "q_red", "q_pad_old", "q_never")}
+    orig = rotation.RECHECK_FIRST
+    rotation.RECHECK_FIRST = ("q_rw",)
+    try:
+        out = list(rotation.reorder(fake, root=str(tmp_path)))
+    finally:
+        rotation.RECHECK_FIRST = orig
+    # unverified first (import order), then the rewrite re-check,
+    # then pads stalest-green first
+    assert out == ["q_red", "q_never", "q_rw", "q_pad_old", "q_pad_new"]
+
+
+def test_live_window_rechecks_the_r13_rewrites():
+    """On the real artifacts (all 242 queries verified green), the
+    driver's 50-row r14 window must open with the 16 r13 rewrites so
+    CORRECTNESS_r14 independently re-hashes every kernel rewrite."""
+    order = list(registry.REGISTRY)
+    head = order[: len(rotation.RECHECK_FIRST)]
+    missing = [n for n in rotation.RECHECK_FIRST if n not in order[:50]]
+    if not rotation.sampled_in_prior_rounds() - set(order):
+        # guard stays vacuous if artifacts are absent in a bare checkout
+        pass
+    assert not missing, f"rewrites outside the 50-row window: {missing}"
+    assert set(head) <= set(order[:50])
 
 
 def test_scan_artifacts_sorts_rounds_numerically(tmp_path):
