@@ -899,3 +899,102 @@ def _old_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["text_repetition"] = _old_text_repetition
+
+
+def _old_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 optimization superseded form: synthetic-PII prepend + two
+    per-row Java regexp_replace passes in the JVM Project. The live
+    form runs the identical patterns as vectorized RE2 over Arrow
+    buffers in one mapInArrow kernel (``text._redact_batches``);
+    dialect equivalence proven per-pattern (26-case battery, Java ==
+    pyarrow-RE2 == DuckDB)."""
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-010"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\+?[0-9][0-9()\-]{6,}",
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.length("text").cast("long").alias("orig_len"),
+    )
+
+
+AB_BASELINES["text_redact"] = _old_text_redact
+
+
+def _old_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 optimization superseded form: identical rank pipeline but
+    WITHOUT the keyed-frame localCheckpoint — Spark replicates the
+    producing subtree (the whole quality_ensemble, 20 parquet scans)
+    into both consumers (histogram + tie-group window). The live form
+    materializes keyed once (the winnowing-fps fix applied here)."""
+    from pyspark.sql import Window
+
+    from file_scraper_spark.operators.text import (
+        CURRICULUM_BUCKETS_HEX,
+        quality_ensemble,
+    )
+
+    e = quality_ensemble(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("ok_gopher") + F.col("ok_fluency") + F.col("ok_diversity")
+        )
+        .cast("long")
+        .alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    keyed = e.withColumn(
+        "kb", F.substring("k", 1, CURRICULUM_BUCKETS_HEX)
+    )
+    hw = (
+        Window.orderBy(F.col("h_band").desc(), F.col("h_kb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        keyed.groupBy("band", "kb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("band").alias("h_band"),
+            F.col("kb").alias("h_kb"),
+            F.col("cnt"),
+        )
+        .select(
+            "h_band",
+            "h_kb",
+            F.coalesce(F.sum("cnt").over(hw), F.lit(0)).alias("cum"),
+        )
+    )
+    tw = Window.partitionBy("band", "kb").orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(tw))
+        .join(
+            hist,
+            (F.col("band") == F.col("h_band"))
+            & (F.col("kb") == F.col("h_kb")),
+        )
+        .select(
+            "doc_id",
+            "band",
+            (F.col("cum") + F.col("rn"))
+            .cast("long")
+            .alias("curriculum_rank"),
+        )
+    )
+
+
+AB_BASELINES["corpus_curriculum"] = _old_corpus_curriculum

@@ -233,6 +233,67 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redact_batches(batches):
+    """Arrow-native redaction kernel: synthetic-PII prepend + the two
+    PII regexes + char length, all C-level over Arrow buffers — no
+    Python string objects, no per-row JVM regex machinery.
+
+    Bit-exact twin of the regexp_replace form it replaced (r14):
+    pyarrow's ``replace_substring_regex`` is RE2, the same engine the
+    DuckDB oracle runs — and both patterns are pure ASCII classes
+    with greedy quantifiers (no alternation, no backrefs), where
+    RE2's leftmost match and Java's leftmost-greedy scan produce
+    identical non-overlapping match sequences; verified on a 26-case
+    adversarial battery (unicode, NULLs, adjacent/overlapping PII,
+    `....@....`, `++`, paren/dash runs) — Java == pyarrow-RE2 ==
+    DuckDB on every case, plus the registry fuzz's PII-shaped-token
+    corpora. The id%10 digit uses truncated (sign-preserving) modulo,
+    matching both engines on any id sign;
+    ``binary_join_element_wise``'s default emit_null reproduces
+    concat's NULL propagation, and ``utf8_length`` is
+    ``length(text)`` in chars. Output bytes are the input's UTF-8
+    with ASCII spans substituted — multi-byte chars pass through
+    untouched (ASCII classes cannot match inside a multi-byte
+    UTF-8 char)."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    for batch in batches:
+        if not batch.num_rows:
+            continue
+        doc_id = batch.column(0)
+        text = batch.column(1)
+        d = doc_id.to_numpy(zero_copy_only=False)
+        m = np.where(d >= 0, d % 10, -((-d) % 10))
+        dirty = pc.binary_join_element_wise(
+            "contact user",
+            pc.cast(doc_id, pa.string()),
+            "@example.com or +1-555-010",
+            pc.cast(pa.array(m, pa.int64()), pa.string()),
+            " re: ",
+            text,
+            "",
+        )
+        redacted = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                dirty, pattern=r"[a-z0-9._]+@[a-z0-9.-]+",
+                replacement="<EMAIL>",
+            ),
+            pattern=r"\+?[0-9][0-9()\-]{6,}",
+            replacement="<PHONE>",
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                redacted,
+                pc.cast(pc.utf8_length(text), pa.int64()),
+            ],
+            ["doc_id", "redacted", "orig_len"],
+        )
+
+
+
 @query(
     "text_redact",
     oracle="""
@@ -250,27 +311,20 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (emails, phone-like numbers) — the scrubbing
-    step of a training-data pipeline, as pure regexp_replace (one scan,
-    codegen'd). The fixture has no PII, so deterministic synthetic PII
-    is prepended in-query; the oracle applies identical rules."""
+    step of a training-data pipeline. The fixture has no PII, so
+    deterministic synthetic PII is prepended in-query; the oracle
+    applies identical rules.
+
+    Scale shape (r14): one scan feeding one ``mapInArrow`` kernel
+    (``_redact_batches``) — the corpus-regex family's last member
+    moved off per-row Java regex onto vectorized RE2 over Arrow
+    buffers (guide §4.2; the text_normalize/_langid/_repetition moves
+    were r13). Zero shuffles, unchanged; per-pattern dialect proof in
+    the kernel docstring."""
     docs = load(spark, sf_dir, "documents")
-    dirty = F.concat(
-        F.lit("contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com or +1-555-010"),
-        (F.col("doc_id") % 10).cast("string"),
-        F.lit(" re: "),
-        F.col("text"),
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(dirty, r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
-        r"\+?[0-9][0-9()\-]{6,}",
-        "<PHONE>",
-    )
-    return docs.select(
-        "doc_id",
-        redacted.alias("redacted"),
-        F.length("text").cast("long").alias("orig_len"),
+    return docs.select("doc_id", "text").mapInArrow(
+        _redact_batches,
+        "doc_id long, redacted string, orig_len long",
     )
 
 
@@ -2516,7 +2570,17 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_ensemble); the ranking itself adds one balanced tie-group
     window and one broadcastable histogram join — a 100 TB corpus
     gets a total training order without any stage ever sorting more
-    than ~0.1% of it in one task."""
+    than ~0.1% of it in one task.
+
+    The keyed frame is localCheckpoint-materialized (r14): TWO
+    consumers read it (the (band, kb) histogram and the tie-group
+    window+join) and Spark replicates the producing subtree per
+    consumer — the r14 plan audit counted the ENTIRE ensemble
+    (20 parquet scans) duplicated into both branches, and the probe
+    row sat at ~3x quality_ensemble's. Same fix and rationale as
+    dedup's winnowing fps checkpoint (branch re-execution was most
+    of that query's first probe row too); ~17 bytes/doc, rebuilt
+    from parquet on every run."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     e = quality_ensemble(spark, sf_dir).select(
@@ -2530,7 +2594,7 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = e.withColumn(
         "kb", F.substring("k", 1, CURRICULUM_BUCKETS_HEX)
-    )
+    ).localCheckpoint(eager=False)
     hw = (
         Window.orderBy(F.col("h_band").desc(), F.col("h_kb").asc())
         .rowsBetween(Window.unboundedPreceding, -1)

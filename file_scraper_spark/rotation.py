@@ -281,6 +281,9 @@ RECHECK_FIRST: tuple[str, ...] = (
     "graph_link_predict",
     "text_langid",
     "text_repetition",
+    # --- round-14 rewrites (appended as they land) ---
+    "text_redact",
+    "corpus_curriculum",
 )
 
 

@@ -1351,6 +1351,33 @@ def test_phrase_index_serving_is_partition_pruned(spark, sf_dir):
     assert "Generate" not in plan
 
 
+def test_redact_is_one_arrow_kernel_pass(spark, sf_dir):
+    """text_redact (r14): the PII regexes run as vectorized RE2 inside
+    one mapInArrow kernel — the plan must carry no per-row JVM
+    regexp_replace, no Python row UDF, and no shuffle: one pruned scan
+    feeding one MapInArrow."""
+    plan = plan_of("text_redact", spark, sf_dir)
+    assert plan.count("MapInArrow") == 1
+    assert "regexp_replace" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "doc_id", "text"
+    }
+
+
+def test_curriculum_materializes_ensemble_once(spark, sf_dir):
+    """corpus_curriculum (r14): the keyed frame is localCheckpointed
+    so its TWO consumers (histogram + tie-group window) read the
+    materialized RDD instead of re-executing the whole
+    quality_ensemble subtree (the before-plan carried 20 documents
+    scans — both branches rebuilt every signal)."""
+    plan = plan_of("corpus_curriculum", spark, sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+
+
 def test_link_predict_zero_joins(spark, sf_dir):
     """graph_link_predict: the shipped form folds each order to one
     part-set row and expands pairs in a per-basket numpy kernel (r13
