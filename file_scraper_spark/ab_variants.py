@@ -72,57 +72,27 @@ from file_scraper_spark.operators import dedup
 
 
 def _old_winnowing_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13 optimization superseded fingerprint stage: posexplode to
-    one row per 3-gram, per-gram JVM md5 + hex conv, window minimum
-    over a doc_id exchange + per-doc sort, corpus-sized distinct.
-    The live form runs the whole pipeline per-doc in one kernel
-    (``dedup._winnowing_fp_batches``)."""
-    from pyspark.sql import Window
-
+    """Arm REPOINTED in r14 — now the r13 per-doc KERNEL fingerprint
+    stage (``dedup._winnowing_fp_batches``), which r14 reverted: two
+    quiet 3-pair 100x A/Bs split 3-3 (min-of-6 ~1.02, flat) and the
+    sf0.1 bench pair read 1.49x against the kernel in all three
+    pairs, so the exploded codegen form is live again
+    (``dedup._winnowing_fps_frame``) and the kernel keeps one round
+    of bench pairs here. (The r13 keep rested on 0.82-0.90x pairs
+    measured under heavy host contention; OPTIMIZATION_r14.md has
+    the full evidence trail.)"""
     from file_scraper_spark.operators.dedup import (
         WIN_CAP,
-        WIN_W,
+        _winnowing_fp_batches,
         near_dup_corpus,
     )
     from file_scraper_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
     corpus = near_dup_corpus(docs)
-    words = F.col("words")
-    n_grams = F.size(words) - 2
-    zipped = F.arrays_zip(
-        *[F.slice(words, j + 1, n_grams).alias(f"g{j}") for j in range(3)]
-    )
-    grams = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            zipped,
-            lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(3)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos = corpus.select(
-        "doc_id", F.posexplode(grams).alias("p0", "g")
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("p"),
-        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WIN_W - 1)
-    wn = Window.partitionBy("doc_id")
-    winmin = pos.select(
-        "doc_id",
-        "p",
-        F.min("h").over(w).alias("fp"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    fps = (
-        winmin.where(F.col("p") + (WIN_W - 1) <= F.col("n"))
-        .select("doc_id", "fp")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    fps = corpus.mapInPandas(
+        _winnowing_fp_batches, "doc_id long, fp long"
+    ).localCheckpoint(eager=False)
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

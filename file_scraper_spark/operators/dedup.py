@@ -3867,12 +3867,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins land at exactly ratio_pct=100 (a prefix's window minima are
     a subset of the original's).
 
-    Scale shape: fingerprinting is ONE scan + one per-doc kernel
-    (``_winnowing_fp_batches`` — r13: 3-gram hash, W-window minimum
-    and the per-doc distinct all run inside the task; the old
-    posexplode + window form paid a 60M-row explode, a doc_id
-    exchange + per-doc sort and a corpus-sized distinct, same-JVM
-    A/B in OPTIMIZATION_r13.md); the pair join is a POSTING-LIST
+    Scale shape: fingerprinting is the exploded codegen pipeline
+    (posexplode to one row per 3-gram, JVM md5, W-window minimum,
+    distinct — restored in r14 after quiet-window A/Bs showed the
+    r13 per-doc kernel flat at 100x and 1.49x worse at sf0.1; see
+    ``_winnowing_fps_frame``); the pair join is a POSTING-LIST
     self-join on fingerprint with the WIN_CAP df gate bounding
     bucket occupancy — candidate volume is sum(df^2) over kept
     fingerprints, never all-pairs (band_candidates' contract). The
@@ -3958,6 +3957,11 @@ def _winnowing_fp_batches(batches):
     mapInPandas pass over (doc_id, words) — the dedup_minhash move
     (r13) applied to the MOSS fingerprinter.
 
+    SUPERSEDED in r14 (now only the ab_variants arm): quiet-window
+    A/Bs measured it flat at 100x and 1.49x worse at sf0.1 — the r13
+    keep rested on pairs taken under heavy host contention. The
+    exploded codegen form in ``_winnowing_fps_frame`` is live again.
+
     Bit-exact twin of the exploded form it replaced: the 3-gram
     string is ``b" ".join`` of the word window — identical UTF-8
     bytes to ``concat_ws(' ', g0, g1, g2)`` (split() never yields
@@ -4028,26 +4032,65 @@ def _winnowing_fp_batches(batches):
 
 
 def _winnowing_fps_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, fp) winnowing fingerprints, pre-df-gate —
-    one scan, one kernel, no shuffle (near_dup_corpus's round-robin
-    balance is the only exchange). Split out of _winnowing_kept so
-    plan tooling can dump the fingerprint pipeline that the lazy
-    localCheckpoint otherwise hides behind a Scan ExistingRDD.
+    """Distinct (doc_id, fp) winnowing fingerprints, pre-df-gate.
+    Split out of _winnowing_kept so plan tooling can dump the
+    fingerprint pipeline that the lazy localCheckpoint otherwise
+    hides behind a Scan ExistingRDD.
 
-    (r13 kernel rewrite; the old exploded form — posexplode to one
-    row per 3-gram, codegen'd md5, window-min over an exchange +
-    per-doc sort, 60M-row distinct — is this round's
-    ab_variants arm. Historical negative result kept for the record:
-    an in-array spelling — transform(md5) + log-shift zip_with
-    folds, no window — measured 4x WORSE than the explode (384s):
-    CollapseProject re-inlined the md5 transform into every
-    downstream slice, 270 copies in the optimized plan; lambda-
-    bearing arrays do not get the multi-reference exemption that
-    saved embedding_quantize. NOTES.md.)"""
+    This is the EXPLODED JVM form, restored in r14: posexplode to one
+    row per 3-gram, codegen'd md5 + conv, W-window minimum over a
+    doc_id exchange + per-doc sort, corpus-sized distinct. The r13
+    per-doc kernel rewrite (``_winnowing_fp_batches``, kept as this
+    round's ab_variants arm) was REVERTED on quiet-window evidence:
+    its only r13 wins were measured under heavy host contention
+    (0.82-0.90x min-of-3, 5/6 pairs), while this round's two quiet
+    3-pair 100x A/Bs split 3-3 with min-of-6 ~1.02 (flat) and the
+    sf0.1 bench pair read 1.49x AGAINST the kernel in all three
+    pairs (BENCH r13/r14 ab sections agree). Mechanism, same as the
+    r14 simhash rejection: the explode+window pipeline is whole-stage
+    codegen and md5-per-3-gram dominates BOTH forms equally, so the
+    kernel only adds the Python boundary. (Historical negative result
+    kept for the record: an in-array spelling — transform(md5) +
+    log-shift zip_with folds, no window — measured 4x WORSE than the
+    explode (384s): CollapseProject re-inlined the md5 transform into
+    every downstream slice, 270 copies in the optimized plan. NOTES.)"""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     docs = load(spark, sf_dir, "documents")
     corpus = near_dup_corpus(docs)
-    return corpus.mapInPandas(
-        _winnowing_fp_batches, "doc_id long, fp long"
+    words = F.col("words")
+    n_grams = F.size(words) - 2
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, n_grams).alias(f"g{j}") for j in range(3)]
+    )
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(3)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = corpus.select(
+        "doc_id", F.posexplode(grams).alias("p0", "g")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WIN_W - 1)
+    wn = Window.partitionBy("doc_id")
+    winmin = pos.select(
+        "doc_id",
+        "p",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        winmin.where(F.col("p") + (WIN_W - 1) <= F.col("n"))
+        .select("doc_id", "fp")
+        .distinct()
     )
 
 

@@ -1063,19 +1063,17 @@ def test_winnowing_ratio_joins_carry_no_broadcast_hint(spark, sf_dir):
     assert "BroadcastHashJoin" in cold and "LeftAnti" in cold
 
 
-def test_winnowing_fps_stage_is_one_kernel_pass(spark, sf_dir):
-    """dedup_winnowing's fingerprint stage (r13 kernel rewrite): the
-    whole 3-gram -> md5 -> W-window-min -> distinct pipeline runs
-    per-doc inside ONE MapInPandas over the round-robin-balanced
-    corpus — no posexplode (Generate), no Window, no per-doc Sort,
-    no distinct aggregate, and the only Exchange is near_dup_corpus's
-    RoundRobinPartitioning balance. Pinned on the pre-checkpoint
-    subtree (_winnowing_fps_frame) because the registered query's
-    executed plan hides this stage behind the lazy localCheckpoint's
-    Scan ExistingRDD. (The superseded exploded form paid a 60M-row
-    Generate, a doc_id exchange + sort, two Window nodes and a
-    corpus-sized distinct — same-JVM A/B in OPTIMIZATION_r13.md;
-    plans/r13/dedup_winnowing_fps_{before,after}.txt.)"""
+def test_winnowing_fps_stage_is_exploded_codegen(spark, sf_dir):
+    """dedup_winnowing's fingerprint stage: the exploded codegen
+    pipeline (posexplode Generate -> JVM md5 -> W-window min ->
+    distinct), RESTORED in r14 — the r13 per-doc kernel measured
+    flat at 100x in quiet windows and 1.49x worse at sf0.1 (its r13
+    keep rested on pairs taken under heavy host contention;
+    OPTIMIZATION_r14.md). Pinned on the pre-checkpoint subtree
+    (_winnowing_fps_frame) because the registered query's executed
+    plan hides this stage behind the lazy localCheckpoint's Scan
+    ExistingRDD: no Python boundary of any kind, one Generate, the
+    window over the doc_id exchange, and the distinct aggregate."""
     from file_scraper_spark.operators.dedup import _winnowing_fps_frame
 
     plan = (
@@ -1084,11 +1082,10 @@ def test_winnowing_fps_stage_is_one_kernel_pass(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("MapInPandas") == 1
-    for node in ("Generate", "Window", "Sort", "HashAggregate"):
+    for node in ("MapInPandas", "MapInArrow", "BatchEvalPython"):
         assert node not in plan, f"unexpected {node} in fps stage"
-    assert plan.count("Exchange") == 1
-    assert "ROUND_ROBIN" in plan.upper() or "RoundRobin" in plan
+    assert plan.count("Generate") == 1
+    assert "Window" in plan
 
 
 def test_bloom_gate_indexed_daily_has_no_corpus_scan(spark, sf_dir):
