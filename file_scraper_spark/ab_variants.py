@@ -968,3 +968,76 @@ def _old_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AB_BASELINES["corpus_curriculum"] = _old_corpus_curriculum
+
+
+def _old_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 optimization superseded form: identical tercile pipeline
+    but WITHOUT the sc localCheckpoint — Spark replicates the whole
+    LM-score subtree (bigram explodes + model join) into both
+    consumers (histogram + tie-offset window). The live form
+    materializes sc once (the curriculum-keyed fix applied one level
+    deeper)."""
+    from pyspark.sql import Window
+
+    from file_scraper_spark.operators.text import text_lm_score
+    from file_scraper_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    scores = text_lm_score(spark, sf_dir)
+    sc = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.floor(
+            F.col("p_q_sum").cast("double")
+            / F.col("n_bigrams").cast("double")
+        )
+        .cast("long")
+        .alias("score_q"),
+    )
+    hw = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score_q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        sc.groupBy("lang", "score_q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("lang").alias("h_lang"),
+            F.col("score_q").alias("h_score"),
+            F.coalesce(F.sum("cnt").over(hw), F.lit(0)).alias("cum_gt"),
+            F.sum("cnt")
+            .over(Window.partitionBy("lang"))
+            .alias("n"),
+        )
+    )
+    tw = Window.partitionBy("lang", "score_q").orderBy("doc_id")
+    ranked = (
+        sc.withColumn("tie_rn", F.row_number().over(tw))
+        .join(
+            hist,
+            F.col("lang").eqNullSafe(F.col("h_lang"))
+            & (F.col("score_q") == F.col("h_score")),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "score_q",
+            (F.col("cum_gt") + F.col("tie_rn")).alias("rnk"),
+            "n",
+        )
+    )
+    head_n = F.floor((F.col("n") + 2) / 3)
+    mid_n = F.floor((2 * F.col("n") + 2) / 3)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "score_q",
+        F.when(F.col("rnk") <= head_n, F.lit("head"))
+        .when(F.col("rnk") <= mid_n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+AB_BASELINES["text_ccnet_buckets"] = _old_text_ccnet_buckets

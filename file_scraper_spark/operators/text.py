@@ -1261,15 +1261,27 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     scores = text_lm_score(spark, sf_dir)
-    sc = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        "lang",
-        F.floor(
-            F.col("p_q_sum").cast("double")
-            / F.col("n_bigrams").cast("double")
+    # sc is localCheckpoint-materialized (r14): TWO consumers read it
+    # (the (lang, score) histogram and the tie-offset window+join)
+    # and Spark replicates the producing subtree per consumer — the
+    # whole LM pipeline (bigram explodes + model join) ran twice per
+    # ccnet call, and through it twice per quality_ensemble /
+    # corpus_curriculum evaluation. Same fix and rationale as the
+    # winnowing-fps / curriculum-keyed checkpoints; ~25 bytes/doc,
+    # rebuilt from parquet on every run.
+    sc = (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(
+                F.col("p_q_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+            )
+            .cast("long")
+            .alias("score_q"),
         )
-        .cast("long")
-        .alias("score_q"),
+        .localCheckpoint(eager=False)
     )
     # bounded-domain histogram: strict-greater cumulative count and
     # per-lang total, both computed over histogram rows (score-domain

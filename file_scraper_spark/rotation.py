@@ -284,6 +284,8 @@ RECHECK_FIRST: tuple[str, ...] = (
     # --- round-14 rewrites (appended as they land) ---
     "text_redact",
     "corpus_curriculum",
+    "text_ccnet_buckets",
+    "quality_ensemble",
 )
 
 

@@ -1171,7 +1171,11 @@ def test_ccnet_no_langwide_sort_and_hintfree_hist_join(spark, sf_dir):
         else:
             spark.conf.unset(aqe_k)
     assert "BroadcastHashJoin" not in cold, "a join is hint-forced"
-    assert cold.count("SortMergeJoin") >= 3
+    # r14: sc is localCheckpointed (one LM execution for both
+    # consumers), so the sc-subtree joins sit behind Scan ExistingRDD
+    # and only the histogram join remains visible here — it must
+    # still degrade hint-free (>= 1 SMJ; was >= 3 pre-checkpoint)
+    assert cold.count("SortMergeJoin") >= 1
     assert not re.search(r"Sort \[[^\]]*\], true", cold)
 
 
@@ -1371,6 +1375,18 @@ def test_curriculum_materializes_ensemble_once(spark, sf_dir):
     quality_ensemble subtree (the before-plan carried 20 documents
     scans — both branches rebuilt every signal)."""
     plan = plan_of("corpus_curriculum", spark, sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+
+
+def test_ccnet_materializes_lm_scores_once(spark, sf_dir):
+    """text_ccnet_buckets (r14): the sc frame (LM scores + lang) is
+    localCheckpointed so its TWO consumers (histogram + tie-offset
+    window) read the materialized RDD instead of each re-executing
+    the whole LM pipeline (bigram explodes + model join) — the
+    before-plan carried the LM subtree twice, and through it so did
+    every quality_ensemble / corpus_curriculum evaluation."""
+    plan = plan_of("text_ccnet_buckets", spark, sf_dir)
     assert "Scan ExistingRDD" in plan
     assert "documents.parquet" not in plan
 
